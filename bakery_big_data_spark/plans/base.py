@@ -1,0 +1,112 @@
+"""Registry plumbing + cross-engine numeric determinism helpers.
+
+Every query is checked against a DuckDB oracle with an order-insensitive
+value hash, so floating-point aggregates must be bit-identical between Spark
+and DuckDB.  Double summation is order-dependent; decimal summation is exact.
+Convention used by every query in this catalog:
+
+- per-row arithmetic stays DOUBLE (IEEE ops are deterministic per row in
+  both engines);
+- aggregate sums cast each addend to ``DECIMAL(30,6)`` (identical half-up
+  rounding in Spark and DuckDB), sum exactly, then cast the final value to
+  DOUBLE — same bits on both sides regardless of partitioning or order;
+- averages are exact-sum / count (one double division);
+- stddev is computed from exact sums of x and x² rather than the engines'
+  (order-sensitive) native implementations.
+
+At 100 TB this costs nothing: decimal partial aggregation is still map-side
+combinable and whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.session import tune
+from bakery_big_data_spark.sources.tables import load_table
+
+DEC = "decimal(30,6)"
+
+
+@dataclass(frozen=True)
+class Query:
+    """One catalog entry: a Spark plan builder plus its DuckDB oracle SQL.
+
+    ``oracle`` is None for genuinely non-SQL-expressible operators (the
+    driver then records a weaker rows-only check).
+    """
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a ``(spark, sf_dir) -> DataFrame`` builder to the catalog."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Query(name=name, build=build, oracle=oracle, doc=doc or fn.__doc__ or "")
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---- deterministic aggregate builders (Spark side) ----
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM: decimal-exact internally, DOUBLE externally."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG = exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def dstd(col: Column | str, alias: str) -> Column:
+    """Order-independent sample stddev from exact sums of x and x²."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    s = F.sum(c.cast(DEC)).cast("double")
+    s2 = F.sum((c * c).cast(DEC)).cast("double")
+    return F.sqrt((s2 - s * s / n) / (n - F.lit(1.0))).alias(alias)
+
+
+# ---- matching oracle-SQL snippets (DuckDB side) ----
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def sql_dstd(expr: str, alias: str) -> str:
+    s = f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(30,6))) AS DOUBLE)"
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    return f"SQRT(({s2} - {s} * {s} / {n}) / ({n} - 1.0)) AS {alias}"

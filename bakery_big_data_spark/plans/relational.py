@@ -1,0 +1,224 @@
+"""Projection / filter / predicate queries + the flagship pipeline query.
+
+Covers SURVEY.md §2.2 (P1–P11) and §2.11 (quality scoring), re-expressed
+over the driver's TPC-H-ish tables: ``lineitem``/``orders`` stand in for the
+sales facts, small tables for dims (FIXTURES.md §7 mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.plans.base import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+from bakery_big_data_spark.quality import (
+    apply_quality_rules,
+    quality_gate,
+    sales_rules,
+    sales_rules_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Flagship: quality-gated pricing summary (reference bronze→silver→agg path:
+# scan → filter → derive → quality-score → gate → group-agg;
+# bronze_to_silver.py:39-73 + silver_to_gold.py:298 semantics).
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily pricing summary with quality gating.
+
+    Shape parity: reference Silver-sales transform (bronze_to_silver.py:53-73,
+    quality fold :23-33,45-51) feeding the Gold revenue rollup
+    (silver_to_gold.py:373-386).  Filter reaches the parquet scan (pushdown);
+    the aggregate is a hash agg with map-side partial combine; no shuffle
+    beyond the single groupBy — survives 100 TB by partition-pruning on the
+    date predicate.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp"))
+    scored = apply_quality_rules(li, sales_rules())
+    gated = quality_gate(scored, threshold=50)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = revenue * (1 + F.col("l_tax"))
+    return (
+        gated.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(revenue, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity', 'sum_qty')},
+  {sql_dsum('l_extendedprice', 'sum_base_price')},
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  {sql_davg('l_quantity', 'avg_qty')},
+  {sql_davg('l_extendedprice', 'avg_price')},
+  {sql_davg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+  AND {sales_rules_sql()} >= 50
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register("pricing_summary_quality_gated", FLAGSHIP_ORACLE,
+         doc="Flagship: scan→quality-score→gate→hash-agg (bronze_to_silver.py:39-73)")(flagship)
+
+
+# ---------------------------------------------------------------------------
+# P-family: projections, predicates, conditionals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_cast",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(o_totalprice AS DECIMAL(10,2)) AS total_price_dec,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority AS priority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_custkey IS NOT NULL
+    """,
+    doc="P1/P3/P4/P5/P6/P7: projection, alias, decimal cast, null/range/set predicates "
+        "(reference load_bronze_from_csv.py:32-46, bronze_to_silver.py:46-50)",
+)
+def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(10,2)").alias("total_price_dec"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@register(
+    "case_when_bucketing",
+    """
+    SELECT event_id,
+           event_type,
+           CASE
+             WHEN EXTRACT(hour FROM ts) BETWEEN 5 AND 10 THEN 'morning'
+             WHEN EXTRACT(hour FROM ts) BETWEEN 11 AND 13 THEN 'lunch'
+             WHEN EXTRACT(hour FROM ts) BETWEEN 14 AND 17 THEN 'afternoon'
+             WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 22 THEN 'evening'
+             ELSE 'off_hours'
+           END AS time_of_day,
+           CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS value_band
+    FROM events
+    """,
+    doc="P9 when/otherwise ladder — time_of_day bucketing "
+        "(reference generate_sales_events.py:45-54, silver_to_gold.py:57-63)",
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(hour.between(5, 10), "morning")
+        .when(hour.between(11, 13), "lunch")
+        .when(hour.between(14, 17), "afternoon")
+        .when(hour.between(18, 22), "evening")
+        .otherwise("off_hours")
+        .alias("time_of_day"),
+        F.when(F.col("value") >= 50, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+    )
+
+
+@register(
+    "null_handling_coalesce",
+    """
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'unknown') AS event_type_clean,
+           COALESCE(value / NULLIF(user_id % 5, 0), 0.0) AS safe_ratio
+    FROM events
+    """,
+    doc="P11 coalesce/nullif null handling (reference update_ml_features.py:126,147,253-255)",
+)
+def null_handling_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")).alias(
+            "event_type_clean"
+        ),
+        F.coalesce(
+            F.col("value") / F.nullif(F.col("user_id") % 5, F.lit(0)), F.lit(0.0)
+        ).alias("safe_ratio"),
+    )
+
+
+@register(
+    "quality_score_report",
+    f"""
+    SELECT score_band,
+           COUNT(*) AS n_rows,
+           {sql_davg('l_quantity', 'avg_qty')}
+    FROM (
+      SELECT l_quantity,
+             CASE WHEN q = 100 THEN 'perfect'
+                  WHEN q >= 50 THEN 'acceptable'
+                  ELSE 'poor' END AS score_band
+      FROM (SELECT l_quantity, {sales_rules_sql()} AS q FROM lineitem)
+    )
+    GROUP BY score_band
+    ORDER BY score_band
+    """,
+    doc="§2.11 + A10: quality-score rollup buckets perfect/acceptable/poor "
+        "(reference bronze_to_silver.py:242-278)",
+)
+def quality_score_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    scored = apply_quality_rules(li, sales_rules())
+    q = F.col("data_quality_score")
+    return (
+        scored.select(
+            "l_quantity",
+            F.when(q == 100, "perfect")
+            .when(q >= 50, "acceptable")
+            .otherwise("poor")
+            .alias("score_band"),
+        )
+        .groupBy("score_band")
+        .agg(F.count(F.lit(1)).alias("n_rows"), davg("l_quantity", "avg_qty"))
+        .orderBy("score_band")
+    )

@@ -1,0 +1,84 @@
+"""Data-quality scoring engine — the reference's signature reusable operator.
+
+Semantics (reference ``processing/jobs/bronze_to_silver.py:23-33``): start
+every row at score 100; for each named rule ``(name, predicate, penalty)``
+subtract ``penalty`` where the predicate FAILS, and materialize a boolean
+``dq_check_<name>`` column recording the outcome.  Downstream layers gate on
+``data_quality_score >= threshold`` (reference ``silver_to_gold.py:298``:
+threshold 50).
+
+Implementation is a pure ``when/otherwise`` fold — rules are data, the whole
+thing stays inside whole-stage codegen, no UDFs, scales linearly with rows
+and is map-only (no shuffle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QualityRule:
+    name: str
+    predicate: Column  # True == row passes the check
+    penalty: int
+
+
+def apply_quality_rules(
+    df: DataFrame,
+    rules: list[QualityRule],
+    score_col: str = "data_quality_score",
+    check_prefix: str = "dq_check_",
+) -> DataFrame:
+    """Score rows against a rule list (reference bronze_to_silver.py:23-33).
+
+    A NULL predicate result counts as a failure (the reference's boolean
+    columns behave the same way once gated with ``>=``), so predicates are
+    null-guarded with ``coalesce(pred, false)``.
+    """
+    score: Column = F.lit(100)
+    checks: dict[str, Column] = {}
+    for rule in rules:
+        passed = F.coalesce(rule.predicate, F.lit(False))
+        checks[check_prefix + rule.name] = passed
+        score = score - F.when(~passed, F.lit(rule.penalty)).otherwise(F.lit(0))
+    out = df
+    for name, col in checks.items():
+        out = out.withColumn(name, col)
+    return out.withColumn(score_col, score.cast("int"))
+
+
+def quality_gate(df: DataFrame, threshold: int = 50, score_col: str = "data_quality_score") -> DataFrame:
+    """Promote-or-quarantine filter (reference silver_to_gold.py:298,343,384)."""
+    return df.filter(F.col(score_col) >= threshold)
+
+
+def sales_rules() -> list[QualityRule]:
+    """The reference's Bronze-sales rule set (bronze_to_silver.py:45-51),
+    re-keyed onto the test ``lineitem`` columns with identical shapes:
+    range check, set-membership, positivity ×2, null check."""
+    return [
+        QualityRule("valid_quantity", (F.col("l_quantity") > 0) & (F.col("l_quantity") <= 50), 20),
+        QualityRule("valid_discount", (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.5), 20),
+        QualityRule("positive_price", F.col("l_extendedprice") > 0, 25),
+        QualityRule("valid_returnflag", F.col("l_returnflag").isin("A", "N", "R"), 25),
+        QualityRule("has_shipdate", F.col("l_shipdate").isNotNull(), 10),
+    ]
+
+
+def sales_rules_sql() -> str:
+    """DuckDB-equivalent scoring expression for the oracle (same rule set)."""
+    terms = [
+        ("(l_quantity > 0 AND l_quantity <= 50)", 20),
+        ("(l_discount >= 0 AND l_discount <= 0.5)", 20),
+        ("(l_extendedprice > 0)", 25),
+        ("(l_returnflag IN ('A','N','R'))", 25),
+        ("(l_shipdate IS NOT NULL)", 10),
+    ]
+    parts = " - ".join(
+        f"(CASE WHEN COALESCE({pred}, FALSE) THEN 0 ELSE {pen} END)" for pred, pen in terms
+    )
+    return f"CAST(100 - {parts} AS INT)"

@@ -1,0 +1,51 @@
+"""Parquet table sources for the driver-provided TPC-H-ish test data.
+
+Mirrors the reference's batch scan surface (SURVEY.md §2.1 S4–S7): explicit
+schemas come from the parquet footers; filters/projections applied by callers
+reach the scan via Catalyst pushdown (verify with ``df.explain`` →
+``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Columnar parquet read; never caches or collects.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS), which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL).  We read nanos as long and truncate to
+    microsecond timestamps — exactly what DuckDB does natively, so oracle
+    comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TPCH_TABLES}

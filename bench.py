@@ -1,0 +1,61 @@
+"""Benchmark runner: times every registered catalog query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is built lazily and executed once with a full materialization
+(collect of agg outputs / count of row-level outputs is avoided — we use
+``df.write.format("noop")`` so the measurement is pure engine throughput,
+no driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bakery_big_data_spark.plans import REGISTRY
+    from bakery_big_data_spark.session import get_spark
+
+    spark = get_spark("bakery-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    REGISTRY["pricing_summary_quality_gated"].build(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        start = time.perf_counter()
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Every registered query runs and (where an oracle exists) matches DuckDB.
+
+This replicates the driver's t2 gate locally at sf0.001 so regressions are
+caught before the per-round verify.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bakery_big_data_spark.plans import REGISTRY
+from tests.oracle import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_connect(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    q = REGISTRY[name]
+    df = q.build(spark, sf_dir)
+    if q.oracle is None:
+        assert df.count() >= 0  # rows-only smoke, mirroring the driver
+    else:
+        compare(df, con, q.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
