@@ -92,7 +92,23 @@ def dstd(col: Column | str, alias: str) -> Column:
     return F.sqrt((s2 - s * s / n) / (n - F.lit(1.0))).alias(alias)
 
 
+def dtrunc(col: Column, alias: str, scale: int = 2) -> Column:
+    """Deterministic cross-engine 'rounding': truncate toward -inf at `scale`.
+
+    Spark's ROUND (BigDecimal, string-based) and DuckDB's ROUND (binary
+    multiply) disagree on doubles near representation boundaries;
+    floor(x*10^s)/10^s is bit-identical in both engines given identical x.
+    """
+    m = float(10**scale)
+    return (F.floor(col * m) / m).alias(alias)
+
+
 # ---- matching oracle-SQL snippets (DuckDB side) ----
+
+
+def sql_dtrunc(expr: str, alias: str, scale: int = 2) -> str:
+    m = float(10**scale)
+    return f"FLOOR(({expr}) * {m}) / {m} AS {alias}"
 
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE) AS {alias}"

@@ -1,1 +1,240 @@
-"""Placeholder — populated in a later milestone."""
+"""Join queries — SURVEY.md §2.3 (J1–J8) plus semi-join (Spark-first addition).
+
+Physical strategy notes (the part that matters at 100 TB):
+- dimension joins (`part`, `nation`, `region`, small derived frames) are
+  explicitly `broadcast()` — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key once; AQE handles skew;
+- anti/semi joins use Spark's native left_anti / left_semi (no row
+  materialization of the right side beyond the hash set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.plans.base import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+
+
+@register(
+    "join_inner_broadcast_dim",
+    f"""
+    SELECT p.p_brand,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+    doc="J1 equi inner join, small dim broadcast (reference silver_to_gold.py:191); "
+        "broadcast() avoids shuffling the fact side",
+)
+def join_inner_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "join_left_outer_keep_unmatched",
+    """
+    SELECT o.o_orderkey,
+           o.o_totalprice,
+           c.c_name,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders o
+    LEFT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000
+    WHERE o.o_orderkey <= 5000
+    """,
+    doc="J2 equi left outer join keeping unmatched fact rows "
+        "(reference silver_to_gold.py:302-304: facts keep rows without dim match)",
+)
+def join_left_outer_keep_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_name",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+@register(
+    "join_multiway_star",
+    f"""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           o.o_orderpriority,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           {sql_davg('l.l_quantity', 'avg_qty')},
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name, o.o_orderpriority
+    """,
+    doc="J3 multi-way star join (reference update_ml_features.py:134-139 6-way pipeline); "
+        "dims broadcast, single fact-fact shuffle on orderkey",
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(revenue, "revenue"),
+            davg("l_quantity", "avg_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_sql_tempview",
+    f"""
+    SELECT s.s_name,
+           n.n_name AS nation_name,
+           {sql_davg('s.s_acctbal', 'avg_bal')}
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_name, n.n_name
+    """,
+    doc="J5/S9: SQL join over registered temp views — spark.sql entry point "
+        "(reference update_ml_features.py:38-49, bronze_to_silver.py:76)",
+)
+def join_sql_tempview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT s.s_name,
+               n.n_name AS nation_name,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(s.s_acctbal) AS avg_bal
+        FROM v_supplier s
+        JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY s.s_name, n.n_name
+        """
+    )
+
+
+@register(
+    "join_cross_synthesize",
+    """
+    SELECT n.n_name AS nation_name, r.r_name AS region_name
+    FROM nation n
+    CROSS JOIN region r
+    """,
+    doc="J6 cross join for combination synthesis (reference update_ml_features.py:301 "
+        "products × equipment); only ever small×small — guarded by design",
+)
+def join_cross_synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    r = t(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    return n.crossJoin(F.broadcast(r))
+
+
+@register(
+    "join_range_interval",
+    f"""
+    SELECT b.bucket_name,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 'total_value')}
+    FROM events e
+    JOIN (
+      SELECT 'week1' AS bucket_name, TIMESTAMP '2024-01-01' AS start_ts, TIMESTAMP '2024-01-08' AS end_ts
+      UNION ALL SELECT 'week2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'
+      UNION ALL SELECT 'week3', TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'
+    ) b ON e.ts >= b.start_ts AND e.ts < b.end_ts
+    GROUP BY b.bucket_name
+    """,
+    doc="J7 range/theta join — point-in-interval lookup "
+        "(reference update_ml_features.py:106 promotion window); broadcast of the "
+        "interval side makes it a map-side non-equi join, no shuffle",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [
+            ("week1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+            ("week2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+            ("week3", "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+        ],
+        ["bucket_name", "start_s", "end_s"],
+    ).select(
+        "bucket_name",
+        F.col("start_s").cast("timestamp").alias("start_ts"),
+        F.col("end_s").cast("timestamp").alias("end_ts"),
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (ev.ts >= buckets.start_ts) & (ev.ts < buckets.end_ts),
+        )
+        .groupBy("bucket_name")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+    )
+
+
+@register(
+    "join_anti_orphans",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="J8 anti join — entities without facts (reference silver_to_gold.py:135 "
+        "SCD2 'new rows' branch, rewritten from left-join+IS NULL to native left_anti)",
+)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_semi_active",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    SEMI JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+    """,
+    doc="Semi join — entities with ≥1 qualifying fact (Spark-first extension; the "
+        "reference approximates with DISTINCT joins, silver_to_gold.py:246-253)",
+)
+def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
