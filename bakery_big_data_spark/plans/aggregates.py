@@ -52,7 +52,7 @@ def daily_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END", 'qty_finished')},
            {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END", 'qty_open')},
-           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_discount
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount
     FROM lineitem
     GROUP BY l_returnflag
     """,

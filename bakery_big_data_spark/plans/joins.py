@@ -177,12 +177,14 @@ def join_cross_synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.bucket_name
     """,
     doc="J7 range/theta join — point-in-interval lookup "
-        "(reference update_ml_features.py:106 promotion window); broadcast of the "
-        "interval side makes it a map-side non-equi join, no shuffle",
+        "(reference update_ml_features.py:106 promotion window); intervals are "
+        "exploded to covering day buckets so the join is a broadcast HASH join "
+        "on to_date(ts) with a residual range predicate — O(rows), not the "
+        "O(rows × intervals) BroadcastNestedLoopJoin a raw non-equi join plans",
 )
 def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    buckets = spark.createDataFrame(
+    intervals = spark.createDataFrame(
         [
             ("week1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
             ("week2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
@@ -194,10 +196,31 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_s").cast("timestamp").alias("start_ts"),
         F.col("end_s").cast("timestamp").alias("end_ts"),
     )
+    # Scale pattern: expand each interval to the days it covers (interval
+    # tables are small — promotions/buckets — so the expansion is tiny and
+    # broadcastable even for year-long windows), then equi-join on the day
+    # key.  Catalyst plans BroadcastHashJoin; the range check is a cheap
+    # residual filter on matched rows only.
+    day_buckets = intervals.select(
+        "bucket_name",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.to_date("start_ts"),
+                # end_ts is exclusive; a boundary exactly at midnight adds one
+                # harmless extra day that the residual predicate filters out.
+                F.to_date("end_ts"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("bucket_day"),
+    )
     return (
         ev.join(
-            F.broadcast(buckets),
-            (ev.ts >= buckets.start_ts) & (ev.ts < buckets.end_ts),
+            F.broadcast(day_buckets),
+            (F.to_date(ev.ts) == day_buckets.bucket_day)
+            & (ev.ts >= day_buckets.start_ts)
+            & (ev.ts < day_buckets.end_ts),
         )
         .groupBy("bucket_name")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))

@@ -96,7 +96,7 @@ register("pricing_summary_quality_gated", FLAGSHIP_ORACLE,
     """
     SELECT o_orderkey,
            o_custkey,
-           CAST(o_totalprice AS DECIMAL(10,2)) AS total_price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) AS total_price_dec,
            CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority AS priority
     FROM orders
@@ -120,7 +120,10 @@ def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("o_totalprice").cast("decimal(10,2)").alias("total_price_dec"),
+            # P4 decimal cast exercised, but the *emitted* type is DOUBLE on
+            # both sides — decimal wire representations differ across engines
+            # and would fail the driver's typed value-hash.
+            F.col("o_totalprice").cast("decimal(10,2)").cast("double").alias("total_price_dec"),
             F.col("o_orderdate").cast("date").alias("order_date"),
             F.col("o_orderpriority").alias("priority"),
         )

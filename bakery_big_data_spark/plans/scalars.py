@@ -169,9 +169,9 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(least(l_quantity * 2.5, 100.0), 0.0) AS efficiency_clamped,
            sqrt(l_extendedprice) AS price_sqrt,
            power(l_discount, 2) AS discount_sq,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
            mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7
     FROM lineitem
     WHERE l_orderkey <= 1000
@@ -193,9 +193,12 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
         F.pow("l_discount", 2).alias("discount_sq"),
+        # Engine-stable integer widths on both sides: Spark floor/ceil yield
+        # BIGINT natively (DuckDB's yield DOUBLE → oracle casts), and signum
+        # yields DOUBLE (DuckDB sign yields TINYINT → both cast to BIGINT).
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_extendedprice").alias("price_ceil"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
     )
 

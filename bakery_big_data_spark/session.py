@@ -22,6 +22,10 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver's events.parquet carries TIMESTAMP(NANOS), which vanilla
+    # Spark rejects (PARQUET_TYPE_ILLEGAL); read nanos as long and let the
+    # loader truncate to micros (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

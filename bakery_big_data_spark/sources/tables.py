@@ -33,13 +33,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Columnar parquet read; never caches or collects.
 
     ``events.parquet`` carries TIMESTAMP(NANOS), which vanilla Spark rejects
-    (PARQUET_TYPE_ILLEGAL).  We read nanos as long and truncate to
-    microsecond timestamps — exactly what DuckDB does natively, so oracle
-    comparisons agree.
+    (PARQUET_TYPE_ILLEGAL).  Session conf ``nanosAsLong`` (session.RUNTIME_CONF,
+    applied by tune()) reads nanos as long; here we truncate to microsecond
+    timestamps — exactly what DuckDB does natively, so oracle comparisons agree.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
