@@ -1,0 +1,304 @@
+"""Document deduplication operators: shingling, MinHash+LSH, SimHash.
+
+LLM-training-data dedup re-expressed Spark-first (an extension family beyond
+the reference's surface — the reference's only dedup is MERGE-by-key,
+``bronze_to_silver.py:78-83``).  Everything here is built-in higher-order
+functions (``transform``/``aggregate``/``zip_with`` + ``xxhash64``) — JVM
+codegen, zero Python UDFs.
+
+100 TB design notes:
+- candidate generation is a *band-bucket equi-join* (shuffle keyed on
+  ``(band_index, band_hash)``) — never an all-pairs cross join; work scales
+  with Σ bucket², which LSH keeps near-linear for realistic corpora;
+- pathological buckets (boilerplate shingle sets shared by millions of docs)
+  are the classic skew risk: AQE skew-join splits oversized buckets, and
+  ``candidate_pairs`` exposes ``max_bucket`` to cap them explicitly;
+- signatures are fixed-width arrays of BIGINT — 64 hashes ≈ 512 B/doc, fine
+  to shuffle; shingle sets are only re-materialized for the candidate pairs
+  during verification (a second equi-join), not carried through banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization (non-distinct, order preserved)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_shingles(text: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Guarded for short documents: fewer than ``n`` words → empty set (an
+    unguarded ``sequence(1, len-n+1)`` would run *descending* and index out
+    of range).
+    """
+    ws = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(
+            "_", *[F.element_at(ws, i + off) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(ws) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: element *i* = min over shingles of xxhash64(s, i).
+
+    One xxhash64 family member per signature slot (seeded by slot index);
+    ``P(sig_a[i] == sig_b[i]) = Jaccard(a, b)`` — the standard estimator.
+    Computed in a SINGLE pass over the shingle array (fold keeping 64 running
+    minima) — 64 separate array_min(transform(...)) scans would evaluate the
+    shingle array 64×.  Empty shingle sets yield the MAX_LONG sentinel in
+    every slot; exclude them before banding or they all collide.
+    """
+    max_long = (1 << 63) - 1
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(max_long).cast("bigint"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band (``rows_per_band`` consecutive signature slots) to one
+    bucket key.  Two docs collide in band *j* iff their slices are identical;
+    P(collision in ≥1 band) = 1-(1-J^r)^b — tune (b, r) to the target
+    similarity threshold."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(
+            F.slice(signature, j * rows_per_band + 1, rows_per_band), j
+        ),
+    )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs ``(id_a < id_b)`` via band-bucket grouping.
+
+    One shuffle: explode band hashes → groupBy bucket → expand in-bucket
+    pairs with array combinatorics (signatures are computed exactly once; a
+    band self-join would re-evaluate the MinHash expression on both sides).
+    ``max_bucket`` drops buckets larger than the cap (boilerplate guard at
+    extreme scale — a bucket of k docs contributes k² candidate pairs).
+    """
+    # Materialize the signature as its own projection so the 32 band slices
+    # reference a bound column — inlined, each band hash would re-evaluate
+    # the whole MinHash fold (32× redundant work; CollapseProject keeps
+    # multiply-referenced expensive expressions un-inlined).
+    sigd = df.filter(F.size(shingle_col) > 0).select(
+        F.col(id_col),
+        minhash_signature(F.col(shingle_col)).alias("_sig"),
+    )
+    banded = sigd.select(
+        F.col(id_col),
+        F.posexplode(
+            lsh_band_hashes(F.col("_sig"), bands, rows_per_band)
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x: F.transform(
+                F.filter(F.col("_ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size("_ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard |A∩B| / (|A|+|B|-|A∩B|) on distinct-element arrays.
+
+    Integer set sizes and a single double division — bit-identical across
+    engines given the same sets.
+    """
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    return inter.cast("double") / (
+        F.size(shingles_a) + F.size(shingles_b) - inter
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs → (id_a, id_b, jaccard).
+
+    Two equi-joins to re-attach shingle sets; LSH false positives are
+    filtered here, so the final output is exact (recall is the only
+    probabilistic part, bounded by the band parameters).
+    """
+    sa = docs.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("_sh_a")
+    )
+    sb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("_sh_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_ngram_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact (100%-recall) near-dup pairs via shared-shingle candidate join.
+
+    Candidates = pairs sharing ≥1 shingle (equi-join on exploded shingles —
+    still never all-pairs), then exact Jaccard.  The deterministic baseline
+    the LSH path is measured against; at extreme scale prefer the LSH path,
+    whose candidate volume is bounded by band collisions instead of
+    shared-token frequency.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("_shingle")
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._shingle") == F.col("b._shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return verify_pairs(pairs, docs, id_col, shingle_col, threshold)
+
+
+def canonical_assignment(
+    docs: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Map every doc to ``canonical_id`` = min(self, direct near-dup
+    neighbors) — single-pass star contraction.  Equals connected components
+    when duplicate clusters are stars/cliques around their minimum id (the
+    common case for near-dup clusters); chains need the pass iterated to a
+    fixpoint."""
+    nbrs = pairs.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("_nbr")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("_nbr"))
+    )
+    return (
+        docs.select(id_col)
+        .join(nbrs, id_col, "left")
+        .groupBy(id_col)
+        .agg(
+            F.least(
+                F.col(id_col), F.coalesce(F.min("_nbr"), F.col(id_col))
+            ).alias("canonical_id")
+        )
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash as two 32-bit halves ``struct(hi, lo)``.
+
+    Per distinct word: xxhash64 → ±1 votes on 64 bit positions, summed with
+    ``aggregate``/``zip_with`` (one pass over the token array, no explode,
+    no shuffle); final bit *i* = (vote_i > 0).  Halves avoid BIGINT sign
+    traps when reassembling the top bit.
+    """
+    ws = F.array_distinct(words(text))
+    votes = F.aggregate(
+        ws,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1))
+                        * 2
+                        - 1
+                    ).cast("int")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+    def _pack(votes_slice: Column) -> Column:
+        # Fold the 32 votes into a packed bigint with a (acc, place-value)
+        # state — the votes expression appears once per half, so the word
+        # aggregate is evaluated at most twice, never 64×.
+        return F.aggregate(
+            votes_slice,
+            F.struct(
+                F.lit(0).cast("bigint").alias("acc"),
+                F.lit(1).cast("bigint").alias("pw"),
+            ),
+            lambda s, v: F.struct(
+                (
+                    s.getField("acc")
+                    + F.when(v > 0, s.getField("pw")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                ).alias("acc"),
+                (s.getField("pw") * 2).alias("pw"),
+            ),
+            lambda s: s.getField("acc"),
+        )
+
+    return F.struct(
+        _pack(F.slice(votes, 33, 32)).alias("hi"),
+        _pack(F.slice(votes, 1, 32)).alias("lo"),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash64 structs (bit_count of XOR)."""
+    return (
+        F.bit_count(a.getField("hi").bitwiseXOR(b.getField("hi")))
+        + F.bit_count(a.getField("lo").bitwiseXOR(b.getField("lo")))
+    ).alias("hamming")

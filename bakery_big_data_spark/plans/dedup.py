@@ -1,1 +1,163 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over ``documents.parquet`` — the LLM-data-pipeline
+dedup family (exact, exact n-gram Jaccard, MinHash+LSH, canonicalization,
+SimHash).
+
+Oracle strategy: the exact-Jaccard pipelines are reproduced verbatim in
+DuckDB SQL (set algebra is engine-independent).  The MinHash+LSH query's
+*output* is also hash-engine-independent — LSH only proposes candidates and
+exact verification filters them — so it shares the exact oracle; its recall
+is deterministic given the fixed xxhash64 family and, with (b=32, r=2) at
+threshold 0.5, the miss probability for the corpus's J≥0.9 near-dup pairs is
+(1-0.81)^32 ≈ 1e-23 (tests/test_dedup.py asserts LSH == exact on data).
+SimHash emits engine-specific bits → rows-only + property tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.operators.dedup import (
+    candidate_pairs,
+    canonical_assignment,
+    exact_ngram_pairs,
+    simhash64,
+    verify_pairs,
+    word_shingles,
+)
+from bakery_big_data_spark.plans.base import register, t
+
+# Shared oracle: exact word-bigram Jaccard pairs at threshold 0.5 computed
+# with plain set SQL (shared-shingle candidates, never all-pairs).
+_EXACT_PAIRS_SQL = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || '_' || ws[i + 1])) AS bs
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, len(bs) AS n FROM bg
+    ), tok AS (
+      SELECT doc_id, unnest(bs) AS b FROM bg
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.b = b.b AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), j AS (
+      SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", n=2).alias("shingles")
+    )
+
+
+@register(
+    "dedup_exact_content",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    )
+    GROUP BY text
+    """,
+    doc="Exact content dedup: hash-groupBy on full text, min-id canonical + "
+        "multiplicity (duplicate delivery simulated by re-appending every 5th "
+        "doc); map-side combinable single shuffle",
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(d.filter(F.col("doc_id") % 5 == 0))
+    return (
+        corpus.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    _EXACT_PAIRS_SQL,
+    doc="Exact word-bigram Jaccard near-dup pairs (threshold 0.5) via "
+        "shared-shingle candidate join + exact set verification — the "
+        "100%-recall baseline the LSH path is measured against",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_ngram_pairs(
+        _shingled(spark, sf_dir), "doc_id", "shingles", threshold=0.5
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _EXACT_PAIRS_SQL,
+    doc="MinHash(64) + LSH(b=32, r=2) banded candidate pairs, exact-Jaccard "
+        "verified at 0.5 — candidates come from the band-bucket equi-join, "
+        "never all-pairs; same oracle as the exact baseline because "
+        "verification makes the output exact (recall bound ≈ 1-1e-23 for the "
+        "corpus's J≥0.9 pairs)",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _shingled(spark, sf_dir)
+    cands = candidate_pairs(
+        docs, "doc_id", "shingles", bands=32, rows_per_band=2
+    )
+    return verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
+
+
+@register(
+    "dedup_canonical_assignment",
+    f"""
+    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    nbr AS (
+      SELECT id_a AS doc_id, id_b AS nb FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id)) AS canonical_id
+    FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="Duplicate-cluster canonicalization: every doc → min(self, near-dup "
+        "neighbors) single-pass star contraction over the LSH-verified pairs",
+)
+def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _shingled(spark, sf_dir)
+    cands = candidate_pairs(
+        docs, "doc_id", "shingles", bands=32, rows_per_band=2
+    )
+    pairs = verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
+    return canonical_assignment(docs, "doc_id", pairs)
+
+
+@register(
+    "dedup_simhash_fingerprint",
+    None,  # xxhash64 bit patterns are Spark-specific — no cross-engine oracle
+    doc="SimHash(64) document fingerprints as (hi, lo) int halves — "
+        "one aggregate/zip_with pass per doc, no explode/shuffle; near-dup "
+        "pairs land within small Hamming distance (tests/test_dedup.py)",
+)
+def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = simhash64("text")
+    return d.select(
+        "doc_id",
+        sh.getField("hi").alias("simhash_hi"),
+        sh.getField("lo").alias("simhash_lo"),
+    )

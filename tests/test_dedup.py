@@ -1,0 +1,76 @@
+"""Dedup-family property tests: LSH recall vs the exact baseline, SimHash
+locality, and shingle edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.operators.dedup import (
+    candidate_pairs,
+    exact_ngram_pairs,
+    hamming64,
+    simhash64,
+    verify_pairs,
+    word_shingles,
+)
+
+
+def _shingled(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", word_shingles("text", 2).alias("shingles"))
+    )
+
+
+def test_lsh_matches_exact_baseline(spark, sf_dir):
+    docs = _shingled(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_ngram_pairs(docs, "doc_id", "shingles", 0.5).collect()
+    }
+    cands = candidate_pairs(docs, "doc_id", "shingles", bands=32, rows_per_band=2)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in verify_pairs(cands, docs, "doc_id", "shingles", 0.5).collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert lsh == exact  # full recall at these band parameters, no false positives
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame([("a b c",), ("solo",), ("",)], ["text"])
+    out = df.select(word_shingles("text", 2).alias("s")).collect()
+    assert out[0].s == ["a_b", "b_c"]
+    assert out[1].s == []  # 1 word < n: empty, not a descending-sequence crash
+    # empty string splits to [''] → single token → empty shingle set
+    assert out[2].s == []
+
+
+def test_simhash_identity_and_locality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = docs.select("doc_id", "text", simhash64("text").alias("fp"))
+    # identical text → identical fingerprint
+    two = fp.limit(1).unionAll(fp.limit(1))
+    vals = two.select("fp").collect()
+    assert vals[0].fp == vals[1].fp
+
+    # near-dup pairs (exact baseline) are closer in Hamming space than an
+    # arbitrary non-dup pair population
+    shingles = docs.select("doc_id", word_shingles("text", 2).alias("shingles"))
+    pairs = exact_ngram_pairs(shingles, "doc_id", "shingles", 0.5)
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    dup_ham = (
+        pairs.join(fa, "id_a").join(fb, "id_b")
+        .select(hamming64(F.col("fp_a"), F.col("fp_b")).alias("h"))
+        .agg(F.avg("h"))
+        .first()[0]
+    )
+    rand_ham = (
+        fa.crossJoin(fb)
+        .filter(F.col("id_a") + 7 == F.col("id_b"))  # arbitrary offset pairs
+        .select(hamming64(F.col("fp_a"), F.col("fp_b")).alias("h"))
+        .agg(F.avg("h"))
+        .first()[0]
+    )
+    assert dup_ham < rand_ham / 2
