@@ -1,1 +1,103 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings.parquet`` — brute-force
+cosine top-k (oracle-exact), embedding near-dup pairs (oracle-exact), and
+LSH-bucketed ANN (rows-only; recall asserted in tests/test_similarity.py).
+
+The DuckDB oracles compute dot products by position-join (unnest +
+generate_subscripts) with the same DOUBLE-widen → DECIMAL(30,12) → exact-sum
+convention as the Spark side, so cosine values are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    near_dup_pairs,
+)
+from bakery_big_data_spark.plans.base import register, t
+
+# positional explode of all vectors, with exact squared norms
+_VEC_CTE = """
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), x AS (
+      SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+    ), nrm AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS n2
+      FROM x GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH {_VEC_CTE},
+    dots AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT q_id, c_id, dot / sqrt(na.n2 * nb.n2) AS cosine
+    FROM dots
+    JOIN nrm na ON na.vec_id = q_id
+    JOIN nrm nb ON nb.vec_id = c_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id) <= 10
+    """,
+    doc="Brute-force exact cosine top-10 for a 5-query set: broadcast query "
+        "side over the corpus, map-only scoring, per-query top-k window — "
+        "the ANN baseline; zip_with/aggregate decimal-exact dot products",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+
+
+@register(
+    "embedding_cosine_near_dup_pairs",
+    f"""
+    WITH {_VEC_CTE},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, dot / sqrt(na.n2 * nb.n2) AS cosine
+    FROM dots
+    JOIN nrm na ON na.vec_id = id_a
+    JOIN nrm nb ON nb.vec_id = id_b
+    WHERE dot / sqrt(na.n2 * nb.n2) >= 0.45
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.45) — all-pairs "
+        "exactness baseline with broadcast nested loop; the 100 TB candidate "
+        "path is hyperplane bucketing (see similarity_ann_lsh / dedup LSH)",
+)
+def embedding_cosine_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "similarity_ann_lsh",
+    None,  # approximate: bucket membership depends on seeded hyperplanes;
+           # recall vs brute force asserted in tests/test_similarity.py
+    doc="ANN top-10 via random-hyperplane LSH (6 planes, 64 buckets, "
+        "Hamming-1 multi-probe) + exact rerank of candidates — probes ~11% "
+        "of the corpus per query instead of 100%",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(queries, emb, "vec_id", "embedding", k=10)

@@ -1,0 +1,48 @@
+"""Similarity-search property tests: ANN recall vs the exact baseline and
+candidate-pruning behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    hyperplane_signature,
+    hyperplane_planes,
+    to_double_vec,
+)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    approx = ann_topk(queries, emb, "vec_id", "embedding", k=10)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    a = {(r.q_id, r.c_id) for r in approx.collect()}
+    assert len(e) == 10 * 10
+    recall = len(e & a) / len(e)
+    # random (unclustered) vectors + 64 buckets with 1-bit probing: a loose
+    # but deterministic floor; clustered real data recalls far higher
+    assert recall >= 0.15, f"ANN recall collapsed: {recall}"
+    # and the ANN result must itself be internally exact (reranked scores
+    # equal the brute-force scores for the pairs it did find)
+    escore = {(r.q_id, r.c_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.q_id, r.c_id) in escore:
+            assert abs(escore[(r.q_id, r.c_id)] - r.cosine) == 0.0
+
+
+def test_hyperplane_bucketing_prunes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = hyperplane_planes(6, 64, seed=7)
+    bucketed = emb.select(
+        hyperplane_signature(to_double_vec("embedding"), planes).alias("b")
+    )
+    n = emb.count()
+    stats = bucketed.groupBy("b").count()
+    n_buckets = stats.count()
+    biggest = stats.agg(F.max("count")).first()[0]
+    assert n_buckets > 16  # signatures actually spread over the key space
+    assert biggest < n / 2  # no degenerate mega-bucket
