@@ -1,1 +1,210 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over ``documents.parquet`` — token statistics,
+quality scoring, stopword language-ID, and rolling-hash fingerprinting.
+
+LLM-data-pipeline extension family.  Everything is built-in string/array
+expressions (``split``/``transform``/``filter``/``aggregate``) — JVM-side,
+no UDFs; per-document work is linear in text length and fully map-parallel
+(no shuffle in any of these plans), so the operators stream at 100 TB.
+
+The quality query reuses the engine's generic rule fold
+(:mod:`bakery_big_data_spark.quality`) — same operator the reference applies
+between Bronze and Silver (``bronze_to_silver.py:23-33``), applied to text
+features instead of sales rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.plans.base import register, t
+from bakery_big_data_spark.quality import QualityRule, apply_quality_rules
+
+_MOD = 2147483647  # 2^31-1, same arithmetic in BIGINT on both engines
+
+_STOPWORDS = {
+    "en": ("the", "a"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "une"),
+}
+
+
+def _tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_distinct_tokens,
+           CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio,
+           CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+             AS avg_token_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    """,
+    doc="Token counting + lexical-diversity stats (whitespace tokenizer): "
+        "token count, vocabulary size, type-token ratio, mean token length — "
+        "map-only, integer set math with one double division per stat",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = _tokens("text")
+    n = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    tok_chars = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        (nd.cast("double") / n).alias("type_token_ratio"),
+        (tok_chars.cast("double") / n).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           CAST(100
+             - (CASE WHEN COALESCE(n_tokens >= 20, FALSE) THEN 0 ELSE 25 END)
+             - (CASE WHEN COALESCE(has_stop, FALSE) THEN 0 ELSE 15 END)
+             - (CASE WHEN COALESCE(ttr >= 0.10, FALSE) THEN 0 ELSE 30 END)
+             - (CASE WHEN COALESCE(n_chars BETWEEN 50 AND 5000, FALSE) THEN 0 ELSE 30 END)
+           AS INT) AS data_quality_score
+    FROM (
+      SELECT doc_id, n_chars,
+             len(ws) AS n_tokens,
+             list_has_any(ws, ['the', 'a']) AS has_stop,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+      FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)
+    )
+    """,
+    doc="Document quality scoring with the generic penalty-rule fold "
+        "(quality.py; reference bronze_to_silver.py:23-33 semantics): token "
+        "floor, stopword presence, lexical diversity, length band",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = _tokens("text")
+    feats = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(ws).alias("n_tokens"),
+        F.arrays_overlap(ws, F.array(F.lit("the"), F.lit("a"))).alias(
+            "has_stop"
+        ),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias(
+            "ttr"
+        ),
+    )
+    rules = [
+        QualityRule("min_tokens", F.col("n_tokens") >= 20, 25),
+        QualityRule("has_stopwords", F.col("has_stop"), 15),
+        QualityRule("diversity", F.col("ttr") >= 0.10, 30),
+        QualityRule("length_band", F.col("n_chars").between(50, 5000), 30),
+    ]
+    return apply_quality_rules(feats, rules).select(
+        "doc_id", "data_quality_score"
+    )
+
+
+def _lang_scores() -> dict[str, Column]:
+    ws = _tokens("text")
+    return {
+        lang: F.size(
+            F.filter(ws, lambda w: w.isin(*stops))
+        ).alias(f"score_{lang}")
+        for lang, stops in _STOPWORDS.items()
+    }
+
+
+@register(
+    "text_language_id",
+    f"""
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM (
+      SELECT doc_id,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['en'])}, w))) AS score_en,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['de'])}, w))) AS score_de,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['es'])}, w))) AS score_es,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['fr'])}, w))) AS score_fr
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    """,
+    doc="Stopword-vote language identification (n-gram-heuristic family): "
+        "per-language stopword hit counts, argmax with fixed precedence — a "
+        "deterministic classifier demo (the synthetic corpus's text is "
+        "language-independent, so this scores the heuristic, not the label)",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    scores = _lang_scores()
+    scored = d.select("doc_id", *scores.values())
+    e, g, s, fr = (F.col(f"score_{x}") for x in ("en", "de", "es", "fr"))
+    return scored.withColumn(
+        "predicted_lang",
+        F.when((e >= g) & (e >= s) & (e >= fr), "en")
+        .when((g >= s) & (g >= fr), "de")
+        .when(s >= fr, "es")
+        .otherwise("fr"),
+    )
+
+
+@register(
+    "text_fingerprint_rolling_hash",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(text, ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % {_MOD}) AS content_hash,
+           list_min(
+             list_transform(string_split(text, ' '),
+               w -> list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(
+                     list_filter(string_split(w, ''), c -> c <> ''),
+                     c -> CAST(unicode(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % {_MOD}))) AS min_token_hash
+    FROM documents
+    """,
+    doc="Document fingerprinting: polynomial rolling hash over characters "
+        "(mod 2^31-1 — pure BIGINT arithmetic, engine-independent unlike "
+        "xxhash) + min-token-hash sketch; map-only fold per document",
+)
+def text_fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+
+    def roll(chars_src: Column, init: int) -> Column:
+        codes = F.transform(
+            F.filter(F.split(chars_src, ""), lambda c: c != ""),
+            lambda c: F.ascii(c).cast("bigint"),
+        )
+        return F.aggregate(
+            codes,
+            F.lit(init).cast("bigint"),
+            lambda a, c: (a * 31 + c) % _MOD,
+        )
+
+    min_tok = F.array_min(
+        F.transform(_tokens("text"), lambda w: roll(w, 7))
+    )
+    return d.select(
+        "doc_id",
+        roll(F.col("text"), 0).alias("content_hash"),
+        min_tok.alias("min_token_hash"),
+    )
