@@ -16,5 +16,6 @@ from bakery_big_data_spark.plans import medallion  # noqa: F401
 from bakery_big_data_spark.plans import textops  # noqa: F401
 from bakery_big_data_spark.plans import dedup  # noqa: F401
 from bakery_big_data_spark.plans import similarity  # noqa: F401
+from bakery_big_data_spark.plans import multimodal  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
