@@ -1,0 +1,96 @@
+"""Write paths — SURVEY.md §2.1 S5/S6/S12/S13: parquet append, partitioned
+layouts, dynamic partition overwrite, saveAsTable, DDL, CTAS backup.
+
+The reference writes through Iceberg (append snapshots + MERGE rewrites,
+``load_bronze_from_csv.py:48``, ``bronze_to_silver.py:219-221``,
+``init_iceberg_tables.py:29-531``).  On plain parquet the equivalent
+contract is:
+
+- **append** for immutable event/fact data (S5);
+- **identity partition columns** (`PARTITIONED BY (date)`,
+  ``init_iceberg_tables.py:46``) as directory partitioning — Catalyst then
+  prunes partitions for literal predicates exactly like Iceberg does
+  (asserted via explain in tests/test_io.py);
+- **dynamic partition overwrite** as the MERGE/UPDATE commit path: compute
+  the post-mutation state of *affected partitions only* (operators.mutation
+  is pure) and overwrite just those directories — the lakehouse
+  read-modify-overwrite pattern, touching none of the other partitions.
+
+At 100 TB: date-partitioned tables keep every batch-ETL scan bounded by the
+processing window, and partition overwrite keeps mutation I/O proportional
+to changed partitions, not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """S5 batch append sink (reference load_bronze_from_csv.py:48,70,101)."""
+    df.write.mode("append").parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """S12 partitioned layout (reference PARTITIONED BY (date),
+    init_iceberg_tables.py:46,65 — days() transform becomes an explicit
+    derived date column partition)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace only the partitions present in
+    ``df`` — the parquet-native commit for MERGE/UPDATE/SCD2 results
+    (reference's Iceberg row-level DML, bronze_to_silver.py:78-90)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def create_database(spark: SparkSession, name: str, location: str) -> None:
+    """S12 CREATE DATABASE (reference namespaces bronze/silver/gold,
+    init_iceberg_tables.py:29)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{location}'")
+
+
+def save_as_table(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """S6 saveAsTable sink (reference bronze_to_silver.py:219-221,
+    silver_to_gold.py:66,165,...)."""
+    w = df.write.mode(mode).format("parquet")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.saveAsTable(table)
+
+
+def create_table_ddl(
+    spark: SparkSession,
+    table: str,
+    columns_ddl: str,
+    partitioned_by: str | None = None,
+) -> None:
+    """S12 CREATE TABLE DDL using parquet (reference init_iceberg_tables.py
+    26-table catalog, USING iceberg → USING parquet)."""
+    part = f" PARTITIONED BY ({partitioned_by})" if partitioned_by else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({columns_ddl}) USING parquet{part}"
+    )
+
+
+def ctas_backup(spark: SparkSession, src_table: str, backup_table: str) -> None:
+    """S13 CTAS backup (reference bakery_csv_etl_pipeline.py:260-262)."""
+    spark.sql(
+        f"CREATE TABLE {backup_table} USING parquet AS SELECT * FROM {src_table}"
+    )
