@@ -1,0 +1,61 @@
+"""Driver-contract streaming query: end-to-end checkpointed ingest replay.
+
+Runs the real Structured Streaming pipeline (file JSON-lines source →
+explicit-schema decode → checkpointed foreachBatch append sink,
+``availableNow`` trigger) into a repo-local scratch table, then returns the
+landed table.  The checkpoint makes the query idempotent across driver
+re-runs (no new input → no new rows), so the oracle — the same slice of
+``events`` straight from parquet — holds on every invocation and
+hash-checks the full S1→S2→S3→T4 path including JSON round-trip fidelity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.plans.base import register, t
+from bakery_big_data_spark.streaming.ingest import (
+    JSON_OPTIONS,
+    read_json_stream,
+    start_append_sink,
+)
+
+_SCRATCH = "/root/repo/.scratch/streaming_replay"
+_N = 1500
+
+
+@register(
+    "streaming_ingest_replay",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_id < {_N}
+    """,
+    doc="S1-S3/T2/T4 streaming ingest: JSON-lines stream → from_json decode "
+        "→ checkpointed availableNow append sink, landed table returned; "
+        "checkpoint resume keeps the result stable across re-runs "
+        "(watermark/supervision covered in tests/test_streaming.py)",
+)
+def streaming_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag)
+    src, out, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if not os.path.exists(src):
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        ev.select(
+            F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(src)
+    q = start_append_sink(
+        read_json_stream(spark, src), out, ckpt, available_now=True,
+        query_name="replay",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -1,0 +1,163 @@
+"""Structured Streaming ingest — SURVEY.md §2.1 S1–S3, §2.9 T1–T5.
+
+The reference's streaming layer (``stream_to_bronze.py``) is Kafka JSON →
+parse/cast → Iceberg append with processing-time triggers, per-query
+checkpoints, and stop-all-on-failure supervision.  Re-expressed here with
+the same plan shapes:
+
+- **source**: file JSON-lines stream (same unbounded-relation surface as
+  Kafka; :func:`kafka_reader_options` documents the drop-in Kafka config,
+  untestable in this environment — no broker);
+- **decode**: ``from_json`` with an explicit ``StructType`` + casts
+  (``stream_to_bronze.py:58-64``) — no schema inference on the stream;
+- **sink**: ``foreachBatch`` → the *batch* append sink
+  (sources/sinks.py), so batch tests cover the streaming write path too
+  (SURVEY.md §7.3 hard-part (d)); checkpointed, append-mode,
+  ``availableNow`` trigger for deterministic test runs, processing-time
+  trigger for production cadence (``stream_to_bronze.py:71``);
+- **watermark**: declared late-arrival bound (T1) — the real late-data
+  reconciliation is the batch MERGE (T6, operators/mutation.py), exactly as
+  in the reference;
+- **supervision**: start-many / await-any / stop-all (T5,
+  ``stream_to_bronze.py:178-219``).
+
+100 TB note: file/Kafka sources scale by input partition count; the sink
+appends per-micro-batch parquet (partitioned by date in the medallion
+pipeline), and checkpoints make restarts exactly-once per batch id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from bakery_big_data_spark.sources.sinks import append_parquet
+
+#: Event-stream schema (explicit, never inferred — S2).
+EVENT_SCHEMA_DDL = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+#: JSON codec options — microsecond timestamps (Spark's default format
+#: truncates to milliseconds, silently losing event-time precision).
+JSON_OPTIONS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def kafka_reader_options(topic: str, brokers: str) -> dict[str, str]:
+    """S1 Kafka source configuration (reference stream_to_bronze.py:48-55).
+
+    Returned as options for ``spark.readStream.format('kafka')``; requires
+    the kafka connector package + a broker, neither present here — the file
+    stream below exercises the identical downstream plan.
+    """
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+
+
+def read_json_stream(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str = EVENT_SCHEMA_DDL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S2: file JSON-lines stream decoded with an explicit schema.
+
+    Reads each line as a raw string and applies ``from_json`` — the same
+    decode the Kafka value path uses (``stream_to_bronze.py:58-60``), so
+    swapping the source for Kafka changes no downstream code.
+    """
+    reader = (
+        spark.readStream.format("text")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
+    parsed = raw.select(
+        F.from_json(F.col("value"), schema_ddl, JSON_OPTIONS).alias("data")
+    ).select("data.*")
+    return parsed
+
+
+def start_append_sink(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "ingest",
+) -> StreamingQuery:
+    """S3: checkpointed append sink via foreachBatch → batch parquet append.
+
+    ``availableNow`` drains all pending input then stops (testable,
+    deterministic); ``processing_time`` gives the reference's micro-batch
+    cadence (30 s / 60 s triggers, stream_to_bronze.py:71,119,170).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_parquet(batch_df, out_path)
+
+    writer = (
+        df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    watermark_delay: str = "10 minutes",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """T1: watermarked tumbling-window aggregation.
+
+    In append mode a window emits only once the watermark
+    (max event time − delay) passes its end — late rows beyond the bound
+    are dropped instead of reopening state.  (The reference declares the
+    watermark on its inventory stream, stream_to_bronze.py:157-163, with
+    the 48 h late-data bound; batch reconciliation handles the rest.)
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def supervise(
+    queries: list[StreamingQuery],
+    on_error: Callable[[Exception], None] | None = None,
+) -> None:
+    """T5 multi-query supervision: await each query; on any failure stop all
+    (reference stream_to_bronze.py:178-219 stop-all-on-error loop)."""
+    try:
+        for q in queries:
+            q.awaitTermination()
+    except Exception as exc:  # stop siblings, then surface
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        if on_error is not None:
+            on_error(exc)
+        raise
