@@ -1,0 +1,208 @@
+"""Medallion pipeline assembly: Bronze → Silver → Gold (+ ML features).
+
+The reference's end-to-end batch path (``bronze_to_silver.py`` →
+``silver_to_gold.py`` → ``update_ml_features.py``) re-expressed as **pure
+DataFrame builders** — no side effects until :func:`run_medallion` commits
+each layer as a date-partitioned parquet table (dynamic partition overwrite,
+so re-running a day is idempotent — the property the reference's
+``MERGE``-based jobs guarantee via Iceberg).
+
+Layer shapes mirror the reference over the driver's ``events`` table:
+
+- **bronze**: raw events + ingestion-time bifurcation (T7,
+  ``generate_inventory_updates.py:78-101``) and processing status;
+- **silver**: quality-rule fold + threshold gate (§2.11,
+  ``bronze_to_silver.py:23-33,45-51``), typed derivations (event_date,
+  time_of_day bucket — ``generate_sales_events.py:45-54``);
+- **gold**: calendar dim (``silver_to_gold.py:44-64``), user dim
+  (``:246-263``), daily fact rollup (``:373-386``);
+- **ml features**: rolling 8-row mean + calendar/dim left joins
+  (``update_ml_features.py:66-77,134-150``).
+
+Scale: every layer is scan → map → single keyed shuffle; facts/features are
+partition-pruned by event_date; dims broadcast at join time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.quality import QualityRule, apply_quality_rules, quality_gate
+from bakery_big_data_spark.sources.sinks import overwrite_partitions
+from bakery_big_data_spark.sources.tables import load_table
+
+
+def event_rules() -> list[QualityRule]:
+    """Quality rules for the event stream (same fold as the reference's
+    sales/inventory/equipment rule sets, bronze_to_silver.py:45-51)."""
+    return [
+        QualityRule("not_error", F.col("event_type") != "error", 55),
+        QualityRule("value_band", F.col("value").between(0, 150), 20),
+        QualityRule("has_payload_key", F.get_json_object("props", "$.k").isNotNull(), 15),
+        QualityRule("has_user", F.col("user_id").isNotNull(), 20),
+    ]
+
+
+EVENT_RULES_SQL = (
+    "CAST(100"
+    " - (CASE WHEN COALESCE(event_type <> 'error', FALSE) THEN 0 ELSE 55 END)"
+    " - (CASE WHEN COALESCE(value BETWEEN 0 AND 150, FALSE) THEN 0 ELSE 20 END)"
+    " - (CASE WHEN COALESCE(json_extract_string(props, '$.k') IS NOT NULL, FALSE) THEN 0 ELSE 15 END)"
+    " - (CASE WHEN COALESCE(user_id IS NOT NULL, FALSE) THEN 0 ELSE 20 END)"
+    " AS INT)"
+)
+
+
+def bronze_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze: raw events + ingestion-time bifurcation + status (T7)."""
+    ev = load_table(spark, sf_dir, "events")
+    hours_us = (F.col("event_id") % 50) * F.lit(3600000000).cast("bigint")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.timestamp_micros(F.unix_micros("ts") + hours_us).alias("ingestion_ts"),
+        (F.col("event_id") % 50).cast("double").alias("late_arrival_hours"),
+        F.when(F.col("event_id") % 4 == 0, "pending")
+        .otherwise("processed")
+        .alias("processing_status"),
+    )
+
+
+def silver_events(bronze: DataFrame, gate: int = 50) -> DataFrame:
+    """Silver: quality fold → gate → typed derivations.
+
+    Mirrors bronze_to_silver.py:53-73 (withColumn chain + §2.11 scoring +
+    final select); map-only, no shuffle.
+    """
+    scored = apply_quality_rules(bronze, event_rules())
+    hour = F.hour("ts")
+    return quality_gate(scored, threshold=gate).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+        F.when(hour.between(5, 10), "morning")
+        .when(hour.between(11, 13), "lunch")
+        .when(hour.between(14, 17), "afternoon")
+        .when(hour.between(18, 22), "evening")
+        .otherwise("off_hours")
+        .alias("time_of_day"),
+        "data_quality_score",
+        F.col("ingestion_ts").alias("etl_timestamp"),
+    )
+
+
+def gold_dim_calendar(silver: DataFrame) -> DataFrame:
+    """Calendar dim from observed dates (silver_to_gold.py:44-64)."""
+    d = F.col("event_date")
+    weekday = F.date_format(d, "EEEE")
+    return silver.select("event_date").distinct().select(
+        d,
+        F.year(d).alias("year_num"),
+        F.month(d).alias("month_num"),
+        F.dayofmonth(d).alias("day_of_month"),
+        weekday.alias("weekday_name"),
+        weekday.isin("Saturday", "Sunday").alias("is_weekend"),
+    )
+
+
+def gold_dim_user(silver: DataFrame) -> DataFrame:
+    """User dim: first-seen date + activity breadth (silver_to_gold.py:
+    246-263 dim_customer semantics: DISTINCT + MAX/MIN per entity)."""
+    return silver.groupBy("user_id").agg(
+        F.min("event_date").alias("first_seen_date"),
+        F.max("event_date").alias("last_seen_date"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+def gold_fact_daily(silver: DataFrame) -> DataFrame:
+    """Daily fact rollup (silver_to_gold.py:373-386): decimal-exact sums."""
+    return silver.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        F.sum(F.when(F.col("time_of_day") == "off_hours", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_off_hours"),
+    )
+
+
+def ml_features_daily(fact: DataFrame, calendar: DataFrame) -> DataFrame:
+    """Rolling features (update_ml_features.py:66-77): 8-row trailing mean
+    per event_type + calendar attributes via broadcast left join."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(-7, 0)
+    )
+    rolled = fact.select(
+        "event_date",
+        "event_type",
+        "n_events",
+        "total_value",
+        # decimal-exact frame sum (plans/base.py convention): frame AVG of
+        # doubles is summation-order-sensitive across engines
+        (
+            F.sum(F.col("total_value").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("value_trend_8d"),
+        F.sum("n_events").over(
+            Window.partitionBy("event_type")
+            .orderBy("event_date")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cumulative_events"),
+    )
+    return rolled.join(F.broadcast(calendar), "event_date", "left").select(
+        "event_date",
+        "event_type",
+        "n_events",
+        "total_value",
+        "value_trend_8d",
+        "cumulative_events",
+        "is_weekend",
+        "weekday_name",
+    )
+
+
+def run_medallion(
+    spark: SparkSession, sf_dir: str, base_path: str
+) -> dict[str, DataFrame]:
+    """Commit all layers as date-partitioned parquet (idempotent re-runs via
+    dynamic partition overwrite); returns the layer frames re-read from
+    their committed locations."""
+    bronze = bronze_events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    overwrite_partitions(bronze, f"{base_path}/bronze_events", ["event_date"])
+    bronze_r = spark.read.parquet(f"{base_path}/bronze_events")
+
+    silver = silver_events(bronze_r.drop("event_date"))
+    overwrite_partitions(silver, f"{base_path}/silver_events", ["event_date"])
+    silver_r = spark.read.parquet(f"{base_path}/silver_events")
+
+    cal = gold_dim_calendar(silver_r)
+    cal.write.mode("overwrite").parquet(f"{base_path}/gold_dim_calendar")
+    users = gold_dim_user(silver_r)
+    users.write.mode("overwrite").parquet(f"{base_path}/gold_dim_user")
+    fact = gold_fact_daily(silver_r)
+    overwrite_partitions(fact, f"{base_path}/gold_fact_daily", ["event_date"])
+
+    cal_r = spark.read.parquet(f"{base_path}/gold_dim_calendar")
+    fact_r = spark.read.parquet(f"{base_path}/gold_fact_daily")
+    feats = ml_features_daily(fact_r, cal_r)
+    overwrite_partitions(feats, f"{base_path}/ml_features_daily", ["event_date"])
+
+    return {
+        "bronze": bronze_r,
+        "silver": silver_r,
+        "dim_calendar": cal_r,
+        "dim_user": spark.read.parquet(f"{base_path}/gold_dim_user"),
+        "fact_daily": fact_r,
+        "ml_features": spark.read.parquet(f"{base_path}/ml_features_daily"),
+    }

@@ -1,0 +1,103 @@
+"""Driver-contract queries for the medallion pipeline layers — the pure
+transforms behind pipeline/medallion.py, hash-checked layer by layer
+(bronze→silver transform, gold daily fact, ML feature build)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bakery_big_data_spark.pipeline.medallion import (
+    EVENT_RULES_SQL,
+    bronze_events,
+    gold_dim_calendar,
+    gold_fact_daily,
+    ml_features_daily,
+    silver_events,
+)
+from bakery_big_data_spark.plans.base import register
+
+_SILVER_SQL = f"""
+    WITH bronze AS (
+      SELECT *,
+             make_timestamp(epoch_us(ts) + (event_id % 50) * 3600000000)
+               AS ingestion_ts
+      FROM events
+    ), scored AS (
+      SELECT *, {EVENT_RULES_SQL} AS q FROM bronze
+    )
+    SELECT event_id, user_id, event_type, value,
+           CAST(ts AS DATE) AS event_date,
+           CASE
+             WHEN EXTRACT(hour FROM ts) BETWEEN 5 AND 10 THEN 'morning'
+             WHEN EXTRACT(hour FROM ts) BETWEEN 11 AND 13 THEN 'lunch'
+             WHEN EXTRACT(hour FROM ts) BETWEEN 14 AND 17 THEN 'afternoon'
+             WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 22 THEN 'evening'
+             ELSE 'off_hours'
+           END AS time_of_day,
+           q AS data_quality_score,
+           ingestion_ts AS etl_timestamp
+    FROM scored WHERE q >= 50
+"""
+
+_FACT_SQL = f"""
+    SELECT event_date, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN time_of_day = 'off_hours' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_off_hours
+    FROM ({_SILVER_SQL})
+    GROUP BY event_date, event_type
+"""
+
+
+@register(
+    "medallion_silver_transform",
+    _SILVER_SQL,
+    doc="Bronze→Silver transform end to end: ingestion-time bifurcation "
+        "(T7), quality-rule fold + threshold gate (§2.11), typed "
+        "derivations (reference bronze_to_silver.py:39-73); map-only",
+)
+def medallion_silver_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silver_events(bronze_events(spark, sf_dir))
+
+
+@register(
+    "medallion_gold_daily_fact",
+    _FACT_SQL,
+    doc="Silver→Gold daily fact rollup with conditional aggregation "
+        "(reference silver_to_gold.py:373-386): decimal-exact sums, "
+        "map-side-combinable single shuffle",
+)
+def medallion_gold_daily_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold_fact_daily(silver_events(bronze_events(spark, sf_dir)))
+
+
+@register(
+    "medallion_ml_features",
+    f"""
+    WITH fact AS ({_FACT_SQL}),
+    cal AS (
+      SELECT DISTINCT event_date,
+             dayname(event_date) AS weekday_name,
+             dayname(event_date) IN ('Saturday','Sunday') AS is_weekend
+      FROM ({_SILVER_SQL})
+    )
+    SELECT f.event_date, f.event_type, f.n_events, f.total_value,
+           CAST(SUM(CAST(f.total_value AS DECIMAL(30,6))) OVER w8 AS DOUBLE)
+             / COUNT(*) OVER w8 AS value_trend_8d,
+           SUM(f.n_events) OVER wcum AS cumulative_events,
+           c.is_weekend, c.weekday_name
+    FROM fact f LEFT JOIN cal c USING (event_date)
+    WINDOW
+      w8 AS (PARTITION BY f.event_type ORDER BY f.event_date
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+      wcum AS (PARTITION BY f.event_type ORDER BY f.event_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="ML feature build: 8-row trailing mean + cumulative counts per "
+        "event_type, calendar attributes via broadcast left join "
+        "(reference update_ml_features.py:66-77,134-150)",
+)
+def medallion_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = silver_events(bronze_events(spark, sf_dir))
+    return ml_features_daily(gold_fact_daily(silver), gold_dim_calendar(silver))

@@ -1,0 +1,53 @@
+"""End-to-end medallion pipeline test: all layers land partitioned,
+re-running is idempotent, gates and joins behave."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.pipeline.medallion import run_medallion
+
+SCRATCH = "/root/repo/.scratch/test_pipeline"
+
+
+def test_medallion_end_to_end(spark, sf_dir):
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+    layers = run_medallion(spark, sf_dir, base)
+
+    n_bronze = layers["bronze"].count()
+    n_silver = layers["silver"].count()
+    assert 0 < n_silver < n_bronze  # gate actually quarantines rows
+    assert layers["silver"].agg(F.min("data_quality_score")).first()[0] >= 50
+
+    # every fact row joins a calendar dim row
+    fact, cal = layers["fact_daily"], layers["dim_calendar"]
+    unmatched = fact.join(cal, "event_date", "left_anti").count()
+    assert unmatched == 0
+
+    # features: one row per fact row, rolling mean within value bounds
+    feats = layers["ml_features"]
+    assert feats.count() == fact.count()
+    bad = feats.filter(
+        (F.col("value_trend_8d") <= 0) | F.col("weekday_name").isNull()
+    ).count()
+    assert bad == 0
+
+    # partitioned layout on disk
+    assert any(
+        d.startswith("event_date=")
+        for d in os.listdir(f"{base}/silver_events")
+    )
+
+    # idempotence: re-running the whole pipeline changes nothing
+    counts1 = {k: df.count() for k, df in layers.items()}
+    layers2 = run_medallion(spark, sf_dir, base)
+    counts2 = {k: df.count() for k, df in layers2.items()}
+    assert counts1 == counts2
+    s1 = layers2["silver"].agg(
+        F.sum(F.col("value").cast("decimal(30,6)"))
+    ).first()[0]
+    assert s1 is not None
