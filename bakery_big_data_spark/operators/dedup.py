@@ -52,24 +52,43 @@ def word_shingles(text: Column | str, n: int = 2) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: element *i* = min over shingles of xxhash64(s, i).
+    """MinHash signature via one base hash + a multiply-shift family.
 
-    One xxhash64 family member per signature slot (seeded by slot index);
-    ``P(sig_a[i] == sig_b[i]) = Jaccard(a, b)`` — the standard estimator.
-    Computed in a SINGLE pass over the shingle array (fold keeping 64 running
-    minima) — 64 separate array_min(transform(...)) scans would evaluate the
-    shingle array 64×.  Empty shingle sets yield the MAX_LONG sentinel in
-    every slot; exclude them before banding or they all collide.
+    Each shingle is xxhash64'd ONCE (string hashing dominates cost), then
+    the *i*-th family member is the Carter-Wegman mix
+    ``(a_i * h31 + b_i) mod p`` over the 31-bit truncation — long arithmetic
+    only, ~30× cheaper than re-hashing the string per slot, and bounded so
+    it can't overflow under ANSI arithmetic.  ``P(sig_a[i] == sig_b[i]) =
+    Jaccard(a, b)`` as usual.  Computed in a SINGLE pass over the shingle
+    array (fold keeping the running minima).  Empty shingle sets yield the
+    sentinel in every slot; exclude them before banding or they all collide.
     """
-    max_long = (1 << 63) - 1
+    import random
+
+    rng = random.Random(13)
+    params = [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+    p = (1 << 61) - 1  # Mersenne prime; a*h31+b < 2^63, no overflow
+    mask = (1 << 31) - 1
     return F.aggregate(
         shingles,
-        F.array_repeat(F.lit(max_long).cast("bigint"), num_hashes),
+        F.array_repeat(F.lit(p).cast("bigint"), num_hashes),
         lambda acc, s: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            _family(F.xxhash64(s).bitwiseAND(F.lit(mask)), params, p),
             lambda a, b: F.least(a, b),
         ),
+    )
+
+
+def _family(h31: Column, params: list[tuple[int, int]], p: int) -> Column:
+    return F.array(
+        *[
+            (h31 * F.lit(a).cast("bigint") + F.lit(b).cast("bigint")) % p
+            for a, b in params
+        ]
     )
 
 
@@ -108,7 +127,10 @@ def candidate_pairs(
     # multiply-referenced expensive expressions un-inlined).
     sigd = df.filter(F.size(shingle_col) > 0).select(
         F.col(id_col),
-        minhash_signature(F.col(shingle_col)).alias("_sig"),
+        # exactly as many hash family members as the bands consume
+        minhash_signature(
+            F.col(shingle_col), num_hashes=bands * rows_per_band
+        ).alias("_sig"),
     )
     banded = sigd.select(
         F.col(id_col),
@@ -187,11 +209,13 @@ def exact_ngram_pairs(
     shingle_col: str,
     threshold: float,
 ) -> DataFrame:
-    """Exact (100%-recall) near-dup pairs via shared-shingle candidate join.
+    """Exact (100%-recall) near-dup pairs via shared-shingle count join.
 
-    Candidates = pairs sharing ≥1 shingle (equi-join on exploded shingles —
-    still never all-pairs), then exact Jaccard.  The deterministic baseline
-    the LSH path is measured against; at extreme scale prefer the LSH path,
+    Intersection sizes come from the token equi-join itself — COUNT(*) per
+    (id_a, id_b) over shared distinct shingles — so the whole pipeline is
+    codegen'd joins + hash aggregates with no per-pair array intrinsics
+    (an array_intersect per candidate pair is the slow path: interpreted,
+    O(|A|+|B|) per pair).  Never all-pairs; at extreme scale prefer LSH,
     whose candidate volume is bounded by band collisions instead of
     shared-token frequency.
     """
@@ -200,19 +224,32 @@ def exact_ngram_pairs(
     )
     a = tok.alias("a")
     b = tok.alias("b")
-    pairs = (
+    inter = (
         a.join(
             b,
             (F.col("a._shingle") == F.col("b._shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return verify_pairs(pairs, docs, id_col, shingle_col, threshold)
+    sizes = docs.select(
+        F.col(id_col), F.size(F.col(shingle_col)).alias("_n")
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def canonical_assignment(

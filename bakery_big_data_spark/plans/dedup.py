@@ -6,9 +6,9 @@ Oracle strategy: the exact-Jaccard pipelines are reproduced verbatim in
 DuckDB SQL (set algebra is engine-independent).  The MinHash+LSH query's
 *output* is also hash-engine-independent — LSH only proposes candidates and
 exact verification filters them — so it shares the exact oracle; its recall
-is deterministic given the fixed xxhash64 family and, with (b=32, r=2) at
-threshold 0.5, the miss probability for the corpus's J≥0.9 near-dup pairs is
-(1-0.81)^32 ≈ 1e-23 (tests/test_dedup.py asserts LSH == exact on data).
+is deterministic given the fixed xxhash64 family and, with (b=16, r=2) at
+threshold 0.5, the miss probability for the corpus's J≥0.8 near-dup pairs is
+(1-0.64)^16 ≈ 8e-8 (tests/test_dedup.py asserts LSH == exact on data).
 SimHash emits engine-specific bits → rows-only + property tests.
 """
 
@@ -27,7 +27,7 @@ from bakery_big_data_spark.operators.dedup import (
 )
 from bakery_big_data_spark.plans.base import register, t
 
-# Shared oracle: exact word-bigram Jaccard pairs at threshold 0.5 computed
+# Shared oracle: exact word-trigram Jaccard pairs at threshold 0.5 computed
 # with plain set SQL (shared-shingle candidates, never all-pairs).
 _EXACT_PAIRS_SQL = """
     WITH docs AS (
@@ -35,8 +35,8 @@ _EXACT_PAIRS_SQL = """
     ), bg AS (
       SELECT doc_id,
              list_distinct(
-               list_transform(generate_series(1, len(ws) - 1),
-                              i -> ws[i] || '_' || ws[i + 1])) AS bs
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS bs
       FROM docs
     ), sizes AS (
       SELECT doc_id, len(bs) AS n FROM bg
@@ -56,10 +56,16 @@ _EXACT_PAIRS_SQL = """
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles("text", n=2).alias("shingles")
+def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
+    """Trigram-shingled corpus.  ``cache=True`` persists it for queries
+    whose DAG references the frame from several branches (candidates +
+    verify sides) — shingle construction is the dominant per-doc cost and
+    would otherwise be re-evaluated per branch (the reference's
+    recompute-the-plan anti-pattern, SURVEY.md §4)."""
+    df = t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", n=3).alias("shingles")
     )
+    return df.persist() if cache else df
 
 
 @register(
@@ -93,29 +99,29 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     _EXACT_PAIRS_SQL,
-    doc="Exact word-bigram Jaccard near-dup pairs (threshold 0.5) via "
+    doc="Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via "
         "shared-shingle candidate join + exact set verification — the "
         "100%-recall baseline the LSH path is measured against",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_ngram_pairs(
-        _shingled(spark, sf_dir), "doc_id", "shingles", threshold=0.5
+        _shingled(spark, sf_dir, cache=True), "doc_id", "shingles", threshold=0.5
     )
 
 
 @register(
     "dedup_minhash_lsh_pairs",
     _EXACT_PAIRS_SQL,
-    doc="MinHash(64) + LSH(b=32, r=2) banded candidate pairs, exact-Jaccard "
+    doc="MinHash(32) + LSH(b=16, r=2) banded candidate pairs, exact-Jaccard "
         "verified at 0.5 — candidates come from the band-bucket equi-join, "
         "never all-pairs; same oracle as the exact baseline because "
-        "verification makes the output exact (recall bound ≈ 1-1e-23 for the "
-        "corpus's J≥0.9 pairs)",
+        "verification makes the output exact (recall bound ≈ 1-8e-8 per "
+        "J≥0.8 pair)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _shingled(spark, sf_dir)
+    docs = _shingled(spark, sf_dir, cache=True)
     cands = candidate_pairs(
-        docs, "doc_id", "shingles", bands=32, rows_per_band=2
+        docs, "doc_id", "shingles", bands=16, rows_per_band=2
     )
     return verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
 
@@ -138,9 +144,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbors) single-pass star contraction over the LSH-verified pairs",
 )
 def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _shingled(spark, sf_dir)
+    docs = _shingled(spark, sf_dir, cache=True)
     cands = candidate_pairs(
-        docs, "doc_id", "shingles", bands=32, rows_per_band=2
+        docs, "doc_id", "shingles", bands=16, rows_per_band=2
     )
     pairs = verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
     return canonical_assignment(docs, "doc_id", pairs)

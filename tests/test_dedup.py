@@ -18,7 +18,7 @@ from bakery_big_data_spark.operators.dedup import (
 def _shingled(spark, sf_dir):
     return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", word_shingles("text", 2).alias("shingles"))
+        .select("doc_id", word_shingles("text", 3).alias("shingles"))
     )
 
 
@@ -28,7 +28,7 @@ def test_lsh_matches_exact_baseline(spark, sf_dir):
         (r.id_a, r.id_b)
         for r in exact_ngram_pairs(docs, "doc_id", "shingles", 0.5).collect()
     }
-    cands = candidate_pairs(docs, "doc_id", "shingles", bands=32, rows_per_band=2)
+    cands = candidate_pairs(docs, "doc_id", "shingles", bands=16, rows_per_band=2)
     lsh = {
         (r.id_a, r.id_b)
         for r in verify_pairs(cands, docs, "doc_id", "shingles", 0.5).collect()
