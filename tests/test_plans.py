@@ -1,0 +1,67 @@
+"""Physical-plan guardrails: the properties that matter at 100 TB, asserted
+over EVERY registered query so a regression can't slip in silently.
+
+- no BroadcastNestedLoopJoin / CartesianProduct outside the explicit
+  allowlist (cross-join synthesis is small×small by design);
+- dimension joins actually broadcast;
+- filters reach the parquet scan (PushedFilters non-empty where expected).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bakery_big_data_spark.plans import REGISTRY
+
+# Queries allowed to contain a nested-loop/cartesian product — each is a
+# deliberate small×small or broadcast-bounded plan.
+NESTED_LOOP_ALLOWED = {
+    "join_cross_synthesize",  # 25×5 dim synthesis (reference J6)
+    # deliberate broadcast scan: tiny query set × corpus, O(corpus) work —
+    # the exact-baseline shape for ANN (the scale path is similarity_ann_lsh)
+    "similarity_topk_bruteforce",
+}
+
+# mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
+# their string form differs.
+PANDAS_QUERIES = {
+    "embedding_cosine_near_dup_pairs",
+    "multimodal_image_features",
+    "multimodal_frame_sample",
+    "multimodal_audio_window_rms",
+}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_accidental_nested_loop(name, spark, sf_dir):
+    plan = _plan(spark, sf_dir, name)
+    if name in NESTED_LOOP_ALLOWED:
+        return
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert (
+        "BroadcastNestedLoopJoin" not in plan
+    ), f"{name} plans a nested-loop join"
+
+
+def test_flagship_pushes_filter_down(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary_quality_gated")
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters: [" in scan
+    pushed = scan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed, "date predicate must reach the scan"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("join_inner_broadcast_dim", "join_multiway_star", "join_range_interval"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "order_by_limit_topk")
+    assert "TakeOrderedAndProject" in plan
