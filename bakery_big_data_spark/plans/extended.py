@@ -203,3 +203,44 @@ def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_events"),
         F.sum("_v").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_len
+      FROM events
+    )
+    SELECT d.type_len,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 'total_value')}
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.type_len
+    """,
+    doc="Skew-safe salted shuffle join: the hot fact key (5 event types over "
+        "the whole table) is split across 16 salt buckets and the dim side "
+        "replicated per salt, so no single reducer owns a hot key — the "
+        "mitigation for skewed joins too big to broadcast at 100 TB; oracle "
+        "is the plain unsalted join, proving equivalence",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type").cast("bigint"))
+    )
+    n_salt = 16
+    # replicate the dim across salt ids; fact rows pick a deterministic salt
+    salted_dim = dim.crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+    )
+    fact = ev.withColumn("_salt", (F.col("event_id") % n_salt).cast("int"))
+    joined = fact.join(
+        salted_dim.hint("shuffle_hash"), ["event_type", "_salt"]
+    )
+    return joined.groupBy("type_len").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from bakery_big_data_spark.operators.similarity import (
     ann_topk,
     brute_force_topk,
+    ivf_topk,
     near_dup_pairs,
 )
 from bakery_big_data_spark.plans.base import register, t
@@ -101,3 +102,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_topk(queries, emb, "vec_id", "embedding", k=10)
+
+
+@register(
+    "similarity_ivf_topk",
+    None,  # approximate: bucket membership depends on the trained coarse
+           # quantizer; recall vs brute force asserted in tests
+    doc="IVF ANN top-10: seeded KMeans coarse quantizer over the corpus, "
+        "3-of-16 nearest-centroid probes per query, exact rerank — the "
+        "data-adaptive ANN layout (probes ~19% of the corpus)",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(queries, emb, "vec_id", "embedding", k=10)

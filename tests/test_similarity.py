@@ -10,6 +10,7 @@ from bakery_big_data_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_signature,
     hyperplane_planes,
+    ivf_topk,
     to_double_vec,
 )
 
@@ -32,6 +33,24 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     for r in approx.collect():
         if (r.q_id, r.c_id) in escore:
             assert abs(escore[(r.q_id, r.c_id)] - r.cosine) == 0.0
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    approx = ivf_topk(queries, emb, "vec_id", "embedding", k=10)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    a = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 3/16 data-adaptive cells; unclustered corpus → loose floor
+    assert recall >= 0.15, f"IVF recall collapsed: {recall}"
+    # determinism: same seed → same result
+    again = {
+        (r.q_id, r.c_id)
+        for r in ivf_topk(queries, emb, "vec_id", "embedding", k=10).collect()
+    }
+    assert a == again
 
 
 def test_hyperplane_bucketing_prunes(spark, sf_dir):
