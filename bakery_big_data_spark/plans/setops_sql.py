@@ -1,0 +1,210 @@
+"""Set operations beyond UNION (SURVEY.md §2.7 "not present" rows) and SQL
+subquery forms — INTERSECT/EXCEPT, schema-evolution unionByName, map
+functions, a TPC-H-Q3-style composite, EXISTS/scalar subqueries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.plans.base import dsum, register, sql_dsum, t
+
+
+@register(
+    "set_intersect_except",
+    """
+    SELECT 'both' AS bucket, c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'urgent_only', c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+    doc="INTERSECT / EXCEPT set algebra (extension — the reference only has "
+        "UNION ALL, §2.7): customers in both priority classes vs urgent-only",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # intersect/subtract are the SET-semantics forms (SQL INTERSECT/EXCEPT);
+    # exceptAll would be multiset semantics and keep surplus duplicates
+    both = urgent.intersect(low).select(F.lit("both").alias("bucket"), "c_custkey")
+    only = urgent.subtract(low).select(
+        F.lit("urgent_only").alias("bucket"), "c_custkey"
+    )
+    return both.unionAll(only)
+
+
+@register(
+    "union_by_name_evolution",
+    """
+    SELECT o_orderkey, o_totalprice, NULL AS o_discount_applied, 'v1' AS src
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS o_discount_applied, 'v2' AS src
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc="Schema-evolution union: unionByName(allowMissingColumns=True) merges "
+        "an old-schema batch with a new-schema batch (missing columns NULL) — "
+        "the append-compatible evolution path for long-lived tables",
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") * 0.1).alias("o_discount_applied"),
+        F.lit("v2").alias("src"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_discount_applied").cast("double").alias("o_discount_applied"),
+        "src",
+    )
+
+
+@register(
+    "map_functions_roundtrip",
+    """
+    SELECT event_id, mk AS map_key, mv AS map_value
+    FROM (
+      SELECT event_id,
+             unnest(['type', 'band']) AS mk,
+             unnest([event_type, CASE WHEN value >= 50 THEN 'high' ELSE 'low' END]) AS mv
+      FROM events WHERE event_id < 1000
+    )
+    """,
+    doc="MapType columns (§2.8 — the reference parses transient maps, "
+        "stream_to_bronze.py:112): build map_from_arrays, then explode "
+        "entries back to rows (maps emitted as rows because map wire formats "
+        "differ across engines)",
+)
+def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("band")),
+        F.array(
+            F.col("event_type"),
+            F.when(F.col("value") >= 50, "high").otherwise("low"),
+        ),
+    )
+    return ev.select("event_id", F.explode(m).alias("map_key", "map_value"))
+
+
+@register(
+    "shipping_priority_topk",
+    f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped composite: segment filter → 3-way join (dim "
+        "broadcast) → grouped revenue → top-10 by revenue "
+        "(TakeOrderedAndProject, no global sort)",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "sql_exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 1000)
+    """,
+    doc="Correlated EXISTS / NOT EXISTS subqueries via spark.sql — Catalyst "
+        "rewrites them to semi/anti joins (the declarative form of J8/semi)",
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_eq")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_eq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer_eq c
+        WHERE EXISTS (SELECT 1 FROM v_orders_eq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders_eq o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                                  / COUNT(*) FROM orders) AS price_vs_mean
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    doc="Uncorrelated scalar subquery (global mean broadcast into a map-only "
+        "projection) — the declarative form of the A4 scalar-aggregate "
+        "pattern, no driver round-trip",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_ss")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                                      / COUNT(*) FROM v_orders_ss) AS price_vs_mean
+        FROM v_orders_ss
+        WHERE o_orderkey <= 2000
+        """
+    )
