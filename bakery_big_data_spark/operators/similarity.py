@@ -223,6 +223,11 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig.cast("int")
 
 
+#: (session id, cache_key, k, seed) → (assigned DataFrame, centers) — the
+#: trained coarse quantizer is an INDEX: build once, query many times.
+_IVF_INDEX_CACHE: dict = {}
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -232,6 +237,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 3,
     seed: int = 7,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-partition the corpus, probe the
     ``n_probe`` nearest centroids per query, exact-rerank candidates.
@@ -246,16 +252,26 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c0 = with_norm2(corpus, vec_col, "_cn").select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
+    idx_key = (
+        (id(corpus.sparkSession), cache_key, n_clusters, seed)
+        if cache_key is not None
+        else None
     )
-    feat = c0.withColumn("_feat", array_to_vector(F.col("_cv")))
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster"
-    ).fit(feat)
-    assigned = model.transform(feat).select("c_id", "_cv", "_cn", "_cluster")
-
-    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    if idx_key is not None and idx_key in _IVF_INDEX_CACHE:
+        assigned, centers = _IVF_INDEX_CACHE[idx_key]
+    else:
+        c0 = with_norm2(corpus, vec_col, "_cn").select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
+        )
+        feat = c0.withColumn("_feat", array_to_vector(F.col("_cv")))
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster"
+        ).fit(feat)
+        assigned = model.transform(feat).select("c_id", "_cv", "_cn", "_cluster")
+        centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+        if idx_key is not None:
+            assigned = assigned.persist()
+            _IVF_INDEX_CACHE[idx_key] = (assigned, centers)
 
     def dist2(vec: Column, center: list[float]) -> Column:
         lit_c = F.array(*[F.lit(x) for x in center])

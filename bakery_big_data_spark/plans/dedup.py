@@ -56,16 +56,29 @@ _EXACT_PAIRS_SQL = """
 """
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
     """Trigram-shingled corpus.  ``cache=True`` persists it for queries
     whose DAG references the frame from several branches (candidates +
     verify sides) — shingle construction is the dominant per-doc cost and
     would otherwise be re-evaluated per branch (the reference's
-    recompute-the-plan anti-pattern, SURVEY.md §4)."""
-    df = t(spark, sf_dir, "documents").select(
+    recompute-the-plan anti-pattern, SURVEY.md §4).  The persisted frame is
+    memoized per (session, sf) so repeated query builds share ONE cache
+    entry instead of stacking copies."""
+    if cache:
+        key = (id(spark), sf_dir)
+        if key not in _SHINGLE_CACHE:
+            _SHINGLE_CACHE[key] = (
+                t(spark, sf_dir, "documents")
+                .select("doc_id", word_shingles("text", n=3).alias("shingles"))
+                .persist()
+            )
+        return _SHINGLE_CACHE[key]
+    return t(spark, sf_dir, "documents").select(
         "doc_id", word_shingles("text", n=3).alias("shingles")
     )
-    return df.persist() if cache else df
 
 
 @register(

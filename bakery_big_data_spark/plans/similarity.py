@@ -115,4 +115,6 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(queries, emb, "vec_id", "embedding", k=10)
+    return ivf_topk(
+        queries, emb, "vec_id", "embedding", k=10, cache_key=sf_dir
+    )
