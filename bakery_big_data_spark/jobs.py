@@ -1,0 +1,71 @@
+"""spark-submit-able job entry points — the reference's job scripts
+(``processing/jobs/bronze_to_silver.py`` etc. launched via
+``spark-submit``, makefile:105-121) re-expressed as one CLI over the
+medallion pipeline:
+
+    python -m bakery_big_data_spark.jobs medallion \\
+        --sf-dir /root/testdata/sf0.001 --out /tmp/lake
+    python -m bakery_big_data_spark.jobs streaming-ingest \\
+        --src /path/json --out /path/bronze --checkpoint /path/ckpt
+
+Each subcommand builds its own session (as every reference job does),
+runs one layer, prints a one-line row-count summary, and exits — the
+Airflow-shaped unit of work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _medallion(args: argparse.Namespace) -> dict[str, int]:
+    from bakery_big_data_spark.pipeline.medallion import run_medallion
+    from bakery_big_data_spark.session import get_spark
+
+    spark = get_spark("job-medallion")
+    layers = run_medallion(spark, args.sf_dir, args.out)
+    return {name: df.count() for name, df in layers.items()}
+
+
+def _streaming_ingest(args: argparse.Namespace) -> dict[str, int]:
+    from bakery_big_data_spark.session import get_spark
+    from bakery_big_data_spark.streaming.ingest import (
+        read_json_stream,
+        start_append_sink,
+    )
+
+    spark = get_spark("job-streaming-ingest")
+    q = start_append_sink(
+        read_json_stream(spark, args.src),
+        args.out,
+        args.checkpoint,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return {"ingested_total": spark.read.parquet(args.out).count()}
+
+
+def main(argv: list[str] | None = None) -> dict[str, int]:
+    parser = argparse.ArgumentParser(prog="bakery_big_data_spark.jobs")
+    sub = parser.add_subparsers(dest="job", required=True)
+
+    m = sub.add_parser("medallion", help="bronze→silver→gold→features")
+    m.add_argument("--sf-dir", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=_medallion)
+
+    s = sub.add_parser("streaming-ingest", help="drain a JSON file stream")
+    s.add_argument("--src", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.set_defaults(fn=_streaming_ingest)
+
+    args = parser.parse_args(argv)
+    result = args.fn(args)
+    print(json.dumps({"job": args.job, "counts": result}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

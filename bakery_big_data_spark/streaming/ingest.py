@@ -143,6 +143,30 @@ def windowed_counts(
     )
 
 
+def dedup_stream(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-id dedup: ``dropDuplicates`` keyed on
+    event_id within the watermark horizon.
+
+    State holds one entry per id seen in the last ``watermark_delay`` of
+    event time; older duplicate arrivals are already outside the horizon
+    and handled by the batch reconciliation layer (T6) — the streaming and
+    batch dedup bounds compose exactly like the reference's 48 h design
+    (``stream_to_bronze.py:157-163`` + ``bronze_to_silver.py:101-111``).
+    """
+    return events.withWatermark("ts", watermark_delay).dropDuplicates(
+        ["event_id"]
+    )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: enrich each micro-batch against a batch dimension
+    (broadcast per micro-batch; the dim is re-resolved every batch, so slow
+    dim updates are picked up without restarting the query)."""
+    from pyspark.sql import functions as _F
+
+    return stream.join(_F.broadcast(dim), key, "left")
+
+
 def supervise(
     queries: list[StreamingQuery],
     on_error: Callable[[Exception], None] | None = None,

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the operators whose correctness is
+easiest to state as an invariant: as-of join vs a naive reference
+implementation, quality-score arithmetic, upsert idempotency."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.operators.asof import asof_join
+from bakery_big_data_spark.operators.mutation import merge_upsert_when_newer
+from bakery_big_data_spark.quality import QualityRule, apply_quality_rules
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+key_ts = st.tuples(
+    st.integers(min_value=0, max_value=2),  # key
+    st.integers(min_value=0, max_value=100),  # ts
+)
+
+
+@given(
+    left=st.lists(key_ts, min_size=1, max_size=12),
+    right=st.lists(key_ts, min_size=0, max_size=12),
+)
+@SETTINGS
+def test_asof_join_matches_naive(spark, left, right):
+    # deduplicate right to one row per (key, ts): payload = ts * 10
+    right = sorted({(k, ts) for k, ts in right})
+    left_rows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    right_rows = [(k, ts, ts * 10) for k, ts in right]
+    ldf = spark.createDataFrame(left_rows, "lid LONG, k LONG, ts LONG")
+    rdf = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k LONG, rts LONG, payload LONG"
+    ).filter(F.col("k").isNotNull())
+    out = asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="rts",
+                    payload_cols=["payload"])
+    got = {r.lid: r.payload for r in out.collect()}
+    for lid, k, ts in left_rows:
+        matches = [rts for rk, rts in right if rk == k and rts <= ts]
+        expect = max(matches) * 10 if matches else None
+        assert got[lid] == expect, (lid, k, ts, got[lid], expect)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=8),
+    p1=st.integers(min_value=1, max_value=50),
+    p2=st.integers(min_value=1, max_value=50),
+)
+@SETTINGS
+def test_quality_score_arithmetic(spark, vals, p1, p2):
+    df = spark.createDataFrame([(v,) for v in vals], "x LONG")
+    rules = [
+        QualityRule("positive", F.col("x") > 0, p1),
+        QualityRule("even", F.col("x") % 2 == 0, p2),
+    ]
+    out = apply_quality_rules(df, rules).collect()
+    for r in out:
+        expect = 100 - (0 if r.x > 0 else p1) - (0 if r.x % 2 == 0 else p2)
+        assert r.data_quality_score == expect
+        assert r.dq_check_positive == (r.x > 0)
+
+
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)), min_size=1, max_size=8
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)), min_size=1, max_size=8
+    ),
+)
+@SETTINGS
+def test_upsert_idempotent(spark, target, source):
+    # unique keys per frame, deterministic recency
+    tgt = {k: ts for k, ts in target}
+    src = {k: ts for k, ts in source}
+    tdf = spark.createDataFrame(list(tgt.items()), "k LONG, etl LONG")
+    sdf = spark.createDataFrame(list(src.items()), "k LONG, etl LONG")
+    once = merge_upsert_when_newer(tdf, sdf, ["k"], "etl")
+    twice = merge_upsert_when_newer(once, sdf, ["k"], "etl")
+    a = sorted((r.k, r.etl) for r in once.collect())
+    b = sorted((r.k, r.etl) for r in twice.collect())
+    assert a == b
+    # winner law: max(etl) per key with target preference on ties
+    for k, etl in a:
+        t_ts, s_ts = tgt.get(k), src.get(k)
+        if t_ts is None:
+            assert etl == s_ts
+        elif s_ts is None:
+            assert etl == t_ts
+        else:
+            assert etl == (s_ts if s_ts > t_ts else t_ts)

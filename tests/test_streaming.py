@@ -111,6 +111,53 @@ def test_watermarked_window_agg_matches_batch(spark, sf_dir):
     assert g, "at least one window must have closed"
 
 
+def test_stream_dedup_drops_duplicates(spark, sf_dir):
+    from bakery_big_data_spark.streaming.ingest import dedup_stream
+
+    src, out, ckpt = _dirs()
+    # the same 300 events delivered twice (at-least-once duplication)
+    _write_json_batch(spark, sf_dir, src, 0, 300)
+    _write_json_batch(spark, sf_dir, src, 0, 300)
+
+    q = (
+        dedup_stream(read_json_stream(spark, src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert got.select(F.countDistinct("event_id")).first()[0] == 300
+
+
+def test_stream_static_enrichment(spark, sf_dir):
+    from bakery_big_data_spark.streaming.ingest import enrich_with_dim
+
+    src, out, ckpt = _dirs()
+    _write_json_batch(spark, sf_dir, src, 0, 500)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type"))
+    )
+    q = (
+        enrich_with_dim(read_json_stream(spark, src), dim, "event_type")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 500
+    assert got.filter(F.col("type_len").isNull()).count() == 0
+
+
 def test_supervise_multi_query(spark, sf_dir):
     src1, out1, ck1 = _dirs()
     src2, out2, ck2 = _dirs()
