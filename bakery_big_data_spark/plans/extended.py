@@ -189,6 +189,26 @@ def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(the salting pattern for skewed keys at 100 TB; oracle is the plain "
         "single-stage GROUP BY)",
 )
+@register(
+    "seeded_synthetic_features",
+    None,  # rand() streams differ per engine; determinism (same seed → same
+           # rows across runs) is asserted in tests/test_catalog.py
+    doc="Seeded synthetic feature generation (reference "
+        "update_ml_features.py:305-312 rand() batch-production features, "
+        "made reproducible per SURVEY §7.3(f)): rand/randn with fixed seeds "
+        "over the part×supplier cross of a bounded window",
+)
+def seeded_synthetic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey")
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 10).select("s_suppkey")
+    return (
+        p.crossJoin(F.broadcast(s))
+        .withColumn("planned_qty", (F.rand(seed=42) * 100 + 50).cast("int"))
+        .withColumn("defect_rate", F.round(F.rand(seed=7) * 0.05, 4))
+        .withColumn("temp_reading", F.round(F.randn(seed=99) * 5 + 180, 2))
+    )
+
+
 def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     partial = (

@@ -29,6 +29,13 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         compare(df, con, q.oracle)
 
 
+def test_seeded_rand_is_reproducible(spark, sf_dir):
+    q = REGISTRY["seeded_synthetic_features"]
+    a = sorted(map(tuple, q.build(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.build(spark, sf_dir).collect()))
+    assert a == b  # same seed → identical synthetic rows, run to run
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -23,6 +23,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate dim×salt replication (5 rows × 16 salts) feeding the
     # skew-mitigation shuffle join
     "skew_salted_join",
+    # deliberate bounded cross join (200 parts × 10 suppliers) — the
+    # reference's feature-synthesis shape (update_ml_features.py:301)
+    "seeded_synthetic_features",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
