@@ -189,6 +189,22 @@ def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(the salting pattern for skewed keys at 100 TB; oracle is the plain "
         "single-stage GROUP BY)",
 )
+def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_v"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_v").cast("double").alias("total_value"),
+    )
+
+
 @register(
     "seeded_synthetic_features",
     None,  # rand() streams differ per engine; determinism (same seed → same
@@ -206,22 +222,6 @@ def seeded_synthetic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("planned_qty", (F.rand(seed=42) * 100 + 50).cast("int"))
         .withColumn("defect_rate", F.round(F.rand(seed=7) * 0.05, 4))
         .withColumn("temp_reading", F.round(F.randn(seed=99) * 5 + 180, 2))
-    )
-
-
-def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    partial = (
-        ev.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
-        .groupBy("event_type", "_salt")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col("value").cast("decimal(30,6)")).alias("_v"),
-        )
-    )
-    return partial.groupBy("event_type").agg(
-        F.sum("_n").alias("n_events"),
-        F.sum("_v").cast("double").alias("total_value"),
     )
 
 
