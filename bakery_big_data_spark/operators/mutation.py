@@ -21,13 +21,12 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bakery_big_data_spark.operators.keys import add_surrogate_key
 
 _SRC = "_m_src"
-_RN = "_m_rn"
 
 
 def merge_insert_if_absent(
@@ -52,21 +51,27 @@ def merge_upsert_when_newer(
 
     Reference ``bronze_to_silver.py:151-157``: late-arriving data replaces a
     matched target row only when *strictly newer* by ``recency_col``;
-    unmatched source rows are inserted.  Implemented as union + one window
-    per key: the winner is the newest row, target winning ties — exactly the
-    strict-inequality MERGE semantics, with one shuffle and no join.
+    unmatched source rows are inserted.  Implemented as union + per-key
+    ``max(struct(recency, target-preference, payload…))`` — a lexicographic
+    hash aggregate, so winner selection is MAP-SIDE COMBINABLE (partial max
+    per input partition before the shuffle), unlike the sort-based
+    window/row_number formulation.  Target wins recency ties — the
+    strict-inequality MERGE semantics; residual full ties resolve by max
+    payload (deterministic).
     """
     tagged = target.withColumn(_SRC, F.lit(0)).unionByName(
         source.select(*target.columns).withColumn(_SRC, F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(recency_col).desc(), F.col(_SRC).asc()
+    payload = [c for c in target.columns if c not in keys]
+    packed = F.struct(
+        F.col(recency_col).alias("_r"),
+        (1 - F.col(_SRC)).alias("_pref"),  # target (src=0) outranks on ties
+        *[F.col(c).alias(c) for c in payload],
     )
-    return (
-        tagged.withColumn(_RN, F.row_number().over(w))
-        .filter(F.col(_RN) == 1)
-        .drop(_RN, _SRC)
-    )
+    won = tagged.groupBy(*keys).agg(F.max(packed).alias("_w"))
+    return won.select(
+        *keys, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    ).select(*target.columns)
 
 
 def update_where(
