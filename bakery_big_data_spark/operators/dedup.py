@@ -277,26 +277,22 @@ def canonical_assignment(
     )
 
 
-def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash as two 32-bit halves ``struct(hi, lo)``.
-
-    Per distinct word: xxhash64 → ±1 votes on 64 bit positions, summed with
-    ``aggregate``/``zip_with`` (one pass over the token array, no explode,
-    no shuffle); final bit *i* = (vote_i > 0).  Halves avoid BIGINT sign
-    traps when reassembling the top bit.
-    """
-    ws = F.array_distinct(words(text))
-    votes = F.aggregate(
-        ws,
+def _simhash_votes(text: "Column | str") -> Column:
+    """64-element ±1 vote vector: each distinct word is xxhash64'd ONCE and
+    its 64 bits vote via shifts of the bound hash value (re-hashing the
+    string per bit position would cost 64× more)."""
+    hashed = F.transform(
+        F.array_distinct(words(text)), lambda w: F.xxhash64(w)
+    )
+    return F.aggregate(
+        hashed,
         F.array_repeat(F.lit(0).cast("int"), 64),
-        lambda acc, w: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     (
-                        F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1))
-                        * 2
-                        - 1
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
                     ).cast("int")
                     for i in range(64)
                 ]
@@ -305,31 +301,62 @@ def simhash64(text: Column | str) -> Column:
         ),
     )
 
-    def _pack(votes_slice: Column) -> Column:
-        # Fold the 32 votes into a packed bigint with a (acc, place-value)
-        # state — the votes expression appears once per half, so the word
-        # aggregate is evaluated at most twice, never 64×.
-        return F.aggregate(
-            votes_slice,
-            F.struct(
-                F.lit(0).cast("bigint").alias("acc"),
-                F.lit(1).cast("bigint").alias("pw"),
-            ),
-            lambda s, v: F.struct(
-                (
-                    s.getField("acc")
-                    + F.when(v > 0, s.getField("pw")).otherwise(
-                        F.lit(0).cast("bigint")
-                    )
-                ).alias("acc"),
-                (s.getField("pw") * 2).alias("pw"),
-            ),
-            lambda s: s.getField("acc"),
-        )
 
+def _pack_votes(votes_slice: Column) -> Column:
+    """Fold 32 votes into a packed bigint with (acc, place-value) state."""
+    return F.aggregate(
+        votes_slice,
+        F.struct(
+            F.lit(0).cast("bigint").alias("acc"),
+            F.lit(1).cast("bigint").alias("pw"),
+        ),
+        lambda s, v: F.struct(
+            (
+                s.getField("acc")
+                + F.when(v > 0, s.getField("pw")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("acc"),
+            (s.getField("pw") * 2).alias("pw"),
+        ),
+        lambda s: s.getField("acc"),
+    )
+
+
+def simhash64(text: "Column | str") -> Column:
+    """64-bit SimHash as two 32-bit halves ``struct(hi, lo)``.
+
+    Per distinct word: xxhash64 → ±1 votes on 64 bit positions, summed with
+    ``aggregate``/``zip_with`` (one pass over the token array, no explode,
+    no shuffle); final bit *i* = (vote_i > 0).  Halves avoid BIGINT sign
+    traps when reassembling the top bit.  NOTE: as a single expression the
+    vote fold is evaluated once per half — prefer :func:`with_simhash` on
+    DataFrames, which materializes the votes once.
+    """
+    votes = _simhash_votes(text)
     return F.struct(
-        _pack(F.slice(votes, 33, 32)).alias("hi"),
-        _pack(F.slice(votes, 1, 32)).alias("lo"),
+        _pack_votes(F.slice(votes, 33, 32)).alias("hi"),
+        _pack_votes(F.slice(votes, 1, 32)).alias("lo"),
+    )
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    hi_col: str = "simhash_hi",
+    lo_col: str = "simhash_lo",
+) -> DataFrame:
+    """Attach SimHash halves with the vote vector materialized ONCE.
+
+    The votes become a bound column that both packed halves reference —
+    CollapseProject keeps multiply-referenced expensive expressions
+    un-inlined, so the fold runs once per row instead of twice.
+    """
+    tmp = df.withColumn("_sh_votes", _simhash_votes(text_col))
+    return (
+        tmp.withColumn(hi_col, _pack_votes(F.slice(F.col("_sh_votes"), 33, 32)))
+        .withColumn(lo_col, _pack_votes(F.slice(F.col("_sh_votes"), 1, 32)))
+        .drop("_sh_votes")
     )
 
 

@@ -21,8 +21,8 @@ from bakery_big_data_spark.operators.dedup import (
     candidate_pairs,
     canonical_assignment,
     exact_ngram_pairs,
-    simhash64,
     verify_pairs,
+    with_simhash,
     word_shingles,
 )
 from bakery_big_data_spark.plans.base import register, t
@@ -174,9 +174,6 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    sh = simhash64("text")
-    return d.select(
-        "doc_id",
-        sh.getField("hi").alias("simhash_hi"),
-        sh.getField("lo").alias("simhash_lo"),
+    return with_simhash(d, "text").select(
+        "doc_id", "simhash_hi", "simhash_lo"
     )
