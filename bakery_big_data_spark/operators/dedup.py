@@ -277,6 +277,79 @@ def canonical_assignment(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Duplicate-cluster resolution as true connected components — iterative
+    min-label propagation to a fixpoint.
+
+    :func:`canonical_assignment` is the one-pass approximation (exact for
+    star/clique clusters); chains (a–b, b–c with no a–c edge) need the
+    label to propagate hop by hop.  Each round joins current labels across
+    the edge list and takes the min of (self, neighbors') labels; converged
+    when no label changes.  Rounds needed = graph diameter — near-dup
+    clusters are shallow, so this terminates in 2-3 rounds in practice
+    (``max_iter`` bounds adversarial chains).
+
+    Driver involvement is one convergence check (a count) per round — the
+    legitimate control-flow use, not a data round-trip; per-round work is
+    two shuffles (edge join + min agg), and ``persist`` keeps the frontier
+    from re-deriving the whole lineage each round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
+        .unionAll(
+            pairs.select(
+                F.col("id_b").alias("_src"), F.col("id_a").alias("_dst")
+            )
+        )
+        # pinned: every iteration's join + the convergence count would
+        # otherwise re-execute the full candidate-generation lineage
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col), F.col(id_col).alias("canonical_id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_labels = (
+            edges.join(
+                labels.select(
+                    F.col(id_col).alias("_src"),
+                    F.col("canonical_id").alias("_nbr_label"),
+                ),
+                "_src",
+            )
+            .groupBy(F.col("_dst").alias(id_col))
+            .agg(F.min("_nbr_label").alias("_best_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_labels, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce(F.col("_best_nbr"), F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def _simhash_votes(text: "Column | str") -> Column:
     """64-element ±1 vote vector: each distinct word is xxhash64'd ONCE and
     its 64 bits vote via shifts of the bound hash value (re-hashing the

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from bakery_big_data_spark.operators.dedup import (
     candidate_pairs,
     canonical_assignment,
+    connected_components,
     exact_ngram_pairs,
     verify_pairs,
     with_simhash,
@@ -163,6 +164,36 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
     return canonical_assignment(docs, "doc_id", pairs)
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    nbr AS (
+      SELECT id_a AS doc_id, id_b AS nb FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id)) AS canonical_id
+    FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="True connected-components duplicate clustering: iterative min-label "
+        "propagation to a fixpoint (handles chains the single-pass star "
+        "contraction cannot; tests/test_dedup.py proves the chain case).  "
+        "Oracle is the single-pass form, exact here because the corpus's "
+        "near-dup clusters are disjoint pairs — the iteration converges to "
+        "the same labels in one round",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _shingled(spark, sf_dir, cache=True)
+    cands = candidate_pairs(
+        docs, "doc_id", "shingles", bands=16, rows_per_band=2
+    )
+    pairs = verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
+    return connected_components(docs, pairs, "doc_id")
 
 
 @register(

@@ -37,6 +37,30 @@ def test_lsh_matches_exact_baseline(spark, sf_dir):
     assert lsh == exact  # full recall at these band parameters, no false positives
 
 
+def test_connected_components_resolves_chains(spark):
+    from bakery_big_data_spark.operators.dedup import (
+        canonical_assignment,
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
+    # chain 1-2-3-4 (no direct 1-4 edge) + isolated 0, 5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a LONG, id_b LONG"
+    )
+    cc = {
+        r.doc_id: r.canonical_id
+        for r in connected_components(verts, pairs, "doc_id").collect()
+    }
+    assert cc == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+    # the single-pass star contraction provably under-resolves the chain
+    sp = {
+        r.doc_id: r.canonical_id
+        for r in canonical_assignment(verts, "doc_id", pairs).collect()
+    }
+    assert sp[4] == 3  # one hop only — why the iterative operator exists
+
+
 def test_shingles_short_docs(spark):
     df = spark.createDataFrame([("a b c",), ("solo",), ("",)], ["text"])
     out = df.select(word_shingles("text", 2).alias("s")).collect()
