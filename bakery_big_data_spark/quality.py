@@ -56,6 +56,34 @@ def quality_gate(df: DataFrame, threshold: int = 50, score_col: str = "data_qual
     return df.filter(F.col(score_col) >= threshold)
 
 
+def observe_quality(
+    df: DataFrame, name: str = "quality", score_col: str = "data_quality_score"
+):
+    """Attach the quality report as zero-cost pipeline instrumentation.
+
+    The reference computes its per-table quality rollup with a second scan
+    (``bronze_to_silver.py:242-278``); Spark's Observation API collects the
+    same metrics — row count, mean score, perfect/poor counts — as
+    accumulator-style side output of whatever action the pipeline already
+    runs, so at 100 TB the report costs no extra pass.
+
+    Returns ``(observed_df, observation)``; read ``observation.get`` after
+    any action on ``observed_df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    score = F.col(score_col)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(score).alias("avg_score"),
+        F.sum(F.when(score == 100, 1).otherwise(0)).alias("n_perfect"),
+        F.sum(F.when(score < 50, 1).otherwise(0)).alias("n_poor"),
+    )
+    return observed, obs
+
+
 def sales_rules() -> list[QualityRule]:
     """The reference's Bronze-sales rule set (bronze_to_silver.py:45-51),
     re-keyed onto the test ``lineitem`` columns with identical shapes:
