@@ -185,6 +185,55 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_correlated_min_subquery",
+    """
+    SELECT p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+    """,
+    doc="Correlated scalar subquery (TPC-H Q2 shape: cheapest item per "
+        "group) — Catalyst decorrelates it into an aggregate + join, no "
+        "per-row re-execution",
+)
+def sql_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "part").createOrReplaceTempView("v_part_cs")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_retailprice
+        FROM v_part_cs p
+        WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM v_part_cs p2
+                                 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "collect_sorted_lists",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             AS priorities_csv
+    FROM orders
+    WHERE o_custkey <= 200
+    GROUP BY o_custkey
+    """,
+    doc="Deterministic list aggregation: array_sort(collect_list(...)) — "
+        "raw collect_list order is partition-dependent, the sort makes the "
+        "aggregate reproducible at any parallelism (+ distinct CSV variant)",
+)
+def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities_csv"),
+    )
+
+
+@register(
     "sql_scalar_subquery",
     """
     SELECT o_orderkey, o_totalprice,
