@@ -22,5 +22,6 @@ from bakery_big_data_spark.plans import streaming_q  # noqa: F401
 from bakery_big_data_spark.plans import pipeline_q  # noqa: F401
 from bakery_big_data_spark.plans import extended  # noqa: F401
 from bakery_big_data_spark.plans import setops_sql  # noqa: F401
+from bakery_big_data_spark.plans import dashboard  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
