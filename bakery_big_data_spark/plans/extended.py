@@ -206,6 +206,43 @@ def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_30d
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    doc="RANGE-frame window (value-based, not row-based — completes the "
+        "frame taxonomy beyond the reference's rows frames, SURVEY §2.5): "
+        "trailing-30-day revenue per customer; all orders in the window "
+        "count regardless of row multiplicity",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_30d"),
+    )
+
+
+@register(
     "seeded_synthetic_features",
     None,  # rand() streams differ per engine; determinism (same seed → same
            # rows across runs) is asserted in tests/test_catalog.py

@@ -15,6 +15,7 @@ from bakery_big_data_spark.quality import QualityRule, apply_quality_rules
 SETTINGS = settings(
     max_examples=5,
     deadline=None,
+    derandomize=True,  # fixed example stream — no run-to-run flakiness
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 
