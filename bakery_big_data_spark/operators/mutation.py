@@ -110,6 +110,7 @@ def scd2_apply(
     end_col: str = "end_date",
     flag_col: str = "is_current",
     key_base: int | None = None,
+    drift_condition: Column | None = None,
 ) -> DataFrame:
     """SCD Type 2: detect changes, close old versions, insert new ones.
 
@@ -119,6 +120,13 @@ def scd2_apply(
     version (``end_date`` = effective date, flag false) and insert a fresh
     version keyed ``max_key + dense sequence``.  Historical (already-closed)
     rows pass through untouched.  Null-safe comparison on tracked columns.
+
+    ``drift_condition`` overrides the default any-attribute-differs
+    detection with a custom predicate over staged columns and the open
+    version's values exposed as ``_cur_<attr>`` — e.g. the reference's
+    relative price-change threshold ``abs(new-old)/old > 0.05``
+    (``silver_to_gold.py:205-212``), which deliberately IGNORES sub-threshold
+    drift instead of re-versioning on every tick.
 
     ``key_base``: highest existing surrogate key; when None it is read with a
     1-row scalar aggregate (the reference's ``COALESCE(MAX(key),0)`` pattern,
@@ -134,9 +142,13 @@ def scd2_apply(
         F.lit(True).alias("_cur_present"),
         *[F.col(c).alias(f"_cur_{c}") for c in tracked],
     )
-    drift = F.lit(False)
-    for c in tracked:
-        drift = drift | ~F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
+    if drift_condition is not None:
+        drift = drift_condition
+    else:
+        drift = F.lit(False)
+        for c in tracked:
+            drift = drift | ~F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
+    drift = F.coalesce(drift, F.lit(False))
     changed = (
         staged.join(cur_cmp, business_key, "left")
         .filter(~F.coalesce(F.col("_cur_present"), F.lit(False)) | drift)

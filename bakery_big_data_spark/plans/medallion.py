@@ -179,6 +179,70 @@ def scd2_close_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_price_change_threshold",
+    """
+    WITH cur AS (
+      SELECT CAST(p_partkey * 10 AS BIGINT) AS surrogate_key, p_partkey,
+             p_retailprice AS price
+      FROM part WHERE p_partkey <= 1500
+    ), stg AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 7 = 0 THEN p_retailprice * 1.1
+                  WHEN p_partkey % 11 = 0 THEN p_retailprice * 1.02
+                  ELSE p_retailprice END AS price
+      FROM part WHERE p_partkey <= 1500
+    ), chg AS (
+      SELECT s.* FROM stg s
+      JOIN cur c USING (p_partkey)
+      WHERE abs(s.price - c.price) / c.price > 0.05
+    )
+    SELECT c.surrogate_key, c.p_partkey, c.price,
+           DATE '2023-01-01' AS start_date,
+           CASE WHEN ch.p_partkey IS NOT NULL THEN DATE '2024-06-01' END AS end_date,
+           ch.p_partkey IS NULL AS is_current
+    FROM cur c LEFT JOIN chg ch USING (p_partkey)
+    UNION ALL
+    SELECT CAST(20000 + ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT),
+           p_partkey, price, DATE '2024-06-01', NULL, TRUE
+    FROM chg
+    """,
+    doc="SCD2 with a relative-drift threshold: re-version only when "
+        "abs(new-old)/old > 5% (reference dim_product_pricing, "
+        "silver_to_gold.py:205-212) — the ~2% price ticks (every 11th part) "
+        "must NOT open new versions, the ~10% changes (every 7th) must",
+)
+def scd2_price_change_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1500)
+    current = part.select(
+        (F.col("p_partkey") * 10).cast("bigint").alias("surrogate_key"),
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.lit("2023-01-01").cast("date").alias("start_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    staged = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 7 == 0, F.col("p_retailprice") * 1.1)
+        .when(F.col("p_partkey") % 11 == 0, F.col("p_retailprice") * 1.02)
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+    )
+    return scd2_apply(
+        current,
+        staged,
+        business_key="p_partkey",
+        tracked=["price"],
+        effective_date="2024-06-01",
+        key_base=20000,
+        drift_condition=(
+            F.abs(F.col("price") - F.col("_cur_price")) / F.col("_cur_price")
+            > 0.05
+        ),
+    )
+
+
+@register(
     "late_arrival_reconciliation",
     """
     WITH bronze AS (
