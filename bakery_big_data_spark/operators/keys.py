@@ -32,7 +32,7 @@ def add_surrogate_key(
     df: DataFrame,
     order_by: list[str | Column],
     key_col: str = "surrogate_key",
-    base: int = 0,
+    base: int | Column = 0,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign dense keys ``base+1 .. base+N`` in ``order_by`` order.
@@ -40,8 +40,13 @@ def add_surrogate_key(
     ``order_by`` must be a total order (include a unique tiebreak column) —
     rows that compare equal may land in either of two adjacent range
     partitions, which would make key assignment nondeterministic.
+
+    ``base`` may be a Column already present on ``df`` (e.g. a lazily
+    computed MAX(key) broadcast onto every row) — the plan then stays fully
+    lazy with no driver scalar read.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    base_col = base if isinstance(base, Column) else F.lit(base)
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
@@ -64,6 +69,6 @@ def add_surrogate_key(
     )
     return (
         local.join(F.broadcast(offsets), _PID)
-        .withColumn(key_col, (F.lit(base) + F.col(_OFF) + F.col(_RN)).cast("bigint"))
+        .withColumn(key_col, (base_col + F.col(_OFF) + F.col(_RN)).cast("bigint"))
         .drop(_PID, _RN, _OFF)
     )

@@ -128,10 +128,10 @@ def scd2_apply(
     (``silver_to_gold.py:205-212``), which deliberately IGNORES sub-threshold
     drift instead of re-versioning on every tick.
 
-    ``key_base``: highest existing surrogate key; when None it is read with a
-    1-row scalar aggregate (the reference's ``COALESCE(MAX(key),0)`` pattern,
-    ``silver_to_gold.py:155``) — pass it explicitly to keep the plan fully
-    lazy.
+    ``key_base``: highest existing surrogate key; when None it is derived
+    INSIDE the plan — a 1-row ``COALESCE(MAX(key),0)`` aggregate broadcast
+    onto the insert rows (the lazy form of the reference's eager scalar
+    lookup, ``silver_to_gold.py:155``).  No driver action either way.
     """
     open_rows = current.filter(F.col(flag_col))
 
@@ -173,11 +173,21 @@ def scd2_apply(
     )
 
     if key_base is None:
-        row = current.agg(F.coalesce(F.max(surrogate_key_col), F.lit(0))).first()
-        key_base = int(row[0])
+        # Lazy scalar: 1-row MAX(key) aggregate broadcast-crossed onto the
+        # insert rows (Catalyst plans a broadcast of a single row) — the
+        # declarative replacement for the reference's eager .first() lookup.
+        kb = current.agg(
+            F.coalesce(F.max(surrogate_key_col), F.lit(0))
+            .cast("bigint")
+            .alias("_key_base")
+        )
+        changed = changed.crossJoin(F.broadcast(kb))
+        base: int | Column = F.col("_key_base")
+    else:
+        base = key_base
 
     inserts = add_surrogate_key(
-        changed, [business_key], key_col=surrogate_key_col, base=key_base
+        changed, [business_key], key_col=surrogate_key_col, base=base
     ).select(
         surrogate_key_col,
         business_key,

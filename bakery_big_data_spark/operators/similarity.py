@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bakery_big_data_spark.operators.cache import PlanCache
+
 DEC = "decimal(30,12)"
 
 
@@ -126,9 +128,10 @@ def _block_pair_fn(threshold_margin: float):
         keep = a != b
         lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
         if ba == bb:  # same-block pairs appear (i,j) and (j,i) — halve
-            uniq = lo * (1 << 32) + hi
-            _, first = np.unique(uniq, return_index=True)
-            lo, hi = lo[first], hi[first]
+            # dedup on the (lo, hi) pair itself — no packed-key arithmetic,
+            # so ids may use the full 64-bit range without collisions
+            pairs = np.unique(np.stack([lo, hi]), axis=1)
+            lo, hi = pairs[0], pairs[1]
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     return fn
@@ -223,9 +226,12 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig.cast("int")
 
 
-#: (session id, cache_key, k, seed) → (assigned DataFrame, centers) — the
-#: trained coarse quantizer is an INDEX: build once, query many times.
-_IVF_INDEX_CACHE: dict = {}
+#: (session, cache_key, n_clusters, seed) → (assigned DataFrame, centers) —
+#: the trained coarse quantizer is an INDEX: build once, query many times.
+#: Bounded LRU with unpersist-on-evict + weakref session identity
+#: (operators/cache.py) — a long-lived session serving many scale factors
+#: holds at most 2 persisted indexes.
+_IVF_INDEX_CACHE = PlanCache(max_entries=2)
 
 
 def ivf_topk(
@@ -252,14 +258,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    idx_key = (
-        (id(corpus.sparkSession), cache_key, n_clusters, seed)
-        if cache_key is not None
-        else None
-    )
-    if idx_key is not None and idx_key in _IVF_INDEX_CACHE:
-        assigned, centers = _IVF_INDEX_CACHE[idx_key]
-    else:
+    def _build_index(persist: bool):
         c0 = with_norm2(corpus, vec_col, "_cn").select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
         )
@@ -267,11 +266,20 @@ def ivf_topk(
         model = KMeans(
             k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster"
         ).fit(feat)
-        assigned = model.transform(feat).select("c_id", "_cv", "_cn", "_cluster")
-        centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-        if idx_key is not None:
-            assigned = assigned.persist()
-            _IVF_INDEX_CACHE[idx_key] = (assigned, centers)
+        built = model.transform(feat).select("c_id", "_cv", "_cn", "_cluster")
+        if persist:
+            built = built.persist()
+        ctrs = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+        return built, ctrs
+
+    if cache_key is not None:
+        assigned, centers = _IVF_INDEX_CACHE.get_or_build(
+            corpus.sparkSession,
+            (cache_key, n_clusters, seed),
+            lambda: _build_index(True),
+        )
+    else:
+        assigned, centers = _build_index(False)
 
     def dist2(vec: Column, center: list[float]) -> Column:
         lit_c = F.array(*[F.lit(x) for x in center])

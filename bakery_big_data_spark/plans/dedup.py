@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.operators.dedup import (
     candidate_pairs,
     canonical_assignment,
@@ -57,7 +58,9 @@ _EXACT_PAIRS_SQL = """
 """
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: Bounded LRU (unpersist-on-evict, weakref session identity) — see
+#: operators/cache.py; at most 2 scale factors' shingle frames stay pinned.
+_SHINGLE_CACHE = PlanCache(max_entries=2)
 
 
 def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
@@ -69,14 +72,15 @@ def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFram
     memoized per (session, sf) so repeated query builds share ONE cache
     entry instead of stacking copies."""
     if cache:
-        key = (id(spark), sf_dir)
-        if key not in _SHINGLE_CACHE:
-            _SHINGLE_CACHE[key] = (
+        return _SHINGLE_CACHE.get_or_build(
+            spark,
+            (sf_dir,),
+            lambda: (
                 t(spark, sf_dir, "documents")
                 .select("doc_id", word_shingles("text", n=3).alias("shingles"))
                 .persist()
-            )
-        return _SHINGLE_CACHE[key]
+            ),
+        )
     return t(spark, sf_dir, "documents").select(
         "doc_id", word_shingles("text", n=3).alias("shingles")
     )

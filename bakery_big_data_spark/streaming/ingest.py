@@ -22,20 +22,19 @@ the same plan shapes:
   ``stream_to_bronze.py:178-219``).
 
 100 TB note: file/Kafka sources scale by input partition count; the sink
-appends per-micro-batch parquet (partitioned by date in the medallion
-pipeline), and checkpoints make restarts exactly-once per batch id.
+commits each micro-batch to its own ``batch_id=N`` parquet directory with
+overwrite, so checkpoint-replayed batches rewrite rather than double-append
+— restarts are exactly-once per batch id, not merely at-least-once.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import StructType
-
-from bakery_big_data_spark.sources.sinks import append_parquet
 
 #: Event-stream schema (explicit, never inferred — S2).
 EVENT_SCHEMA_DDL = (
@@ -95,15 +94,24 @@ def start_append_sink(
     processing_time: str | None = None,
     query_name: str = "ingest",
 ) -> StreamingQuery:
-    """S3: checkpointed append sink via foreachBatch → batch parquet append.
+    """S3: checkpointed append sink via foreachBatch → per-batch parquet dir.
 
     ``availableNow`` drains all pending input then stops (testable,
     deterministic); ``processing_time`` gives the reference's micro-batch
     cadence (30 s / 60 s triggers, stream_to_bronze.py:71,119,170).
+
+    The sink is **idempotent per batch id**: each micro-batch overwrites its
+    own ``batch_id=N`` directory, so a retry after a crash between the data
+    commit and the checkpoint offset commit rewrites the same directory
+    instead of double-appending — exactly-once table contents, not just
+    at-least-once delivery.  Readers see ``batch_id`` as an extra partition
+    column under ``out_path`` (project it away or use it as lineage).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_parquet(batch_df, out_path)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     writer = (
         df.writeStream.outputMode("append")
