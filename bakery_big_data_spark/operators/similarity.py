@@ -331,6 +331,22 @@ def ivf_topk(
     )
 
 
+def _probe_masks(num_planes: int, probe_hamming: int) -> list[int]:
+    """Signature XOR masks for multi-probe: own bucket, then every bucket
+    within the given Hamming distance of the signature."""
+    import itertools
+
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(num_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << a) | (1 << b)
+            for a, b in itertools.combinations(range(num_planes), 2)
+        ]
+    return masks
+
+
 def ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -340,45 +356,129 @@ def ann_topk(
     num_planes: int = 6,
     seed: int = 7,
     dim: int = 64,
+    num_tables: int = 1,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's bucket plus all Hamming-1
-    neighbor buckets, exact-rerank candidates → (q_id, c_id, cosine).
+    """Approximate top-k via multi-table, multi-probe hyperplane LSH →
+    (q_id, c_id, cosine), candidates exact-reranked.
 
-    Probes (planes+1)/2^planes of the corpus in expectation — the 100 TB
-    scale path where the brute-force scan is too expensive.  Deterministic
-    given the seeded planes.
+    Recall/cost dials (the standard LSH tradeoffs):
+
+    - ``probe_hamming``: probe every bucket within this Hamming distance of
+      the query's signature — 1 probes (planes+1)/2^planes of the corpus in
+      expectation, 2 adds the C(planes,2) two-bit flips;
+    - ``num_tables``: L independent plane sets; a neighbor is found if ANY
+      table buckets it with the query (miss rate decays geometrically in L).
+      The corpus-side index carries L entries per vector — the classic
+      space-for-recall LSH trade; candidates are deduped before rerank.
+
+    Defaults (1 table, Hamming 1) are the cheap operating point; (L=4,
+    Hamming 2, 6 planes) measures recall@10 ≥ 0.9 against the exact baseline
+    even on the adversarial *uniform-random* test embeddings
+    (tests/test_similarity.py; clustered real embeddings recall far higher
+    at the same cost).  Deterministic given the seeded planes.
     """
-    planes = hyperplane_planes(num_planes, dim, seed)
-    c = with_norm2(corpus, vec_col, "_cn").select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("_cv"),
-        "_cn",
-        hyperplane_signature(F.col(vec_col), planes).alias("_bucket"),
-    )
-    q0 = with_norm2(queries, vec_col, "_qn").select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("_qv"),
-        "_qn",
-        hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
-    )
-    # multi-probe: own bucket + flip each signature bit once
-    probes = F.array(
-        F.col("_sig"),
-        *[F.col("_sig").bitwiseXOR(F.lit(1 << j)) for j in range(num_planes)],
-    )
-    q = q0.select(
-        "q_id", "_qv", "_qn", F.explode(probes).alias("_bucket")
-    )
+    tables = [
+        hyperplane_planes(num_planes, dim, seed + 1000 * t_idx)
+        for t_idx in range(num_tables)
+    ]
+    masks = _probe_masks(num_planes, probe_hamming)
+
     cosine = dot_exact(F.col("_qv"), F.col("_cv")) / F.sqrt(
         F.col("_qn") * F.col("_cn")
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("c_id")
     )
+
+    if num_tables == 1:
+        # fast path: no table dimension, no corpus-side explode — the corpus
+        # carries one inline signature column and the join key is the bucket
+        planes = tables[0]
+        c1 = with_norm2(corpus, vec_col, "_cn").select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("_cv"),
+            "_cn",
+            hyperplane_signature(F.col(vec_col), planes).alias("_bucket"),
+        )
+        q1 = (
+            with_norm2(queries, vec_col, "_qn")
+            .select(
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).alias("_qv"),
+                "_qn",
+                hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+            )
+            .select(
+                "q_id",
+                "_qv",
+                "_qn",
+                F.explode(
+                    F.array(*[F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks])
+                ).alias("_bucket"),
+            )
+        )
+        return (
+            c1.join(F.broadcast(q1), "_bucket")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id", cosine.alias("cosine"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    c_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t_idx).alias("t"),
+                hyperplane_signature(F.col(vec_col), planes).alias("s"),
+            )
+            for t_idx, planes in enumerate(tables)
+        ]
+    )
+    c = (
+        with_norm2(corpus, vec_col, "_cn")
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("_cv"),
+            "_cn",
+            F.explode(c_sigs).alias("_ts"),
+        )
+        .select("c_id", "_cv", "_cn", F.col("_ts.t").alias("_t"), F.col("_ts.s").alias("_bucket"))
+    )
+    q_probes = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t_idx).alias("t"),
+                            hyperplane_signature(F.col(vec_col), planes)
+                            .bitwiseXOR(F.lit(m))
+                            .alias("s"),
+                        )
+                        for m in masks
+                    ]
+                )
+                for t_idx, planes in enumerate(tables)
+            ]
+        )
+    )
+    q = (
+        with_norm2(queries, vec_col, "_qn")
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("_qv"),
+            "_qn",
+            F.explode(q_probes).alias("_ts"),
+        )
+        .select("q_id", "_qv", "_qn", F.col("_ts.t").alias("_t"), F.col("_ts.s").alias("_bucket"))
+    )
     return (
-        c.join(F.broadcast(q), "_bucket")
+        c.join(F.broadcast(q), ["_t", "_bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", cosine.alias("cosine"))
+        .dropDuplicates(["q_id", "c_id"])  # same pair may hit in several tables
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")

@@ -98,6 +98,65 @@ def silver_events(bronze: DataFrame, gate: int = 50) -> DataFrame:
     )
 
 
+def feedback_rules() -> list[QualityRule]:
+    """Quality rules for customer feedback (reference
+    load_bronze_from_csv.py:106-128 feedback ingest; the Bronze→Silver
+    feedback processor is MISSING in the reference — SURVEY §1.3 'never
+    populated' gap — and is made real here per §7.2 step 6)."""
+    return [
+        QualityRule("valid_rating", F.col("rating").between(1, 5), 40),
+        QualityRule("has_customer", F.col("customer_id").isNotNull(), 35),
+        QualityRule("has_time", F.col("feedback_time").isNotNull(), 25),
+    ]
+
+
+FEEDBACK_RULES_SQL = (
+    "CAST(100"
+    " - (CASE WHEN COALESCE(rating BETWEEN 1 AND 5, FALSE) THEN 0 ELSE 40 END)"
+    " - (CASE WHEN COALESCE(customer_id IS NOT NULL, FALSE) THEN 0 ELSE 35 END)"
+    " - (CASE WHEN COALESCE(feedback_time IS NOT NULL, FALSE) THEN 0 ELSE 25 END)"
+    " AS INT)"
+)
+
+
+def bronze_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze feedback rows derived deterministically from ``events`` —
+    the same shape as the reference's customer_feedback CSV ingest
+    (load_bronze_from_csv.py:106-128): id, time, customer, rating 1-5,
+    platform, verified flag."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("feedback_id"),
+        F.col("ts").alias("feedback_time"),
+        F.col("user_id").alias("customer_id"),
+        ((F.col("event_id") % 5) + 1).cast("int").alias("rating"),
+        F.col("event_type").alias("platform"),
+        (F.col("event_id") % 3 == 0).alias("verified_purchase"),
+    )
+
+
+def silver_feedback(bronze: DataFrame, gate: int = 50) -> DataFrame:
+    """Silver feedback: quality fold → gate → rating→sentiment_category
+    case ladder (the derivation the reference computes at CSV-ingest time,
+    load_bronze_from_csv.py:117-125, moved into the engine's Silver layer
+    where the reference's missing feedback processor should live).
+    Map-only: one projection, no shuffle."""
+    scored = apply_quality_rules(bronze, feedback_rules())
+    return quality_gate(scored, threshold=gate).select(
+        "feedback_id",
+        "customer_id",
+        F.to_date("feedback_time").alias("feedback_date"),
+        "rating",
+        "platform",
+        "verified_purchase",
+        F.when(F.col("rating") >= 4, "positive")
+        .when(F.col("rating") == 3, "neutral")
+        .otherwise("negative")
+        .alias("sentiment_category"),
+        "data_quality_score",
+    )
+
+
 def gold_dim_calendar(silver: DataFrame) -> DataFrame:
     """Calendar dim from observed dates (silver_to_gold.py:44-64)."""
     d = F.col("event_date")

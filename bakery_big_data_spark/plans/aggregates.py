@@ -69,42 +69,28 @@ def conditional_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "global_scalar_agg",
+    "global_scalar_uniqueness",
     """
     SELECT CAST(MAX(o_orderdate) AS DATE) AS max_order_date,
            CAST(MIN(o_orderdate) AS DATE) AS min_order_date,
            COALESCE(MAX(o_orderkey), 0) AS max_key,
-           COUNT(*) AS n_rows
-    FROM orders
-    """,
-    doc="A4 global scalar aggregate — processing-date / surrogate-key-base discovery "
-        "(reference bronze_to_silver.py:292-299, silver_to_gold.py:155,227,268)",
-)
-def global_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return o.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("max_order_date"),
-        F.min(F.col("o_orderdate").cast("date")).alias("min_order_date"),
-        F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_key"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@register(
-    "count_distinct_uniqueness",
-    """
-    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_rows,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
            CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey) THEN TRUE ELSE FALSE END AS pk_unique
     FROM orders
     """,
-    doc="A5 COUNT / COUNT(DISTINCT) uniqueness probe "
-        "(reference bakery_csv_etl_pipeline.py:121-146)",
+    doc="A4+A5 global scalar aggregate: processing-date / surrogate-key-base "
+        "discovery (bronze_to_silver.py:292-299, silver_to_gold.py:155,227,268) "
+        "+ COUNT/COUNT(DISTINCT) uniqueness probe "
+        "(bakery_csv_etl_pipeline.py:121-146) in one 1-row frame, no collect",
 )
-def count_distinct_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def global_scalar_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("max_order_date"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_order_date"),
+        F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_key"),
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
@@ -113,46 +99,51 @@ def count_distinct_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "price_banding_avg",
+    "group_stats_report",
     f"""
-    SELECT p_type,
-           {sql_dtrunc(sql_davg('p_retailprice', 'x').replace(' AS x', ''), 'avg_price_band')},
-           COUNT(*) AS n_parts
+    SELECT 'part_type' AS entity,
+           p_type AS group_key,
+           {sql_dtrunc(sql_davg('p_retailprice', 'x').replace(' AS x', ''), 'avg_band')},
+           {sql_dstd('p_retailprice', 'val_stddev')},
+           {sql_davg('p_retailprice', 'val_mean')},
+           COUNT(*) AS n
     FROM part
     GROUP BY p_type
-    """,
-    doc="A6 AVG + deterministic 2-decimal banding "
-        "(reference silver_to_gold.py:174-186 ROUND(AVG(unit_price),2))",
-)
-def price_banding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = t(spark, sf_dir, "part")
-    avg_col = F.sum(F.col("p_retailprice").cast("decimal(30,6)")).cast("double") / F.count(
-        "p_retailprice"
-    )
-    return p.groupBy("p_type").agg(
-        dtrunc(avg_col, "avg_price_band"), F.count(F.lit(1)).alias("n_parts")
-    )
-
-
-@register(
-    "stddev_fluctuation",
-    f"""
-    SELECT event_type,
-           {sql_dstd('value', 'value_stddev')},
-           {sql_davg('value', 'value_mean')},
+    UNION ALL
+    SELECT 'event_type' AS entity,
+           event_type AS group_key,
+           {sql_dtrunc(sql_davg('value', 'x').replace(' AS x', ''), 'avg_band')},
+           {sql_dstd('value', 'val_stddev')},
+           {sql_davg('value', 'val_mean')},
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
     """,
-    doc="A7 STDDEV power-fluctuation proxy (reference update_ml_features.py:204-212); "
-        "computed from exact sums for cross-engine determinism",
+    doc="A6+A7+U1 grouped statistics report: AVG with deterministic 2-decimal "
+        "banding (silver_to_gold.py:174-186 ROUND(AVG(unit_price),2)) and "
+        "exact-sum STDDEV fluctuation (update_ml_features.py:204-212) per "
+        "entity, unioned across two fact families — each branch one "
+        "map-side-combinable hash agg",
 )
-def stddev_fluctuation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        dstd("value", "value_stddev"),
-        davg("value", "value_mean"),
-        F.count(F.lit(1)).alias("n"),
+def group_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stats(df: DataFrame, entity: str, key: str, val: str) -> DataFrame:
+        avg_col = F.sum(F.col(val).cast("decimal(30,6)")).cast("double") / F.count(val)
+        return df.groupBy(key).agg(
+            dtrunc(avg_col, "avg_band"),
+            dstd(val, "val_stddev"),
+            davg(val, "val_mean"),
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            F.lit(entity).alias("entity"),
+            F.col(key).alias("group_key"),
+            "avg_band",
+            "val_stddev",
+            "val_mean",
+            "n",
+        )
+
+    return stats(t(spark, sf_dir, "part"), "part_type", "p_type", "p_retailprice").unionAll(
+        stats(t(spark, sf_dir, "events"), "event_type", "event_type", "value")
     )
 
 
@@ -198,31 +189,6 @@ def seasonality_ratio_of_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         (winter_avg / F.nullif(overall_avg, F.lit(0.0))).alias("winter_index")
     )
-
-
-@register(
-    "multi_table_count_report",
-    """
-    SELECT 'orders' AS table_name, COUNT(*) AS record_count FROM orders
-    UNION ALL
-    SELECT 'lineitem' AS table_name, COUNT(*) AS record_count FROM lineitem
-    UNION ALL
-    SELECT 'customer' AS table_name, COUNT(*) AS record_count FROM customer
-    UNION ALL
-    SELECT 'events' AS table_name, COUNT(*) AS record_count FROM events
-    """,
-    doc="U1/U2 + A5: unioned multi-table count report "
-        "(reference bakery_csv_etl_pipeline.py:127-146, bronze_to_silver.py:278)",
-)
-def multi_table_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def one(name: str) -> DataFrame:
-        return (
-            t(spark, sf_dir, name)
-            .agg(F.count(F.lit(1)).alias("record_count"))
-            .select(F.lit(name).alias("table_name"), "record_count")
-        )
-
-    return one("orders").unionAll(one("lineitem")).unionAll(one("customer")).unionAll(one("events"))
 
 
 @register(

@@ -71,29 +71,41 @@ def join_asof_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT event_id, user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session,
+             (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) / 3600000000.0
+               AS next_gap_hours
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT event_id, user_id,
+    SELECT event_id, user_id, next_gap_hours,
            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS session_idx
     FROM g
     """,
-    doc="Gap-based sessionization (30 min idle → new session): lag + "
-        "cumulative flag sum per user — two windows over one shuffle, the "
-        "batch counterpart of a streaming session window",
+    doc="W3 + sessionization in one frame: lead() next-event gap in hours "
+        "(the reference's operational-hours calc, bronze_to_silver.py:193-201) "
+        "and gap-based session ids (30 min idle → new session) via lag + "
+        "cumulative flag sum.  Gaps compare at MICROSECOND precision "
+        "(unix_micros vs the oracle's epoch_us) so sub-second timestamp parts "
+        "can never flip a session boundary across engines.  lag, lead and the "
+        "running sum share one partition/order — a single shuffle, the batch "
+        "counterpart of a streaming session window",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     flagged = ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.when(gap <= 1800, 0).otherwise(1).alias("new_session"),
+        F.when(gap_us <= 1800 * 1_000_000, 0).otherwise(1).alias("new_session"),
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(3600000000.0)
+        ).alias("next_gap_hours"),
     )
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -101,6 +113,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "event_id",
         "user_id",
+        "next_gap_hours",
         F.sum("new_session").over(cum).alias("session_idx"),
     )
 
@@ -242,23 +255,60 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LCG_M = 2147483647  # 2^31 - 1; all mixes stay far below 2^63 (ANSI-safe)
+
+
+def _lcg_uniform_sql(a: int, b: int, c: int) -> str:
+    return f"((p_partkey * {a} + s_suppkey * {b} + {c}) % {_LCG_M}) / {float(_LCG_M)}"
+
+
 @register(
     "seeded_synthetic_features",
-    None,  # rand() streams differ per engine; determinism (same seed → same
-           # rows across runs) is asserted in tests/test_catalog.py
+    f"""
+    SELECT p_partkey, s_suppkey,
+           CAST(FLOOR({_lcg_uniform_sql(2654435761, 40503, 12345)} * 100 + 50) AS INT)
+             AS planned_qty,
+           FLOOR({_lcg_uniform_sql(997001, 65537, 424242)} * 0.05 * 10000.0) / 10000.0
+             AS defect_rate,
+           FLOOR((180.0 + ({_lcg_uniform_sql(179424673, 15485863, 7)}
+                           + {_lcg_uniform_sql(32452843, 49979687, 99)} - 1.0) * 5.0)
+                 * 100.0) / 100.0
+             AS temp_reading
+    FROM (SELECT p_partkey FROM part WHERE p_partkey <= 200)
+    CROSS JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey <= 10)
+    """,
     doc="Seeded synthetic feature generation (reference "
-        "update_ml_features.py:305-312 rand() batch-production features, "
-        "made reproducible per SURVEY §7.3(f)): rand/randn with fixed seeds "
-        "over the part×supplier cross of a bounded window",
+        "update_ml_features.py:305-312 rand() batch-production features, made "
+        "reproducible per SURVEY §7.3(f)).  Pseudo-randoms are KEY-DERIVED — "
+        "multiplicative-hash uniforms u = ((k1*a + k2*b + c) mod (2^31-1)) / "
+        "(2^31-1) — so every value is a pure function of the business key: "
+        "identical under any partition layout, cluster size, or engine "
+        "(F.rand(seed) is only fixed per layout).  The 'normal' temperature "
+        "uses an Irwin-Hall sum of two uniforms, avoiding transcendental "
+        "functions whose last-bit behavior differs across libm builds",
 )
 def seeded_synthetic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200).select("p_partkey")
     s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 10).select("s_suppkey")
-    return (
-        p.crossJoin(F.broadcast(s))
-        .withColumn("planned_qty", (F.rand(seed=42) * 100 + 50).cast("int"))
-        .withColumn("defect_rate", F.round(F.rand(seed=7) * 0.05, 4))
-        .withColumn("temp_reading", F.round(F.randn(seed=99) * 5 + 180, 2))
+
+    def u(a: int, b: int, c: int):
+        mixed = (
+            F.col("p_partkey").cast("bigint") * a
+            + F.col("s_suppkey").cast("bigint") * b
+            + F.lit(c)
+        ) % _LCG_M
+        return mixed / F.lit(float(_LCG_M))
+
+    u1 = u(2654435761, 40503, 12345)
+    u2 = u(997001, 65537, 424242)
+    u3 = u(179424673, 15485863, 7)
+    u4 = u(32452843, 49979687, 99)
+    return p.crossJoin(F.broadcast(s)).select(
+        "p_partkey",
+        "s_suppkey",
+        F.floor(u1 * 100 + 50).cast("int").alias("planned_qty"),
+        (F.floor(u2 * 0.05 * 10000.0) / 10000.0).alias("defect_rate"),
+        (F.floor((180.0 + (u3 + u4 - 1.0) * 5.0) * 100.0) / 100.0).alias("temp_reading"),
     )
 
 

@@ -228,36 +228,33 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_anti_orphans",
+    "join_semi_anti_membership",
     """
-    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    SELECT c.c_custkey, c.c_name, 'active' AS membership
+    FROM customer c
+    SEMI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, 'orphan' AS membership
     FROM customer c
     ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
       ON c.c_custkey = o.o_custkey
     """,
-    doc="J8 anti join — entities without facts (reference silver_to_gold.py:135 "
-        "SCD2 'new rows' branch, rewritten from left-join+IS NULL to native left_anti)",
+    doc="J8 anti join + semi join membership audit: entities with ≥1 "
+        "qualifying fact tagged 'active' (left_semi; the reference "
+        "approximates with DISTINCT joins, silver_to_gold.py:246-253) and "
+        "entities without facts tagged 'orphan' (left_anti; the SCD2 'new "
+        "rows' branch, silver_to_gold.py:135, rewritten from "
+        "left-join+IS NULL) — both sides shuffle once on the same key and "
+        "partition exactly like the plain joins at 100 TB",
 )
-def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
+    active = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("active").alias("membership")
     )
-
-
-@register(
-    "join_semi_active",
-    """
-    SELECT c.c_custkey, c.c_name
-    FROM customer c
-    SEMI JOIN orders o
-      ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
-    """,
-    doc="Semi join — entities with ≥1 qualifying fact (Spark-first extension; the "
-        "reference approximates with DISTINCT joins, silver_to_gold.py:246-253)",
-)
-def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+    orphans = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit("orphan").alias("membership")
+    )
+    return active.unionAll(orphans)

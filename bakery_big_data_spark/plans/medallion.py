@@ -13,9 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bakery_big_data_spark.operators.keys import add_surrogate_key
 from bakery_big_data_spark.operators.mutation import (
-    merge_insert_if_absent,
     merge_upsert_when_newer,
     scd2_apply,
     update_where,
@@ -26,59 +24,42 @@ _OUT_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
 
 @register(
-    "merge_dedup_insert_absent",
-    """
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-    FROM orders WHERE o_orderkey % 3 = 0
-    UNION ALL
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
-    """,
-    doc="S10 MERGE WHEN NOT MATCHED THEN INSERT * — dedup merge "
-        "(reference bronze_to_silver.py:78-83); target = keys ≡0 mod 3, "
-        "source = keys ≡0 mod 2 sent twice (duplicate delivery) — result must "
-        "contain each key exactly once",
-)
-def merge_dedup_insert_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select(*_OUT_COLS)
-    target = o.filter(F.col("o_orderkey") % 3 == 0)
-    batch = o.filter(F.col("o_orderkey") % 2 == 0)
-    source = batch.unionAll(batch)  # simulate at-least-once duplicate delivery
-    return merge_insert_if_absent(target, source, ["o_orderkey"])
-
-
-@register(
-    "merge_upsert_when_newer",
+    "merge_full_upsert",
     """
     WITH tgt AS (
       SELECT event_id, value AS silver_value, ts AS etl_ts, 0 AS src
       FROM events WHERE event_id <= 8000
-    ), srcb AS (
+    ), batch AS (
       SELECT event_id, value * 2 AS silver_value,
              CASE WHEN event_id % 2 = 0 THEN ts + INTERVAL 1 HOUR
                   ELSE ts - INTERVAL 1 HOUR END AS etl_ts,
              1 AS src
       FROM events WHERE event_id >= 4000
-    ), u AS (SELECT * FROM tgt UNION ALL SELECT * FROM srcb)
+    ), srcb AS (SELECT * FROM batch UNION ALL SELECT * FROM batch),
+    u AS (SELECT * FROM tgt UNION ALL SELECT * FROM srcb)
     SELECT event_id, silver_value, etl_ts
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
                                        ORDER BY etl_ts DESC, src ASC) AS rn
           FROM u)
     WHERE rn = 1
     """,
-    doc="S10 MERGE WHEN MATCHED AND s.etl_timestamp > t.etl_timestamp THEN "
-        "UPDATE, WHEN NOT MATCHED INSERT (reference bronze_to_silver.py:151-157); "
-        "even source keys are newer (win), odd are older (target kept), keys "
-        ">8000 are unmatched inserts",
+    doc="S10 full MERGE in one statement: WHEN MATCHED AND s.etl_timestamp > "
+        "t.etl_timestamp THEN UPDATE, WHEN NOT MATCHED THEN INSERT, with the "
+        "source delivered TWICE (at-least-once duplicate delivery — the "
+        "dedup-merge scenario of bronze_to_silver.py:78-83 composed with the "
+        "recency upsert of :151-157).  Even source keys are newer (win), odd "
+        "are older (target kept), keys >8000 insert exactly once despite the "
+        "double delivery.  Implemented as union + per-key lexicographic "
+        "max(struct) — map-side combinable, no window sort",
 )
-def merge_upsert_when_newer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def merge_full_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     target = ev.filter(F.col("event_id") <= 8000).select(
         "event_id",
         F.col("value").alias("silver_value"),
         F.col("ts").alias("etl_ts"),
     )
-    source = ev.filter(F.col("event_id") >= 4000).select(
+    batch = ev.filter(F.col("event_id") >= 4000).select(
         "event_id",
         (F.col("value") * 2).alias("silver_value"),
         F.when(
@@ -87,6 +68,7 @@ def merge_upsert_when_newer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("ts") - F.expr("INTERVAL 1 HOUR"))
         .alias("etl_ts"),
     )
+    source = batch.unionAll(batch)  # at-least-once duplicate delivery
     return merge_upsert_when_newer(target, source, ["event_id"], "etl_ts")
 
 
@@ -116,7 +98,7 @@ def update_status_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scd2_close_and_insert",
+    "scd2_versioning",
     """
     WITH cur AS (
       SELECT CAST(c_custkey * 10 AS BIGINT) AS surrogate_key, c_custkey,
@@ -125,12 +107,16 @@ def update_status_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stg AS (
       SELECT c_custkey,
              CASE WHEN c_custkey % 5 = 0 THEN 'SEGMENT-NEW' ELSE c_mktsegment END AS segment,
-             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 1.1
+                  WHEN c_custkey % 11 = 0 THEN c_acctbal * 1.02
+                  ELSE c_acctbal END AS acctbal
       FROM customer WHERE c_custkey <= 1400
     ), chg AS (
       SELECT s.* FROM stg s
       LEFT JOIN cur c USING (c_custkey)
-      WHERE c.c_custkey IS NULL OR s.segment <> c.segment OR s.acctbal <> c.acctbal
+      WHERE c.c_custkey IS NULL
+         OR s.segment <> c.segment
+         OR abs(s.acctbal - c.acctbal) / NULLIF(abs(c.acctbal), 0) > 0.05
     )
     SELECT c.surrogate_key, c.c_custkey, c.segment, c.acctbal,
            DATE '2023-01-01' AS start_date,
@@ -138,17 +124,23 @@ def update_status_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
            ch.c_custkey IS NULL AS is_current
     FROM cur c LEFT JOIN chg ch USING (c_custkey)
     UNION ALL
-    SELECT CAST(12000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT),
+    SELECT CAST((SELECT COALESCE(MAX(surrogate_key), 0) FROM cur)
+                + ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT),
            c_custkey, segment, acctbal,
            DATE '2024-06-01', NULL, TRUE
     FROM chg
     """,
-    doc="J4+S11 SCD Type 2 — detect drifted attributes, close open versions, "
-        "insert re-keyed new versions (reference silver_to_gold.py:130-165,"
-        "205-231); keys from the range-partitioned surrogate-key operator, "
-        "not a global window",
+    doc="J4+S11 SCD Type 2, full semantics in one pass (reference "
+        "silver_to_gold.py:130-165 dim_store + :205-231 dim_product_pricing): "
+        "new business keys insert, segment changes re-version, and balance "
+        "drift re-versions ONLY above the relative 5% threshold (the ~2% "
+        "ticks on every 11th key must not open versions, the 10% moves on "
+        "every 7th must).  Open versions close (end_date + flag), history "
+        "passes through, and the surrogate-key base is the lazy in-plan "
+        "COALESCE(MAX(key),0) — no driver scalar read; keys from the "
+        "range-partitioned surrogate-key operator, not a global window",
 )
-def scd2_close_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scd2_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     current = cust.filter(F.col("c_custkey") <= 1200).select(
         (F.col("c_custkey") * 10).cast("bigint").alias("surrogate_key"),
@@ -164,7 +156,8 @@ def scd2_close_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 5 == 0, "SEGMENT-NEW")
         .otherwise(F.col("c_mktsegment"))
         .alias("segment"),
-        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") * 1.1)
+        .when(F.col("c_custkey") % 11 == 0, F.col("c_acctbal") * 1.02)
         .otherwise(F.col("c_acctbal"))
         .alias("acctbal"),
     )
@@ -174,70 +167,14 @@ def scd2_close_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         business_key="c_custkey",
         tracked=["segment", "acctbal"],
         effective_date="2024-06-01",
-        key_base=12000,
-    )
-
-
-@register(
-    "scd2_price_change_threshold",
-    """
-    WITH cur AS (
-      SELECT CAST(p_partkey * 10 AS BIGINT) AS surrogate_key, p_partkey,
-             p_retailprice AS price
-      FROM part WHERE p_partkey <= 1500
-    ), stg AS (
-      SELECT p_partkey,
-             CASE WHEN p_partkey % 7 = 0 THEN p_retailprice * 1.1
-                  WHEN p_partkey % 11 = 0 THEN p_retailprice * 1.02
-                  ELSE p_retailprice END AS price
-      FROM part WHERE p_partkey <= 1500
-    ), chg AS (
-      SELECT s.* FROM stg s
-      JOIN cur c USING (p_partkey)
-      WHERE abs(s.price - c.price) / c.price > 0.05
-    )
-    SELECT c.surrogate_key, c.p_partkey, c.price,
-           DATE '2023-01-01' AS start_date,
-           CASE WHEN ch.p_partkey IS NOT NULL THEN DATE '2024-06-01' END AS end_date,
-           ch.p_partkey IS NULL AS is_current
-    FROM cur c LEFT JOIN chg ch USING (p_partkey)
-    UNION ALL
-    SELECT CAST(20000 + ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT),
-           p_partkey, price, DATE '2024-06-01', NULL, TRUE
-    FROM chg
-    """,
-    doc="SCD2 with a relative-drift threshold: re-version only when "
-        "abs(new-old)/old > 5% (reference dim_product_pricing, "
-        "silver_to_gold.py:205-212) — the ~2% price ticks (every 11th part) "
-        "must NOT open new versions, the ~10% changes (every 7th) must",
-)
-def scd2_price_change_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1500)
-    current = part.select(
-        (F.col("p_partkey") * 10).cast("bigint").alias("surrogate_key"),
-        "p_partkey",
-        F.col("p_retailprice").alias("price"),
-        F.lit("2023-01-01").cast("date").alias("start_date"),
-        F.lit(None).cast("date").alias("end_date"),
-        F.lit(True).alias("is_current"),
-    )
-    staged = part.select(
-        "p_partkey",
-        F.when(F.col("p_partkey") % 7 == 0, F.col("p_retailprice") * 1.1)
-        .when(F.col("p_partkey") % 11 == 0, F.col("p_retailprice") * 1.02)
-        .otherwise(F.col("p_retailprice"))
-        .alias("price"),
-    )
-    return scd2_apply(
-        current,
-        staged,
-        business_key="p_partkey",
-        tracked=["price"],
-        effective_date="2024-06-01",
-        key_base=20000,
+        key_base=None,  # lazy in-plan MAX(surrogate_key) — no driver action
         drift_condition=(
-            F.abs(F.col("price") - F.col("_cur_price")) / F.col("_cur_price")
-            > 0.05
+            (F.col("segment") != F.col("_cur_segment"))
+            | (
+                F.abs(F.col("acctbal") - F.col("_cur_acctbal"))
+                / F.nullif(F.abs(F.col("_cur_acctbal")), F.lit(0))
+                > 0.05
+            )
         ),
     )
 
@@ -326,18 +263,3 @@ def _late_arrival_frames(spark: SparkSession, sf_dir: str):
     return silver, reproc
 
 
-@register(
-    "surrogate_keys_scalable",
-    """
-    SELECT c_custkey, c_name,
-           CAST(1000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS surrogate_key
-    FROM customer
-    """,
-    doc="W1 at scale: dense sequential surrogate keys via range-partition + "
-        "offset + local row_number (operators/keys.py) — byte-identical to the "
-        "reference's global row_number (silver_to_gold.py:157-159) without the "
-        "single-partition bottleneck",
-)
-def surrogate_keys_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return add_surrogate_key(c, ["c_custkey"], base=1000)

@@ -8,11 +8,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bakery_big_data_spark.pipeline.medallion import (
     EVENT_RULES_SQL,
+    FEEDBACK_RULES_SQL,
     bronze_events,
+    bronze_feedback,
     gold_dim_calendar,
     gold_fact_daily,
     ml_features_daily,
     silver_events,
+    silver_feedback,
 )
 from bakery_big_data_spark.plans.base import register
 
@@ -101,3 +104,36 @@ def medallion_gold_daily_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def medallion_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = silver_events(bronze_events(spark, sf_dir))
     return ml_features_daily(gold_fact_daily(silver), gold_dim_calendar(silver))
+
+
+@register(
+    "medallion_feedback_silver",
+    f"""
+    WITH bronze AS (
+      SELECT event_id AS feedback_id,
+             ts AS feedback_time,
+             user_id AS customer_id,
+             CAST(event_id % 5 + 1 AS INT) AS rating,
+             event_type AS platform,
+             event_id % 3 = 0 AS verified_purchase
+      FROM events
+    ), scored AS (
+      SELECT *, {FEEDBACK_RULES_SQL} AS q FROM bronze
+    )
+    SELECT feedback_id, customer_id,
+           CAST(feedback_time AS DATE) AS feedback_date,
+           rating, platform, verified_purchase,
+           CASE WHEN rating >= 4 THEN 'positive'
+                WHEN rating = 3 THEN 'neutral'
+                ELSE 'negative' END AS sentiment_category,
+           q AS data_quality_score
+    FROM scored WHERE q >= 50
+    """,
+    doc="Bronze→Silver feedback path with rating→sentiment_category case "
+        "ladder + quality fold (reference load_bronze_from_csv.py:106-128; "
+        "the reference DECLARES silver.customer_feedback but ships no "
+        "processor for it — SURVEY §1.3 gap, closed per §7.2 step 6); "
+        "map-only, no shuffle",
+)
+def medallion_feedback_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silver_feedback(bronze_feedback(spark, sf_dir))

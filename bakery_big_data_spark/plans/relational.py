@@ -131,7 +131,7 @@ def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "case_when_bucketing",
+    "case_when_null_bucketing",
     """
     SELECT event_id,
            event_type,
@@ -142,13 +142,17 @@ def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 22 THEN 'evening'
              ELSE 'off_hours'
            END AS time_of_day,
-           CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS value_band
+           CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS value_band,
+           COALESCE(NULLIF(event_type, 'error'), 'unknown') AS event_type_clean,
+           COALESCE(value / NULLIF(user_id % 5, 0), 0.0) AS safe_ratio
     FROM events
     """,
-    doc="P9 when/otherwise ladder — time_of_day bucketing "
-        "(reference generate_sales_events.py:45-54, silver_to_gold.py:57-63)",
+    doc="P9+P11 conditional/null-handling projection: when/otherwise ladders "
+        "(time_of_day bucketing, generate_sales_events.py:45-54, "
+        "silver_to_gold.py:57-63) + coalesce/nullif defaults "
+        "(update_ml_features.py:126,147,253-255); one map-only pass",
 )
-def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def case_when_null_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     hour = F.hour("ts")
     return ev.select(
@@ -164,23 +168,6 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") >= 10, "mid")
         .otherwise("low")
         .alias("value_band"),
-    )
-
-
-@register(
-    "null_handling_coalesce",
-    """
-    SELECT event_id,
-           COALESCE(NULLIF(event_type, 'error'), 'unknown') AS event_type_clean,
-           COALESCE(value / NULLIF(user_id % 5, 0), 0.0) AS safe_ratio
-    FROM events
-    """,
-    doc="P11 coalesce/nullif null handling (reference update_ml_features.py:126,147,253-255)",
-)
-def null_handling_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
         F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")).alias(
             "event_type_clean"
         ),
@@ -191,29 +178,60 @@ def null_handling_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quality_score_report",
+    "report_quality_multi_table",
     f"""
-    SELECT score_band,
-           COUNT(*) AS n_rows,
-           {sql_davg('l_quantity', 'avg_qty')}
+    SELECT 'count' AS metric, table_name AS label, record_count AS n_rows,
+           CAST(NULL AS DOUBLE) AS avg_qty
     FROM (
-      SELECT l_quantity,
-             CASE WHEN q = 100 THEN 'perfect'
-                  WHEN q >= 50 THEN 'acceptable'
-                  ELSE 'poor' END AS score_band
-      FROM (SELECT l_quantity, {sales_rules_sql()} AS q FROM lineitem)
+      SELECT 'orders' AS table_name, COUNT(*) AS record_count FROM orders
+      UNION ALL
+      SELECT 'lineitem', COUNT(*) FROM lineitem
+      UNION ALL
+      SELECT 'customer', COUNT(*) FROM customer
+      UNION ALL
+      SELECT 'events', COUNT(*) FROM events
     )
-    GROUP BY score_band
-    ORDER BY score_band
+    UNION ALL
+    SELECT 'quality' AS metric, score_band AS label, n_rows,
+           avg_qty
+    FROM (
+      SELECT score_band,
+             COUNT(*) AS n_rows,
+             {sql_davg('l_quantity', 'avg_qty')}
+      FROM (
+        SELECT l_quantity,
+               CASE WHEN q = 100 THEN 'perfect'
+                    WHEN q >= 50 THEN 'acceptable'
+                    ELSE 'poor' END AS score_band
+        FROM (SELECT l_quantity, {sales_rules_sql()} AS q FROM lineitem)
+      )
+      GROUP BY score_band
+    )
     """,
-    doc="§2.11 + A10: quality-score rollup buckets perfect/acceptable/poor "
-        "(reference bronze_to_silver.py:242-278)",
+    doc="A10+U1/U2+A5+§2.11 unioned pipeline report: per-table record counts "
+        "(bakery_csv_etl_pipeline.py:127-146) stacked with the quality-score "
+        "rollup perfect/acceptable/poor (bronze_to_silver.py:242-278) — the "
+        "reference's report assembly is exactly this union of per-entity aggs",
 )
-def quality_score_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def report_quality_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(name: str) -> DataFrame:
+        return (
+            t(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit("count").alias("metric"),
+                F.lit(name).alias("label"),
+                "n_rows",
+                F.lit(None).cast("double").alias("avg_qty"),
+            )
+        )
+
+    counts = one("orders").unionAll(one("lineitem")).unionAll(one("customer")).unionAll(one("events"))
+
     li = t(spark, sf_dir, "lineitem")
     scored = apply_quality_rules(li, sales_rules())
     q = F.col("data_quality_score")
-    return (
+    quality = (
         scored.select(
             "l_quantity",
             F.when(q == 100, "perfect")
@@ -223,5 +241,11 @@ def quality_score_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("score_band")
         .agg(F.count(F.lit(1)).alias("n_rows"), davg("l_quantity", "avg_qty"))
-        .orderBy("score_band")
+        .select(
+            F.lit("quality").alias("metric"),
+            F.col("score_band").alias("label"),
+            "n_rows",
+            "avg_qty",
+        )
     )
+    return counts.unionAll(quality)

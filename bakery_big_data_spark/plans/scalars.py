@@ -14,114 +14,75 @@ from bakery_big_data_spark.plans.base import register, t
 
 
 @register(
-    "date_dimension_derivations",
+    "date_functions_calendar",
     """
-    SELECT CAST(o_orderdate AS DATE) AS d,
-           EXTRACT(day FROM o_orderdate) AS day_of_month,
-           EXTRACT(month FROM o_orderdate) AS month_num,
-           quarter(o_orderdate) AS quarter_num,
-           EXTRACT(year FROM o_orderdate) AS year_num,
-           dayname(o_orderdate) AS weekday_name,
-           monthname(o_orderdate) AS month_name,
-           CASE WHEN dayname(o_orderdate) IN ('Saturday','Sunday') THEN TRUE ELSE FALSE END AS is_weekend,
+    SELECT CAST(d AS DATE) AS calendar_date,
+           EXTRACT(day FROM d) AS day_of_month,
+           EXTRACT(month FROM d) AS month_num,
+           quarter(d) AS quarter_num,
+           EXTRACT(year FROM d) AS year_num,
+           dayname(d) AS weekday_name,
+           monthname(d) AS month_name,
+           CASE WHEN dayname(d) IN ('Saturday','Sunday') THEN TRUE ELSE FALSE END AS is_weekend,
            CASE
-             WHEN EXTRACT(month FROM o_orderdate) IN (12,1,2) THEN 'winter'
-             WHEN EXTRACT(month FROM o_orderdate) IN (3,4,5) THEN 'spring'
-             WHEN EXTRACT(month FROM o_orderdate) IN (6,7,8) THEN 'summer'
+             WHEN EXTRACT(month FROM d) IN (12,1,2) THEN 'winter'
+             WHEN EXTRACT(month FROM d) IN (3,4,5) THEN 'spring'
+             WHEN EXTRACT(month FROM d) IN (6,7,8) THEN 'summer'
              ELSE 'autumn'
-           END AS season
-    FROM (SELECT DISTINCT o_orderdate FROM orders) x
+           END AS season,
+           CAST(d - INTERVAL 30 DAY AS DATE) AS lookback_30d,
+           CAST(d + INTERVAL 7 DAY AS DATE) AS due_date,
+           date_diff('day', CAST(d AS DATE), DATE '2024-12-31') AS days_to_eoy,
+           last_day(CAST(d AS DATE)) AS month_end,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           epoch_us(CAST(d AS TIMESTAMP)) AS epoch_us
+    FROM (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY)) AS d
+    )
     """,
-    doc="§2.8 date-part derivations for dim_calendar "
-        "(reference silver_to_gold.py:44-64: dayofmonth/month/quarter/year, "
-        "date_format EEEE/MMMM, weekend + season case ladders)",
+    doc="§2.8 calendar dimension end to end: sequence(start, end, interval "
+        "1 day) + explode generation (reference silver_to_gold.py:44-46), "
+        "date-part derivations dayofmonth/month/quarter/year + "
+        "date_format EEEE/MMMM + weekend/season case ladders "
+        "(silver_to_gold.py:44-64), and date arithmetic "
+        "date_sub/date_add/datediff/last_day/trunc/unix-epoch "
+        "(silver_to_gold.py:184,251,264; update_ml_features.py:238,254; "
+        "bronze_to_silver.py:200) — one generated frame, map-only",
 )
-def date_dimension_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_orderdate").distinct()
-    month = F.month("o_orderdate")
-    weekday = F.date_format("o_orderdate", "EEEE")
-    return o.select(
-        F.col("o_orderdate").cast("date").alias("d"),
-        F.dayofmonth("o_orderdate").alias("day_of_month"),
+def date_functions_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-12-31', interval 1 day)) AS d"
+    )
+    d = F.col("d")
+    month = F.month(d)
+    weekday = F.date_format(d, "EEEE")
+    return cal.select(
+        d.alias("calendar_date"),
+        F.dayofmonth(d).alias("day_of_month"),
         month.alias("month_num"),
-        F.quarter("o_orderdate").alias("quarter_num"),
-        F.year("o_orderdate").alias("year_num"),
+        F.quarter(d).alias("quarter_num"),
+        F.year(d).alias("year_num"),
         weekday.alias("weekday_name"),
-        F.date_format("o_orderdate", "MMMM").alias("month_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
         weekday.isin("Saturday", "Sunday").alias("is_weekend"),
         F.when(month.isin(12, 1, 2), "winter")
         .when(month.isin(3, 4, 5), "spring")
         .when(month.isin(6, 7, 8), "summer")
         .otherwise("autumn")
         .alias("season"),
+        F.date_sub(d, 30).alias("lookback_30d"),
+        F.date_add(d, 7).alias("due_date"),
+        F.datediff(F.lit("2024-12-31").cast("date"), d).cast("bigint").alias("days_to_eoy"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        # session tz is pinned to UTC (tune()), so the timestamp cast makes
+        # unix_micros agree with DuckDB's naive epoch_us.
+        F.unix_micros(d.cast("timestamp")).alias("epoch_us"),
     )
 
 
 @register(
-    "calendar_generation",
-    """
-    SELECT CAST(d AS DATE) AS calendar_date,
-           EXTRACT(year FROM d) AS year_num,
-           EXTRACT(month FROM d) AS month_num,
-           dayname(d) AS weekday_name
-    FROM (
-      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS d
-    )
-    """,
-    doc="§2.8 calendar generation: sequence(start, end, interval 1 day) + explode "
-        "(reference silver_to_gold.py:44-46)",
-)
-def calendar_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cal = spark.sql(
-        """
-        SELECT explode(sequence(DATE'2024-01-01', DATE'2024-03-31', interval 1 day)) AS d
-        """
-    )
-    return cal.select(
-        F.col("d").alias("calendar_date"),
-        F.year("d").alias("year_num"),
-        F.month("d").alias("month_num"),
-        F.date_format("d", "EEEE").alias("weekday_name"),
-    )
-
-
-@register(
-    "date_arithmetic",
-    """
-    SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS order_date,
-           CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS lookback_30d,
-           CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS due_date,
-           date_diff('day', o_orderdate, TIMESTAMP '2001-12-31') AS days_to_eoy,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           epoch_us(o_orderdate) AS order_epoch_us
-    FROM orders
-    WHERE o_orderkey <= 2000
-    """,
-    doc="§2.8 date math: date_sub/date_add/datediff/last_day/trunc/unix epoch "
-        "(reference silver_to_gold.py:184,251,264; update_ml_features.py:238,254; "
-        "bronze_to_silver.py:200)",
-)
-def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
-    d = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        d.cast("date").alias("order_date"),
-        F.date_sub(d.cast("date"), 30).alias("lookback_30d"),
-        F.date_add(d.cast("date"), 7).alias("due_date"),
-        F.datediff(F.lit("2001-12-31").cast("date"), d.cast("date")).cast("bigint").alias("days_to_eoy"),
-        F.last_day(d.cast("date")).alias("month_end"),
-        F.trunc(d.cast("date"), "month").alias("month_start"),
-        # o_orderdate is TIMESTAMP_NTZ; session tz is pinned to UTC (tune()),
-        # so the cast makes unix_micros agree with DuckDB's naive epoch_us.
-        F.unix_micros(d.cast("timestamp")).alias("order_epoch_us"),
-    )
-
-
-@register(
-    "string_functions",
+    "string_math_functions",
     """
     SELECT c_custkey,
            upper(c_name) AS name_upper,
@@ -133,16 +94,31 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim(c_name) AS name_trimmed,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
            replace(c_name, '#', '-') AS name_dashed,
-           regexp_extract(c_name, '([0-9]+)', 1) AS key_digits
+           regexp_extract(c_name, '([0-9]+)', 1) AS key_digits,
+           abs(c_acctbal - 1000.0) AS bal_deviation,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 5000.0) AS bal_cap5000,
+           greatest(least(c_acctbal * 2.5, 5000.0), 0.0) AS bal_clamped,
+           sqrt(abs(c_acctbal)) AS bal_sqrt,
+           power(c_acctbal, 2) AS bal_sq,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           CAST(sign(c_acctbal - 1000.0) AS BIGINT) AS bal_sign,
+           mod(c_custkey, 7) AS key_mod7
     FROM customer
     WHERE c_custkey <= 500
     """,
-    doc="§2.8 string functions: concat/concat_ws/upper/lower/substring/length/"
-        "trim/lpad/replace/regexp_extract (reference silver_to_gold.py:257-258, "
-        "update_ml_features.py:140,251,302-303, load_bronze_from_csv.py:7)",
+    doc="§2.8 string + math functions in one map-only pass: "
+        "concat/concat_ws/upper/lower/substring/length/trim/lpad/replace/"
+        "regexp_extract (reference silver_to_gold.py:257-258, "
+        "update_ml_features.py:140,251,302-303, load_bronze_from_csv.py:7) "
+        "and abs/greatest/least/clamp/sqrt/pow/floor/ceil/sign/mod "
+        "(silver_to_gold.py:392-395 efficiency clamp, "
+        "update_ml_features.py:263-269 probability cap, silver_to_gold.py:211)",
 )
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def string_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    bal = F.col("c_acctbal")
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
@@ -155,70 +131,44 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
         F.replace("c_name", F.lit("#"), F.lit("-")).alias("name_dashed"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("key_digits"),
-    )
-
-
-@register(
-    "math_functions",
-    """
-    SELECT l_orderkey,
-           l_linenumber,
-           abs(l_discount - 0.05) AS discount_deviation,
-           greatest(l_quantity, 10.0) AS qty_floor10,
-           least(l_quantity, 40.0) AS qty_cap40,
-           greatest(least(l_quantity * 2.5, 100.0), 0.0) AS efficiency_clamped,
-           sqrt(l_extendedprice) AS price_sqrt,
-           power(l_discount, 2) AS discount_sq,
-           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-           CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
-           mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7
-    FROM lineitem
-    WHERE l_orderkey <= 1000
-    """,
-    doc="§2.8 math: abs/greatest/least/clamp/sqrt/pow/floor/ceil/sign/mod "
-        "(reference silver_to_gold.py:392-395 efficiency clamp, "
-        "update_ml_features.py:263-269 probability cap, silver_to_gold.py:211 abs)",
-)
-def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("discount_deviation"),
-        F.greatest("l_quantity", F.lit(10.0)).alias("qty_floor10"),
-        F.least("l_quantity", F.lit(40.0)).alias("qty_cap40"),
-        F.greatest(F.least(F.col("l_quantity") * 2.5, F.lit(100.0)), F.lit(0.0)).alias(
-            "efficiency_clamped"
-        ),
-        F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.pow("l_discount", 2).alias("discount_sq"),
+        F.abs(bal - 1000.0).alias("bal_deviation"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(5000.0)).alias("bal_cap5000"),
+        F.greatest(F.least(bal * 2.5, F.lit(5000.0)), F.lit(0.0)).alias("bal_clamped"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        F.pow(bal, 2).alias("bal_sq"),
         # Engine-stable integer widths on both sides: Spark floor/ceil yield
         # BIGINT natively (DuckDB's yield DOUBLE → oracle casts), and signum
         # yields DOUBLE (DuckDB sign yields TINYINT → both cast to BIGINT).
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
-        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
-        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.signum(bal - 1000.0).cast("bigint").alias("bal_sign"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
     )
 
 
 @register(
-    "json_extract_payload",
+    "json_payload_roundtrip",
     """
     SELECT event_id,
            event_type,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
            CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
-                THEN 'high' ELSE 'low' END AS k_band
+                THEN 'high' ELSE 'low' END AS k_band,
+           to_json(struct_pack(
+             event_type := event_type,
+             user_id := user_id,
+             k := CAST(json_extract_string(props, '$.k') AS INT)
+           )) AS payload_json
     FROM events
     """,
-    doc="§2.8 JSON unpack of semi-structured payload column "
-        "(reference stream_to_bronze.py:59,107,112 from_json; "
-        "init_iceberg_tables.py:94 raw_payload STRING)",
+    doc="§2.8 JSON both directions in one map-only pass: unpack of the "
+        "semi-structured payload column (reference stream_to_bronze.py:59,"
+        "107,112 from_json; init_iceberg_tables.py:94 raw_payload STRING) "
+        "plus struct→JSON re-assembly (load_bronze_from_csv.py:84-96,117-125)",
 )
-def json_extract_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+def json_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return ev.select(
@@ -227,33 +177,11 @@ def json_extract_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_str"),
         k.cast("int").alias("k_int"),
         F.when(k.cast("int") >= 50, "high").otherwise("low").alias("k_band"),
-    )
-
-
-@register(
-    "json_struct_roundtrip",
-    """
-    SELECT event_id,
-           to_json(struct_pack(
-             event_type := event_type,
-             user_id := user_id,
-             k := CAST(json_extract_string(props, '$.k') AS INT)
-           )) AS payload_json
-    FROM events
-    WHERE event_id <= 1000
-    """,
-    doc="§2.8 struct→JSON re-assembly (reference load_bronze_from_csv.py:84-96,"
-        "117-125 struct(...)→to_json nesting rebuild)",
-)
-def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
-    return ev.select(
-        "event_id",
         F.to_json(
             F.struct(
                 F.col("event_type").alias("event_type"),
                 F.col("user_id").alias("user_id"),
-                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                k.cast("int").alias("k"),
             )
         ).alias("payload_json"),
     )

@@ -21,6 +21,7 @@ from bakery_big_data_spark.streaming.ingest import (
     JSON_OPTIONS,
     read_json_stream,
     start_append_sink,
+    windowed_counts,
 )
 
 _SCRATCH = "/root/repo/.scratch/streaming_replay"
@@ -59,3 +60,50 @@ def streaming_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "streaming_watermark_parity",
+    f"""
+    WITH src AS (
+      SELECT ts, event_type FROM events WHERE event_id < {_N}
+    ), m AS (SELECT MAX(ts) AS mx FROM src)
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM src, m
+    GROUP BY date_trunc('hour', ts), event_type, mx
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+    """,
+    doc="T1-T4 watermarked tumbling-window aggregation, STREAM-RUN: the "
+        "JSON-lines stream drains under availableNow through "
+        "withWatermark('ts','10 minutes') + window('ts','1 hour') in append "
+        "mode into a checkpointed sink, and the landed frame is returned.  "
+        "Append mode emits exactly the windows whose end the final watermark "
+        "(max event time − 10 min) passed — the oracle states that cutoff "
+        "declaratively, so the driver hash-checks the streaming runtime's "
+        "late-data semantics (reference stream_to_bronze.py:157-163 "
+        "watermark; window aggs are a rebuild extension, SURVEY §2.9 "
+        "'not present')",
+)
+def streaming_watermark_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_wm")
+    src, out, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if not os.path.exists(src):
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        ev.select(
+            F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(src)
+    agg = windowed_counts(
+        read_json_stream(spark, src),
+        watermark_delay="10 minutes",
+        window_size="1 hour",
+    )
+    q = start_append_sink(agg, out, ckpt, available_now=True, query_name="wm_parity")
+    q.awaitTermination()
+    return spark.read.parquet(out).select("window_start", "event_type", "n_events")

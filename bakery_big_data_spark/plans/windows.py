@@ -22,22 +22,23 @@ from bakery_big_data_spark.plans.base import DEC, dsum, register, sql_dsum, t
 @register(
     "window_surrogate_keys",
     """
-    SELECT s_suppkey,
-           s_name,
-           1000 + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS surrogate_key
-    FROM supplier
+    SELECT c_custkey, c_name,
+           CAST(1000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS surrogate_key
+    FROM customer
     """,
-    doc="W1 surrogate-key assignment: max_key + row_number over global order "
-        "(reference silver_to_gold.py:157-159); small-dim-only pattern",
+    doc="W1 surrogate-key assignment: max_key + dense sequence in a total "
+        "order (reference silver_to_gold.py:157-159).  The reference's global "
+        "row_number single-partitions; this runs the scalable equivalent — "
+        "range-partition + per-partition row_number + broadcast partition "
+        "offsets (operators/keys.py) — which is byte-identical to the "
+        "reference shape (the oracle IS the global row_number) without the "
+        "one-partition bottleneck at 100 TB",
 )
 def window_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = t(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_suppkey")
-    return s.select(
-        "s_suppkey",
-        "s_name",
-        (F.lit(1000) + F.row_number().over(w)).alias("surrogate_key"),
-    )
+    from bakery_big_data_spark.operators.keys import add_surrogate_key
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return add_surrogate_key(c, ["c_custkey"], base=1000)
 
 
 @register(
@@ -63,34 +64,7 @@ def window_partitioned_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_lead_session_gap",
-    """
-    SELECT user_id,
-           event_id,
-           (epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-            - epoch_us(ts)) / 3600000000.0 AS gap_hours
-    FROM events
-    WHERE user_id <= 50
-    """,
-    doc="W3 lead() next-event gap — operational-hours calc "
-        "(reference bronze_to_silver.py:193-201); microsecond-integer arithmetic "
-        "for cross-engine determinism",
-)
-def window_lead_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        (
-            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
-            / F.lit(3600000000.0)
-        ).alias("gap_hours"),
-    )
-
-
-@register(
-    "window_moving_average",
+    "window_moving_cumulative",
     f"""
     WITH daily AS (
       SELECT o_orderstatus,
@@ -102,64 +76,40 @@ def window_lead_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            order_date,
            daily_revenue,
-           CAST(SUM(CAST(daily_revenue AS DECIMAL(30,6))) OVER w AS DOUBLE)
-             / COUNT(daily_revenue) OVER w AS revenue_ma8
+           CAST(SUM(CAST(daily_revenue AS DECIMAL(30,6))) OVER w8 AS DOUBLE)
+             / COUNT(daily_revenue) OVER w8 AS revenue_ma8,
+           CAST(SUM(CAST(daily_revenue AS DECIMAL(30,6))) OVER wcum AS DOUBLE)
+             AS revenue_cum
     FROM daily
-    WINDOW w AS (
-      PARTITION BY o_orderstatus ORDER BY order_date
-      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
-    )
+    WINDOW
+      w8 AS (PARTITION BY o_orderstatus ORDER BY order_date
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+      wcum AS (PARTITION BY o_orderstatus ORDER BY order_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
-    doc="W4 8-row trailing moving average over a daily rollup "
-        "(reference update_ml_features.py:66-71 rowsBetween(-7,0))",
+    doc="W4+W5 trailing 8-row moving average (reference "
+        "update_ml_features.py:66-71 rowsBetween(-7,0)) and running "
+        "cumulative sum (update_ml_features.py:190,198-201) over one daily "
+        "rollup — both frames share a single partition/order, so Spark "
+        "computes them in one Window exec over one shuffle",
 )
-def window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_moving_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     daily = o.groupBy(
         "o_orderstatus", F.col("o_orderdate").cast("date").alias("order_date")
     ).agg(dsum("o_totalprice", "daily_revenue"))
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("order_date")
-        .rowsBetween(-7, Window.currentRow)
-    )
+    base = Window.partitionBy("o_orderstatus").orderBy("order_date")
+    w8 = base.rowsBetween(-7, Window.currentRow)
+    wcum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
         "o_orderstatus",
         "order_date",
         "daily_revenue",
         (
-            F.sum(F.col("daily_revenue").cast(DEC)).over(w).cast("double")
-            / F.count("daily_revenue").over(w)
+            F.sum(F.col("daily_revenue").cast(DEC)).over(w8).cast("double")
+            / F.count("daily_revenue").over(w8)
         ).alias("revenue_ma8"),
-    )
-
-
-@register(
-    "window_cumulative_sum",
-    """
-    SELECT user_id,
-           event_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_value
-    FROM events
-    WHERE user_id <= 50
-    """,
-    doc="W5 cumulative sum per entity ordered by time "
-        "(reference update_ml_features.py:190,198-201 running operational hours)",
-)
-def window_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.sum(F.col("daily_revenue").cast(DEC)).over(wcum).cast("double").alias("revenue_cum"),
     )
 
 
@@ -239,8 +189,8 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "topk_per_group",
-    f"""
+    "topk_leaderboards",
+    """
     WITH ranked AS (
       SELECT n.n_name AS nation_name,
              c.c_custkey,
@@ -249,40 +199,57 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
              ) AS rn
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    global_top AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 25
     )
-    SELECT nation_name, c_custkey, c_acctbal, rn AS rank_in_nation
+    SELECT 'nation:' || nation_name AS scope, c_custkey AS entity_key,
+           c_acctbal AS metric, rn AS rnk
     FROM ranked WHERE rn <= 3
+    UNION ALL
+    SELECT 'orders:global' AS scope, o_orderkey AS entity_key,
+           o_totalprice AS metric, rn AS rnk
+    FROM global_top
     """,
-    doc="O-family top-k per group via window ranking (reference's ranking mechanism "
-        "is row_number, SURVEY.md §2.6); avoids any global sort",
+    doc="O1/O2 + per-group top-k leaderboards in one frame: top-3 customers "
+        "per nation via partitioned row_number (the reference's ranking "
+        "mechanism, SURVEY.md §2.6) unioned with the global top-25 orders — "
+        "the global branch is ORDER BY + LIMIT, which Spark plans as "
+        "TakeOrderedAndProject (per-partition top-k + driver merge, no full "
+        "sort); ranks are then assigned on the 25 surviving rows only",
 )
-def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_leaderboards(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     w = Window.partitionBy("nation_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return (
+    per_nation = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation_name"), "c_custkey", "c_acctbal")
-        .withColumn("rank_in_nation", F.row_number().over(w))
-        .filter(F.col("rank_in_nation") <= 3)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.concat(F.lit("nation:"), F.col("nation_name")).alias("scope"),
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_acctbal").alias("metric"),
+            "rnk",
+        )
     )
-
-
-@register(
-    "order_by_limit_topk",
-    """
-    SELECT o_orderkey, o_totalprice, o_orderpriority
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 25
-    """,
-    doc="O1/O2 global ORDER BY + LIMIT — Spark plans this as TakeOrderedAndProject "
-        "(per-partition top-k + driver merge), no full sort at scale",
-)
-def order_by_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    # top-k first (TakeOrderedAndProject), then rank the 25 survivors locally
+    w_global = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    global_top = (
+        o.select("o_orderkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
+        .select(
+            F.lit("orders:global").alias("scope"),
+            F.col("o_orderkey").alias("entity_key"),
+            F.col("o_totalprice").alias("metric"),
+            F.row_number().over(w_global).alias("rnk"),
+        )
     )
+    return per_nation.unionAll(global_top)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from bakery_big_data_spark.plans import REGISTRY
+from bakery_big_data_spark.plans import DRIVER_WINDOW, REGISTRY
 from tests.oracle import compare, duck_connect
 
 
@@ -50,3 +50,14 @@ def test_contract_shapes():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_driver_window_composition():
+    """The first 50 registrations are the driver-checked window: they must be
+    exactly DRIVER_WINDOW, in order, and every one must carry a DuckDB oracle
+    (a hash-checkable row, not a weaker rows-only record)."""
+    names = list(REGISTRY)
+    assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    assert len(DRIVER_WINDOW) == 50
+    missing_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert not missing_oracle, f"window queries without an oracle: {missing_oracle}"

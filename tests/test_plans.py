@@ -26,6 +26,11 @@ NESTED_LOOP_ALLOWED = {
     # deliberate bounded cross join (200 parts × 10 suppliers) — the
     # reference's feature-synthesis shape (update_ml_features.py:301)
     "seeded_synthetic_features",
+    # deliberate 1-row broadcast: the lazy in-plan COALESCE(MAX(key),0)
+    # surrogate-key base crossed onto the insert rows (operators/mutation.py
+    # scd2_apply) — the declarative replacement for an eager .first() lookup;
+    # the nested-loop side is exactly one row
+    "scd2_versioning",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
@@ -69,5 +74,5 @@ def test_dim_joins_broadcast(spark, sf_dir):
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "order_by_limit_topk")
+    plan = _plan(spark, sf_dir, "topk_leaderboards")
     assert "TakeOrderedAndProject" in plan

@@ -53,6 +53,39 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert a == again
 
 
+def test_ann_recall_bar_sf001(spark):
+    """Quantitative quality bar at driver scale (sf0.01): the multi-table
+    multi-probe operating point (L=4 tables, 6 planes, Hamming≤2) must reach
+    recall@10 ≥ 0.9 against the exact baseline — on UNIFORM-RANDOM vectors,
+    the worst case for LSH (real clustered embeddings recall higher at the
+    same cost)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    approx = ann_topk(
+        queries, emb, "vec_id", "embedding", k=10,
+        num_tables=4, probe_hamming=2,
+    )
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    a = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"multi-table ANN recall below bar: {recall}"
+
+
+def test_ivf_recall_bar_sf001(spark):
+    """IVF at driver scale: probing 12/16 cells must reach recall@10 ≥ 0.9
+    vs the exact baseline on uniform-random vectors (the n_probe dial's
+    documented high-recall operating point)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    approx = ivf_topk(queries, emb, "vec_id", "embedding", k=10, n_probe=12)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    a = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall below bar: {recall}"
+
+
 def test_hyperplane_bucketing_prunes(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     planes = hyperplane_planes(6, 64, seed=7)
