@@ -76,3 +76,23 @@ def test_dim_joins_broadcast(spark, sf_dir):
 def test_topk_avoids_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_leaderboards")
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name,col",
+    [
+        ("filter_project_cast", "o_totalprice"),
+        ("string_math_functions", "c_custkey"),
+        ("update_status_flip", "o_orderkey"),  # projection only — see below
+    ],
+)
+def test_filters_and_projection_reach_scan(name, col, spark, sf_dir):
+    """Merged queries must not lose pushdown: the filter (or at minimum the
+    pruned column list) appears at the FileScan."""
+    plan = _plan(spark, sf_dir, name)
+    scan = plan[plan.index("FileScan") :]
+    assert col in scan.split("ReadSchema")[0] or col in scan, f"{name}: {col} not at scan"
+    if name != "update_status_flip":
+        assert "PushedFilters: [" in scan
+        pushed = scan.split("PushedFilters: [")[1].split("]")[0]
+        assert pushed.strip(), f"{name}: no pushed filters"
