@@ -1,5 +1,5 @@
-"""Write-path query: partitioned-table scan with partition pruning (S5/S7/
-S12 demonstrated through the driver contract).
+"""Write-path queries: partition pruning and bucketed co-located joins
+(S5/S7/S12 demonstrated through the driver contract).
 
 ``partition_pruned_scan`` materializes a date-partitioned copy of ``events``
 once per scale factor (idempotent, under the repo-local ``.scratch/``
@@ -7,6 +7,13 @@ directory), then aggregates one day through the partition filter — the plan
 touches exactly one partition directory (asserted via explain in
 tests/test_io.py; reference semantics: PARTITIONED BY (date) +
 literal-date scans, init_iceberg_tables.py:46 / bronze_to_silver.py:39-43).
+
+``bucketed_colocated_join`` pre-buckets both join sides on the key — the
+other half of the 100 TB partitioning story: a fact-fact join too big to
+broadcast normally shuffles BOTH sides every run; bucketing pays that
+shuffle once at write time, after which every join and every per-key
+aggregation on the bucket key plans with ZERO Exchange nodes (asserted in
+tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -61,4 +68,73 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+_N_BUCKETS = 8
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + customer as bucketed/sorted catalog tables
+    (once per catalog lifetime and scale factor): ``bucketBy(8, custkey)
+    .sortBy(custkey)`` on both sides, so they are hash-co-located AND
+    pre-sorted on the join key.
+
+    Tables are EXTERNAL (explicit ``path`` under ``.scratch/``) — bucket
+    metadata lives in the session catalog, so a fresh catalog must rewrite
+    even if a previous session left data behind (bucketed reads without the
+    catalog's bucket spec would silently lose co-location).
+    """
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    out: list[str] = []
+    for table, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"bkt_{table}_{tag}"
+        if not spark.catalog.tableExists(name):
+            path = os.path.join("/root/repo/.scratch/bucketed", name)
+            if os.path.exists(path):
+                shutil.rmtree(path)  # data from a previous catalog's table
+            (
+                t(spark, sf_dir, table)
+                .write.bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        out.append(name)
+    return out[0], out[1]
+
+
+@register(
+    "bucketed_colocated_join",
+    f"""
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'lifetime_value')}
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey <= 1000
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    doc="Bucketed co-located join + co-located aggregation: both sides are "
+        "bucketBy(8, custkey).sortBy(custkey) catalog tables, so the "
+        "SortMergeJoin needs NO Exchange and NO Sort on either side, and "
+        "the per-customer aggregation reuses the same hash distribution — "
+        "the whole plan runs with zero shuffles (tests/test_plans.py "
+        "asserts no Exchange node).  At 100 TB this converts every "
+        "recurring fact-fact join on the bucket key from two full shuffles "
+        "per run into a one-time write-side cost",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_name, c_name = bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    c = spark.table(c_name).filter(F.col("c_custkey") <= 1000)
+    joined = c.hint("merge").join(o, c.c_custkey == o.o_custkey)
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("lifetime_value"),
     )

@@ -78,6 +78,16 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
+    """Both sides bucketed+sorted on the join key: the SortMergeJoin and the
+    downstream per-key aggregation must introduce NO shuffle and NO sort —
+    the co-location contract that makes recurring fact-fact joins shuffle-free
+    at 100 TB."""
+    plan = _plan(spark, sf_dir, "bucketed_colocated_join")
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert "SortMergeJoin" in plan
+
+
 @pytest.mark.parametrize(
     "name,col",
     [
