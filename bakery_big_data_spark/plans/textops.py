@@ -35,20 +35,30 @@ def _tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
+#: GPT-2-shaped pretokenizer classes restricted to constructs whose
+#: semantics are identical in Java regex (Spark) and DuckDB's RE2:
+#: optional leading space + letter run | digit run | punctuation run.
+_BPE_ISH_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
 @register(
     "text_token_stats",
-    """
+    f"""
     SELECT doc_id,
            len(ws) AS n_tokens,
            len(list_distinct(ws)) AS n_distinct_tokens,
            CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio,
            CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
-             AS avg_token_len
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             AS avg_token_len,
+           len(regexp_extract_all(text, '{_BPE_ISH_RE}')) AS n_bpe_tokens
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
     """,
-    doc="Token counting + lexical-diversity stats (whitespace tokenizer): "
-        "token count, vocabulary size, type-token ratio, mean token length — "
-        "map-only, integer set math with one double division per stat",
+    doc="Token counting + lexical-diversity stats: whitespace tokenizer "
+        "(count, vocabulary, type-token ratio, mean token length) plus a "
+        "BPE-ish pretokenizer count (GPT-2-shaped regex: space-prefixed "
+        "letter/digit/punctuation runs — the token-budget estimator an LLM "
+        "data pipeline uses before spending real BPE) — map-only, "
+        "engine-identical regex subset",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
@@ -64,6 +74,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_distinct_tokens"),
         (nd.cast("double") / n).alias("type_token_ratio"),
         (tok_chars.cast("double") / n).alias("avg_token_len"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH_RE}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
     )
 
 
