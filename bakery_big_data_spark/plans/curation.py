@@ -1,0 +1,186 @@
+"""Dataset-curation queries over ``documents.parquet`` — the training-data
+assembly family (deterministic splits, benchmark decontamination, quality
+filter funnels).
+
+These are the operations a large-scale pretraining pipeline runs after
+dedup/similarity and before tokenization (reference has no analogue; scope
+extension per the LLM-data-pipeline brief, same pattern as plans/dedup.py /
+plans/textops.py):
+
+- ``curation_hash_split``: train/val/test assignment that is a pure function
+  of the business key — identical under any partition layout, cluster size,
+  or engine.  ``F.rand(seed)`` is only fixed per layout, and at 100 TB a
+  re-run with different input splits silently reshuffles examples across
+  splits (train/test leakage); key-derived uniforms cannot.
+- ``curation_contamination_check``: word-trigram overlap between the corpus
+  and a benchmark set.  The benchmark gram set is tiny relative to the
+  corpus, so the plan is corpus-side map (explode grams) → broadcast-hash
+  semi-join against benchmark grams → per-doc count; the corpus is streamed
+  exactly once and never shuffled on content.
+- ``curation_filter_funnel``: per-stage survivor accounting for a chained
+  quality filter (length → lexical diversity → language) — one conditional
+  aggregation, map-side combinable, the standard "retention report" every
+  curation run publishes.
+
+All three are built-in-expression only (no UDFs) and DuckDB-oracle checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.operators.dedup import word_shingles
+from bakery_big_data_spark.plans.base import register, t
+
+_LCG_M = 2147483647  # 2^31 - 1; mixes stay far below 2^63 (ANSI-safe)
+_SPLIT_A = 2654435761  # Knuth multiplicative-hash constant
+_SPLIT_C = 97531
+
+
+@register(
+    "curation_hash_split",
+    f"""
+    SELECT doc_id,
+           ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_LCG_M}) / {float(_LCG_M)} AS u,
+           CASE
+             WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_LCG_M}) / {float(_LCG_M)} < 0.8
+               THEN 'train'
+             WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_LCG_M}) / {float(_LCG_M)} < 0.9
+               THEN 'val'
+             ELSE 'test'
+           END AS split,
+           n_chars
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split: u = ((doc_id*a + c) mod (2^31-1)) "
+        "/ (2^31-1), thresholds 0.8/0.9.  Key-derived, so the assignment is "
+        "identical under any partition layout or cluster size (F.rand(seed) "
+        "is not) — re-runs at 100 TB can never leak examples across splits.  "
+        "Map-only, no shuffle",
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id").cast("bigint") * _SPLIT_A + F.lit(_SPLIT_C)) % _LCG_M
+    ) / F.lit(float(_LCG_M))
+    return d.select(
+        "doc_id",
+        u.alias("u"),
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+        "n_chars",
+    )
+
+
+@register(
+    "curation_contamination_check",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 25 = 0
+    ), corpus AS (
+      SELECT doc_id, gs, len(gs) AS n_grams FROM grams WHERE doc_id % 25 <> 0
+    ), shared AS (
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
+      JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    )
+    SELECT corpus.doc_id,
+           n_grams,
+           COALESCE(n_shared, 0) AS n_shared,
+           CASE WHEN n_grams = 0 THEN 0.0
+                ELSE CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams
+           END AS contamination_ratio
+    FROM corpus LEFT JOIN shared ON corpus.doc_id = shared.doc_id
+    """,
+    doc="Benchmark decontamination: for every corpus doc, the fraction of its "
+        "distinct word trigrams that appear in any benchmark doc (benchmark = "
+        "doc_id % 25 = 0 here; in production the held-out eval suites).  Plan: "
+        "corpus-side gram explode (map) -> broadcast-hash join against the "
+        "small distinct benchmark gram set -> per-doc count.  The corpus is "
+        "scanned once and shuffled only on doc_id for the count; at 100 TB "
+        "the benchmark grams (MBs) broadcast to every executor",
+)
+def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", 3).alias("gs")
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") % 25 != 0).select(
+        "doc_id", "gs", F.size("gs").alias("n_grams")
+    )
+    shared = (
+        corpus.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        corpus.drop("gs")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_grams")
+            )
+            .alias("contamination_ratio"),
+        )
+    )
+
+
+@register(
+    "curation_filter_funnel",
+    """
+    SELECT COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE n_chars >= 150) AS n_len,
+           COUNT(*) FILTER (WHERE n_chars >= 150 AND ttr >= 0.4) AS n_len_ttr,
+           COUNT(*) FILTER (WHERE n_chars >= 150 AND ttr >= 0.4 AND lang = 'en')
+             AS n_len_ttr_lang,
+           CAST(COUNT(*) FILTER (WHERE n_chars >= 150 AND ttr >= 0.4
+                                   AND lang = 'en') AS DOUBLE) / COUNT(*)
+             AS retention
+    FROM (
+      SELECT n_chars, lang,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    )
+    """,
+    doc="Quality-filter funnel with per-stage survivor accounting: length "
+        "(n_chars >= 150) -> lexical diversity (type-token ratio >= 0.4) -> "
+        "language (en), reported as one row of stage counts + final retention. "
+        "Single conditional aggregation over one scan — map-side combinable, "
+        "no intermediate materialization per stage",
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    staged = d.select(
+        (F.col("n_chars") >= 150).alias("p_len"),
+        ((F.col("n_chars") >= 150) & (ttr >= 0.4)).alias("p_ttr"),
+        ((F.col("n_chars") >= 150) & (ttr >= 0.4) & (F.col("lang") == "en")).alias(
+            "p_all"
+        ),
+    )
+    cnt = lambda p: F.count_if(F.col(p))  # noqa: E731
+    return staged.agg(
+        F.count("*").alias("n_total"),
+        cnt("p_len").alias("n_len"),
+        cnt("p_ttr").alias("n_len_ttr"),
+        cnt("p_all").alias("n_len_ttr_lang"),
+        (cnt("p_all").cast("double") / F.count("*")).alias("retention"),
+    )
