@@ -67,6 +67,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work downstream of a narrow scan can use the
+    whole cluster.
+
+    A small table (one file / one row group) arrives as a single input split,
+    so an expensive per-row transform (shingling, hashing, feature extraction)
+    would serialize on one core no matter how many are free.  If the scan's
+    split count is well below the available parallelism, repartition up to it;
+    when the input already has enough splits (any real multi-file / 100 TB
+    table), this is a NO-OP — no shuffle is injected at scale, the shuffle
+    only materializes exactly when it is trivially cheap (the data fit in one
+    split).
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= cores:
+        return df.repartition(cores)
+    return df
+
+
 # ---- deterministic aggregate builders (Spark side) ----
 
 def dsum(col: Column | str, alias: str) -> Column:

@@ -27,7 +27,7 @@ from bakery_big_data_spark.operators.dedup import (
     with_simhash,
     word_shingles,
 )
-from bakery_big_data_spark.plans.base import register, t
+from bakery_big_data_spark.plans.base import register, spread, t
 
 # Shared oracle: exact word-trigram Jaccard pairs at threshold 0.5 computed
 # with plain set SQL (shared-shingle candidates, never all-pairs).
@@ -76,12 +76,12 @@ def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFram
             spark,
             (sf_dir,),
             lambda: (
-                t(spark, sf_dir, "documents")
+                spread(t(spark, sf_dir, "documents"))
                 .select("doc_id", word_shingles("text", n=3).alias("shingles"))
                 .persist()
             ),
         )
-    return t(spark, sf_dir, "documents").select(
+    return spread(t(spark, sf_dir, "documents")).select(
         "doc_id", word_shingles("text", n=3).alias("shingles")
     )
 
