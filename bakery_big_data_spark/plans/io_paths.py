@@ -30,10 +30,19 @@ _SCRATCH = "/root/repo/.scratch/partitioned"
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize events partitioned by event_date (once per sf)."""
+    """Materialize events partitioned by event_date (once per sf).
+
+    Rebuilt whenever the source parquet is newer than the materialized copy
+    — testdata can be regenerated between driver rounds."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_SCRATCH, f"events_by_date_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    stale = (
+        not os.path.exists(marker)
+        or os.path.getmtime(src) >= os.path.getmtime(marker)
+    )
+    if stale:
         ev = t(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
         )

@@ -24,8 +24,30 @@ from bakery_big_data_spark.streaming.ingest import (
     windowed_counts,
 )
 
-_SCRATCH = "/root/repo/.scratch/streaming_replay"
+#: Versioned scratch root: bump the suffix whenever the serialized JSON
+#: format changes (e.g. the NTZ→LTZ timestamp normalization) so stale
+#: sources from earlier code are never replayed into the checkpointed sink.
+_SCRATCH = "/root/repo/.scratch/streaming_replay_v2"
 _N = 1500
+
+
+def _needs_rebuild(src: str, sf_dir: str) -> bool:
+    """True when the materialized JSON source is missing or older than the
+    driver's events parquet — testdata can be regenerated between rounds,
+    and a checkpointed sink would otherwise happily serve stale rows."""
+    if not os.path.exists(src):
+        return True
+    events = os.path.join(sf_dir, "events.parquet")
+    try:
+        return os.path.getmtime(events) >= os.path.getmtime(src)
+    except OSError:
+        return True
+
+
+def _reset_scratch(base: str) -> None:
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
 
 
 @register(
@@ -47,7 +69,8 @@ def streaming_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "out"),
         os.path.join(base, "ckpt"),
     )
-    if not os.path.exists(src):
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)  # out+ckpt too: the checkpoint pins old offsets
         ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
         ev.select(
             F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value")
@@ -94,7 +117,8 @@ def streaming_watermark_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "out"),
         os.path.join(base, "ckpt"),
     )
-    if not os.path.exists(src):
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)
         ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
         ev.select(
             F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value")

@@ -45,14 +45,21 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+        try:
+            for _ in range(2):
+                start = time.perf_counter()
+                q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+        except Exception as exc:  # one broken query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(best, 4)
+    if errors:
+        print(json.dumps({"bench_errors": errors}), file=sys.stderr)
 
     print(json.dumps({"all_queries": timings}), file=sys.stderr)
 
@@ -64,6 +71,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "sf": sf,
+        "errors": len(errors),
     }
     budget = 1900  # driver keeps the last 2000 chars of stdout
     included: dict[str, float] = {}
