@@ -59,9 +59,8 @@ DRIVER_WINDOW: list[str] = [
     "join_range_interval",
     "join_semi_anti_membership",
     "join_asof_latest_state",
-    # windows / ranking / top-k (W1-W6, O1-O2)
-    "window_surrogate_keys",
-    "window_partitioned_sequence",
+    # windows / ranking / top-k (W1-W6, O1-O2; W1+W2 consolidated)
+    "window_sequence_keys",
     "sessionize_events",
     "window_moving_cumulative",
     "window_latest_row_with_context",
@@ -77,10 +76,8 @@ DRIVER_WINDOW: list[str] = [
     "update_status_flip",
     "scd2_versioning",
     "late_arrival_reconciliation",
-    # LLM: text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
+    # LLM: text analysis (token stats + quality + language-ID in one pass)
+    "text_analysis_profile",
     # LLM: dedup
     "dedup_exact_content",
     "dedup_ngram_jaccard_pairs",
@@ -89,14 +86,19 @@ DRIVER_WINDOW: list[str] = [
     # LLM: similarity
     "similarity_topk_bruteforce",
     "embedding_cosine_near_dup_pairs",
-    # pipeline / IO / streaming
+    # pipeline / IO / streaming (gold_daily_fact is strictly between
+    # silver_transform and ml_features in the chain — covered locally)
     "medallion_silver_transform",
-    "medallion_gold_daily_fact",
     "medallion_ml_features",
     "medallion_feedback_silver",
     "partition_pruned_scan",
     "streaming_ingest_replay",
+    "streaming_watermark_parity",
     "seeded_synthetic_features",
+    # 100 TB write-side layout + LLM curation/multimodal representatives
+    "bucketed_colocated_join",
+    "curation_contamination_check",
+    "multimodal_image_features",
 ]
 
 

@@ -221,3 +221,91 @@ def text_fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame
         roll(F.col("text"), 0).alias("content_hash"),
         min_tok.alias("min_token_hash"),
     )
+
+
+@register(
+    "text_analysis_profile",
+    f"""
+    SELECT doc_id,
+           n_tokens,
+           n_distinct_tokens,
+           type_token_ratio,
+           avg_token_len,
+           n_bpe_tokens,
+           CAST(100
+             - (CASE WHEN COALESCE(n_tokens >= 20, FALSE) THEN 0 ELSE 25 END)
+             - (CASE WHEN COALESCE(has_stop, FALSE) THEN 0 ELSE 15 END)
+             - (CASE WHEN COALESCE(type_token_ratio >= 0.10, FALSE) THEN 0 ELSE 30 END)
+             - (CASE WHEN COALESCE(n_chars BETWEEN 50 AND 5000, FALSE) THEN 0 ELSE 30 END)
+           AS INT) AS data_quality_score,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM (
+      SELECT doc_id, n_chars,
+             len(ws) AS n_tokens,
+             len(list_distinct(ws)) AS n_distinct_tokens,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio,
+             CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)
+               AS avg_token_len,
+             len(regexp_extract_all(text, '{_BPE_ISH_RE}')) AS n_bpe_tokens,
+             list_has_any(ws, ['the', 'a']) AS has_stop,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['en'])}, w))) AS score_en,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['de'])}, w))) AS score_de,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['es'])}, w))) AS score_es,
+             len(list_filter(ws, w -> list_contains({list(_STOPWORDS['fr'])}, w))) AS score_fr
+      FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS ws FROM documents)
+    )
+    """,
+    doc="Single-pass text-analysis profile consolidating the family for the "
+        "driver window: token counting + lexical diversity + BPE-ish "
+        "pretokenizer budget (text_token_stats), penalty-rule quality fold "
+        "(text_quality_score; quality.py engine, reference "
+        "bronze_to_silver.py:23-33 semantics), and stopword-vote language "
+        "ID (text_language_id) — one map-only projection, tokenized once, "
+        "no shuffle; the per-op variants stay registered for bench/pytest",
+)
+def text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = _tokens("text")
+    n = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    ttr = nd.cast("double") / n
+    tok_chars = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    feats = d.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        ttr.alias("type_token_ratio"),
+        (tok_chars.cast("double") / n).alias("avg_token_len"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH_RE}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+        F.arrays_overlap(ws, F.array(F.lit("the"), F.lit("a"))).alias("has_stop"),
+        *_lang_scores().values(),
+    )
+    rules = [
+        QualityRule("min_tokens", F.col("n_tokens") >= 20, 25),
+        QualityRule("has_stopwords", F.col("has_stop"), 15),
+        QualityRule("diversity", F.col("type_token_ratio") >= 0.10, 30),
+        QualityRule("length_band", F.col("n_chars").between(50, 5000), 30),
+    ]
+    e, g, s, fr = (F.col(f"score_{x}") for x in ("en", "de", "es", "fr"))
+    return apply_quality_rules(feats, rules).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "type_token_ratio",
+        "avg_token_len",
+        "n_bpe_tokens",
+        "data_quality_score",
+        F.when((e >= g) & (e >= s) & (e >= fr), "en")
+        .when((g >= s) & (g >= fr), "de")
+        .when(s >= fr, "es")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )

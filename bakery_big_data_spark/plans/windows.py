@@ -20,6 +20,42 @@ from bakery_big_data_spark.plans.base import DEC, dsum, register, sql_dsum, t
 
 
 @register(
+    "window_sequence_keys",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(1000 + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
+             AS surrogate_key,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_sequence
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    doc="W1+W2 in one pass: dense global surrogate keys via the scalable "
+        "range-partition + offset operator (operators/keys.py — "
+        "byte-identical to the reference's single-partition row_number, "
+        "silver_to_gold.py:157-159, without the bottleneck) joined with a "
+        "per-entity ordered sequence (transaction_sequence, "
+        "silver_to_gold.py:315)",
+)
+def window_sequence_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.keys import add_surrogate_key
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    keyed = add_surrogate_key(o, ["o_orderkey"], base=1000)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return keyed.select(
+        "o_custkey",
+        "o_orderkey",
+        "surrogate_key",
+        F.row_number().over(w).alias("order_sequence"),
+    )
+
+
+@register(
     "window_surrogate_keys",
     """
     SELECT c_custkey, c_name,
