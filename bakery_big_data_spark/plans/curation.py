@@ -194,3 +194,208 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("p_all").alias("n_len_ttr_lang"),
         (cnt("p_all").cast("double") / F.count("*")).alias("retention"),
     )
+
+
+#: Independent LCG constants for sampling (distinct from the split constants
+#: so sample membership is uncorrelated with split assignment).
+_SAMP_A = 1103515245
+_SAMP_C = 12345
+
+#: Stratified sampling rates per language stratum.
+_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2}
+_RATE_OTHER = 0.1
+
+
+@register(
+    "curation_stratified_sample",
+    f"""
+    SELECT doc_id, lang, u, rate
+    FROM (
+      SELECT doc_id, lang,
+             ((doc_id * {_SAMP_A} + {_SAMP_C}) % {_LCG_M}) / {float(_LCG_M)} AS u,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                       WHEN 'fr' THEN 0.2 ELSE 0.1 END AS rate
+      FROM documents
+    )
+    WHERE u < rate
+    """,
+    doc="Deterministic stratified sampling: per-language acceptance rates "
+        "(the domain-mixture reweighting step of a pretraining data recipe) "
+        "with key-derived uniforms — like curation_hash_split, membership is "
+        "a pure function of doc_id, so any re-run, engine, or partition "
+        "layout draws the identical sample (df.sampleBy cannot promise "
+        "that).  Map-only filter, no shuffle, fully pushdown-friendly",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id").cast("bigint") * _SAMP_A + F.lit(_SAMP_C)) % _LCG_M
+    ) / F.lit(float(_LCG_M))
+    rate = F.when(F.col("lang") == "en", 0.5).when(F.col("lang") == "de", 0.3).when(
+        F.col("lang") == "fr", 0.2
+    ).otherwise(0.1)
+    return (
+        d.select("doc_id", "lang", u.alias("u"), rate.alias("rate"))
+        .filter(F.col("u") < F.col("rate"))
+    )
+
+
+_CHUNK = 32  # tokens per training chunk
+
+
+@register(
+    "curation_chunk_documents",
+    f"""
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           len(list_slice(ws, ci * {_CHUNK} + 1, (ci + 1) * {_CHUNK}))
+             AS n_chunk_tokens,
+           array_to_string(
+             list_slice(ws, ci * {_CHUNK} + 1, (ci + 1) * {_CHUNK}), ' ')
+             AS chunk_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         LATERAL unnest(
+           generate_series(0, CAST(ceil(len(ws) / {float(_CHUNK)}) AS BIGINT) - 1)
+         ) AS l(ci)
+    """,
+    doc=f"Token-budget document chunking: each doc's whitespace tokens are "
+        f"cut into {_CHUNK}-token training chunks (final partial chunk "
+        f"kept), emitted as (doc_id, chunk_idx, n_tokens, text) — the "
+        f"tokenize-and-chunk step before example packing.  Tokenized once, "
+        f"chunk index exploded from a sequence, slices taken JVM-side; "
+        f"map-only with output ~linear in corpus size, no shuffle",
+)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size("ws") / float(_CHUNK)).cast("bigint")
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.size(F.slice("ws", F.col("ci").cast("int") * _CHUNK + 1, F.lit(_CHUNK))).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice("ws", F.col("ci").cast("int") * _CHUNK + 1, F.lit(_CHUNK)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+_PACK_BUDGET = 512  # context-window token budget per packed example
+_PACK_SHARDS = 8
+
+
+@register(
+    "curation_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT shard, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT shard, pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill_ratio
+    FROM placed
+    GROUP BY shard, pack_id
+    """,
+    doc=f"Sequence packing: docs are packed in key order into "
+        f"{_PACK_BUDGET}-token context windows (sequential greedy — each doc "
+        f"joins the pack at its exclusive running-token offset, so a pack "
+        f"overflows only by its final straddling doc), reported per pack as "
+        f"doc count / token count / fill ratio.  Packing runs independently "
+        f"inside {_PACK_SHARDS} hash shards — the window never sees a global "
+        f"order, so at 100 TB each shard packs in parallel after one "
+        f"hash-partition shuffle (shard count scales with the cluster; "
+        f"cross-shard order is irrelevant to training)",
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.select(
+        "shard",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return placed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
+    )
+
+
+_HIST_WIDTH = 20
+_HIST_BUCKETS = 10
+
+
+@register(
+    "curation_length_histogram",
+    f"""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(len(string_split(text, ' ')) / {_HIST_WIDTH})
+                        AS BIGINT),
+                   {_HIST_BUCKETS - 1}) AS bucket
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(bucket * {_HIST_WIDTH} AS BIGINT) AS lo_tokens,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS share
+    FROM b GROUP BY bucket
+    """,
+    doc=f"Context-length binning: corpus token-count histogram "
+        f"({_HIST_BUCKETS} buckets of {_HIST_WIDTH} tokens, top bucket "
+        f"open) with per-bucket share — the length-distribution report that "
+        f"drives curriculum/packing decisions.  One map-side-combinable "
+        f"aggregation; the total-count divisor folds into a broadcast "
+        f"scalar, so the plan is one scan + one tiny shuffle",
+)
+def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(
+        (n / _HIST_WIDTH).cast("bigint"), F.lit(_HIST_BUCKETS - 1).cast("bigint")
+    )
+    counts = d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # Lazy scalar total: 1-row aggregate broadcast onto every bucket row —
+    # no eager .count() on the driver.
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        (F.col("bucket") * _HIST_WIDTH).cast("bigint").alias("lo_tokens"),
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("_total")).alias("share"),
+    )

@@ -118,3 +118,49 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         queries, emb, "vec_id", "embedding", k=10, cache_key=sf_dir
     )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), x AS (
+      SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+    )
+    SELECT label,
+           CAST(pos AS INT) AS dim_idx,
+           CAST(SUM(CAST(FLOOR(val * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM x GROUP BY label, pos
+    """,
+    doc="Per-label mean-pooled embedding centroids at (label, dimension) "
+        "grain — the centroid-update step of IVF/KMeans index training and "
+        "the class-prototype build of a retrieval pipeline, as a pure "
+        "aggregate.  Positional explode → one hash aggregation keyed "
+        "(label, dim): partial sums combine map-side, so the shuffle "
+        "carries at most n_labels x dim rows per partition regardless of "
+        "corpus size; decimal-exact sums keep values bit-identical to the "
+        "oracle under any partitioning",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    # floor-quantize to 1e-12 BEFORE summing (not DECIMAL rounding): float32
+    # inputs are finite binary fractions, so their doubles can tie EXACTLY at
+    # the decimal midpoint (e.g. 0.1983642578125 at scale 12) and Spark
+    # (half-up) and DuckDB (half-even) then round apart.  floor() is
+    # bit-identical in both engines; the bigint sum is order-free and exact.
+    return x.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim_idx")).agg(
+        (
+            F.sum(F.floor(F.col("val") * 1e12).cast("bigint")).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
