@@ -1,0 +1,193 @@
+"""Behavioral / time-series analytics over ``events`` — funnel conversion,
+cohort retention, and calendar gap-fill with forward fill.
+
+The reference's dashboard layer stops at daily rollups
+(``silver_to_gold.py:373-386``); these are the standard next-step analytics
+a production events pipeline serves from the same gold tables.  All three
+are pure DataFrame aggregation/window plans (no UDFs, no driver actions):
+
+- **funnel**: one conditional aggregation per user (single shuffle), then a
+  global roll-up of a handful of booleans;
+- **cohort retention**: per-user first-activity cohort joined back on the
+  already-partitioned user key, then a (cohort, offset) distinct count;
+- **gap-fill**: per-series date spine via ``sequence``+``explode`` (never a
+  driver-side calendar), left join on the series key, and an
+  ``IGNORE NULLS`` last-value window for the forward fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.plans.base import register, sql_dsum, t
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           COUNT(*) FILTER (WHERE t_view < t_click) AS n_view_click,
+           COUNT(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase)
+             AS n_full_funnel,
+           CAST(COUNT(*) FILTER (WHERE t_view < t_click) AS DOUBLE)
+             / COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS view_to_click,
+           CAST(COUNT(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase)
+                AS DOUBLE)
+             / COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS full_conversion
+    FROM u
+    """,
+    doc="Strict-order funnel on first occurrences (view -> click -> "
+        "purchase): per-user first-touch timestamps from ONE conditional "
+        "aggregation (single shuffle on user_id, map-side combinable), "
+        "ordering checks and conversion rates from a scalar roll-up of "
+        "booleans — events are scanned exactly once; no per-step joins or "
+        "re-scans, which is what keeps the funnel cheap at 100 TB",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first = lambda step: F.min(  # noqa: E731
+        F.when(F.col("event_type") == step, F.col("ts"))
+    )
+    u = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    vc = F.col("t_view") < F.col("t_click")
+    full = vc & (F.col("t_click") < F.col("t_purchase"))
+    return u.agg(
+        F.count_if(F.col("t_view").isNotNull()).alias("n_view"),
+        F.count_if(vc).alias("n_view_click"),
+        F.count_if(full).alias("n_full_funnel"),
+        (F.count_if(vc).cast("double") / F.count_if(F.col("t_view").isNotNull()))
+        .alias("view_to_click"),
+        (F.count_if(full).cast("double") / F.count_if(F.col("t_view").isNotNull()))
+        .alias("full_conversion"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', MIN(CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(FLOOR(date_diff('day', f.cohort_week, CAST(e.ts AS DATE))
+                        / 7) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), cohort_sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / ANY_VALUE(s.cohort_size)
+             AS retention
+    FROM activity a JOIN cohort_sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset
+    """,
+    doc="Weekly cohort retention: cohort = week of first activity per user, "
+        "retention = distinct active users at each week offset / cohort "
+        "size.  The per-user first-touch aggregate and the join back to "
+        "events both key on user_id, so the join reuses the aggregation's "
+        "hash partitioning (one events shuffle); cohort sizes are a tiny "
+        "frame broadcast onto the (cohort, offset) roll-up",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week")
+    )
+    activity = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            (
+                F.countDistinct("user_id").cast("double")
+                / F.any_value("cohort_size")
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             {sql_dsum('value', 'revenue')}
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM daily
+      GROUP BY event_type
+    ), spine AS (
+      SELECT event_type, CAST(gs AS DATE) AS d
+      FROM bounds, LATERAL unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g(gs)
+    )
+    SELECT s.event_type, s.d,
+           daily.revenue IS NOT NULL AS is_observed,
+           last_value(daily.revenue IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_filled
+    FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d
+    """,
+    doc="Calendar gap-fill + forward fill per series: the per-type date "
+        "spine comes from sequence()+explode over each series' own min/max "
+        "(generated distributed, never a driver calendar), missing days "
+        "left-join to NULL, and last_value(IGNORE NULLS) carries the prior "
+        "observation forward.  Spine join, daily rollup, and the fill "
+        "window all partition on event_type, so the plan is one keyed "
+        "shuffle + one window pass regardless of calendar length",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("revenue")
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.col("revenue").isNotNull().alias("is_observed"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+        )
+    )
