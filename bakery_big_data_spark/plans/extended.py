@@ -351,3 +351,76 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "grouping_sets_matrix",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS (detail + both one-dimension margins in one "
+        "pass) with GROUPING() flags disambiguating real NULLs from "
+        "subtotal rows — the general form behind ROLLUP/CUBE (extension; "
+        "reference has none, SURVEY §2.4).  Spark expands sets before the "
+        "exchange, so partial aggregation stays map-side combinable: one "
+        "shuffle for all three groupings",
+)
+def grouping_sets_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "unpivot_metrics",
+    f"""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             {sql_dsum('o_totalprice', 'total_price')},
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+    """,
+    doc="Unpivot / melt (DataFrame.unpivot, the inverse of A3's pivot — "
+        "extension, §2.4): a wide per-status metrics row becomes one "
+        "(status, metric, value) row per measure.  unpivot is a map-only "
+        "expand on the already-aggregated frame (3 rows out per row in) — "
+        "no shuffle beyond the feeding aggregation",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        dsum("o_totalprice", "total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["total_price", "n_orders", "n_customers"],
+        "metric",
+        "value",
+    )

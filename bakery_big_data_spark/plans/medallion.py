@@ -263,3 +263,63 @@ def _late_arrival_frames(spark: SparkSession, sf_dir: str):
     return silver, reproc
 
 
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH tgt AS (
+      SELECT event_id, value AS silver_value, ts AS etl_ts, 0 AS src
+      FROM events WHERE event_id <= 8000
+    ), chg AS (
+      SELECT event_id,
+             CASE WHEN event_id % 4 = 0 THEN 'D'
+                  WHEN event_id % 4 IN (1, 2) THEN 'U'
+                  ELSE 'I' END AS op,
+             value * 3 AS silver_value,
+             ts + INTERVAL 1 HOUR AS etl_ts,
+             1 AS src
+      FROM events WHERE event_id >= 6000
+    ), kept AS (
+      SELECT * FROM tgt
+      WHERE event_id NOT IN (SELECT event_id FROM chg WHERE op = 'D')
+    ), u AS (
+      SELECT event_id, silver_value, etl_ts, src FROM kept
+      UNION ALL
+      SELECT event_id, silver_value, etl_ts, src FROM chg WHERE op <> 'D'
+    )
+    SELECT event_id, silver_value, etl_ts
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                       ORDER BY etl_ts DESC, src ASC) AS rn
+          FROM u)
+    WHERE rn = 1
+    """,
+    doc="CDC change-batch application (inserts/updates/deletes in ONE "
+        "batch — the general MERGE the reference's Iceberg jobs run, "
+        "bronze_to_silver.py:78-90, extended with WHEN MATCHED AND op='D' "
+        "THEN DELETE): deletes drop via a broadcast-able anti-join on the "
+        "delete-key set, upserts apply through the same recency max-struct "
+        "merge as S10 (map-side combinable, no window sort).  One keyed "
+        "shuffle over the target; the change batch (small by nature) "
+        "broadcasts in both phases",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    target = ev.filter(F.col("event_id") <= 8000).select(
+        "event_id",
+        F.col("value").alias("silver_value"),
+        F.col("ts").alias("etl_ts"),
+    )
+    changes = ev.filter(F.col("event_id") >= 6000).select(
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0, "D")
+        .when((F.col("event_id") % 4).isin(1, 2), "U")
+        .otherwise("I")
+        .alias("op"),
+        (F.col("value") * 3).alias("silver_value"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("etl_ts"),
+    )
+    deletes = changes.filter(F.col("op") == "D").select("event_id")
+    kept = target.join(deletes, "event_id", "left_anti")
+    upserts = changes.filter(F.col("op") != "D").drop("op")
+    return merge_upsert_when_newer(kept, upserts, ["event_id"], "etl_ts")
