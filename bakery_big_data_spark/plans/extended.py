@@ -424,3 +424,31 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "sketch_incremental_distinct",
+    None,  # DataSketches HLL internals are Spark-specific — rows-only check;
+    # the quantitative bar is tests/test_extended.py::test_hll_sketch_error_bound
+    doc="Mergeable-sketch incremental distinct counting: per-day HLL "
+        "sketches of user_id (hll_sketch_agg — the frame you'd PERSIST as a "
+        "gold pre-aggregate) merged with hll_union_agg into the 30-day "
+        "distinct estimate.  The 100 TB point: any date-range distinct "
+        "count re-aggregates from day-level sketches (KBs/day) without "
+        "rescanning raw events, and sketch merge is associative so partial "
+        "merges combine map-side; exact COUNT(DISTINCT) over the same "
+        "range re-shuffles every raw row every query",
+)
+def sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_distinct_users"),
+    )

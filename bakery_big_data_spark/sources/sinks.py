@@ -94,3 +94,49 @@ def ctas_backup(spark: SparkSession, src_table: str, backup_table: str) -> None:
     spark.sql(
         f"CREATE TABLE {backup_table} USING parquet AS SELECT * FROM {src_table}"
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> tuple[int, int]:
+    """Small-file compaction for an unpartitioned parquet directory.
+
+    Streaming sinks and frequent small appends fragment a table into many
+    tiny files; at scale every reader then pays per-file open/footer costs
+    and loses large sequential reads.  Compaction rewrites the directory
+    into ``max(total_bytes / target_file_bytes, min_files)`` files (the
+    maintenance job Iceberg calls rewrite_data_files; plain-parquet
+    equivalent).
+
+    Returns (files_before, files_after).  The rewrite stages into a sibling
+    directory and moves in last, so a concurrent reader never sees a
+    half-written table.
+    """
+    import math
+    import os
+    import shutil
+
+    def _data_files(p: str) -> list[str]:
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(min_files, math.ceil(total / target_file_bytes))
+    staged = path.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(staged, ignore_errors=True)
+    # coalesce, not repartition: shrinking file count needs no shuffle.
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(staged)
+    backup = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup)
+    return len(before), len(_data_files(path))
