@@ -86,6 +86,75 @@ def read_json_stream(
     return parsed
 
 
+def read_json_stream_with_raw(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str = EVENT_SCHEMA_DDL,
+) -> DataFrame:
+    """S1/S2 decode that keeps the raw line alongside the parsed struct —
+    the input shape the dead-letter routing sink needs.
+
+    PERMISSIVE ``from_json`` yields an all-NULL-fields struct for garbage
+    (not a NULL struct), so decode failure is marked explicitly via
+    ``columnNameOfCorruptRecord``: ``data._corrupt_record`` is non-NULL
+    exactly when the line failed to parse, and ``_raw`` is what lands in
+    the DLQ for replay after a schema fix."""
+    raw = spark.readStream.format("text").load(path)
+    opts = {**JSON_OPTIONS, "columnNameOfCorruptRecord": "_corrupt_record"}
+    return raw.select(
+        F.col("value").alias("_raw"),
+        F.from_json(
+            F.col("value"), schema_ddl + ", _corrupt_record STRING", opts
+        ).alias("data"),
+    )
+
+
+def start_dlq_sink(
+    parsed: DataFrame,
+    out_path: str,
+    dlq_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    query_name: str = "ingest_dlq",
+) -> StreamingQuery:
+    """S3 append sink with dead-letter routing (the robustness layer the
+    reference's Kafka ingest needs in production: malformed messages must
+    not poison the stream or be silently dropped).
+
+    Each micro-batch splits on decode success: rows whose ``from_json``
+    struct is non-NULL land in the table, the raw text of failed rows lands
+    in ``dlq_path`` for inspection/replay.  Both writes are per-batch-id
+    overwrites, so checkpoint-replayed batches stay exactly-once for table
+    AND dead-letter queue.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            ok = batch_df.filter(F.col("data._corrupt_record").isNull())
+            bad = batch_df.filter(F.col("data._corrupt_record").isNotNull())
+            ok.select("data.*").drop("_corrupt_record").write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            )
+            bad.select(F.col("_raw").alias("raw_line")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dlq_path, f"batch_id={batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        parsed.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_append_sink(
     df: DataFrame,
     out_path: str,

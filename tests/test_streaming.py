@@ -172,3 +172,34 @@ def test_supervise_multi_query(spark, sf_dir):
     supervise([q1, q2])
     assert spark.read.parquet(out1).count() == 100
     assert spark.read.parquet(out2).count() == 150
+
+
+def test_dlq_routes_malformed_lines(spark, sf_dir):
+    """Dead-letter routing: well-formed lines land in the table, garbage
+    lines land raw in the DLQ, and a checkpoint resume re-ingests neither."""
+    from bakery_big_data_spark.streaming.ingest import (
+        read_json_stream_with_raw,
+        start_dlq_sink,
+    )
+
+    base = tempfile.mkdtemp(prefix="dlq_")
+    src, out, dlq, ckpt = (os.path.join(base, d) for d in ("src", "out", "dlq", "ck"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    good = ev.select(F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value"))
+    bad = spark.createDataFrame(
+        [("this is not json",), ("{truncated",), ("<xml/>",)], ["value"]
+    )
+    good.unionAll(bad).coalesce(1).write.mode("overwrite").text(src)
+
+    def run():
+        q = start_dlq_sink(read_json_stream_with_raw(spark, src), out, dlq, ckpt)
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(out).count() == 50
+    dlq_rows = {r.raw_line for r in spark.read.parquet(dlq).collect()}
+    assert dlq_rows == {"this is not json", "{truncated", "<xml/>"}
+
+    run()  # checkpoint resume: no double-ingest on either path
+    assert spark.read.parquet(out).count() == 50
+    assert spark.read.parquet(dlq).count() == 3
