@@ -14,7 +14,7 @@ features instead of sales rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bakery_big_data_spark.plans.base import register, t
@@ -308,4 +308,117 @@ def text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s >= fr, "es")
         .otherwise("fr")
         .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_bigram_lm_counts",
+    """
+    WITH grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> struct_pack(w1 := ws[i], w2 := ws[i + 1])))
+               AS g
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+    ), pair_counts AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS n_pair
+      FROM grams GROUP BY g.w1, g.w2
+    ), ctx AS (
+      SELECT w1, SUM(n_pair) AS n_ctx FROM pair_counts GROUP BY w1
+    )
+    SELECT p.w1, p.w2, p.n_pair,
+           CAST(p.n_pair AS DOUBLE) / c.n_ctx AS cond_prob
+    FROM pair_counts p JOIN ctx c ON p.w1 = c.w1
+    WHERE p.n_pair >= 8
+    """,
+    doc="Bigram language-model statistics: corpus-wide (w1, w2) counts and "
+        "the conditional probability P(w2|w1) = n(w1,w2)/n(w1) — the "
+        "count-collection pass of n-gram LM training / contamination "
+        "scoring.  Adjacent-pair explode is map-only; both aggregations "
+        "key on w1 so the context-total join reuses the pair count's hash "
+        "partitioning (no extra exchange, asserted by the no-cartesian "
+        "plan test); min-count pruning keeps the output the dense head of "
+        "the distribution",
+)
+def text_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(_tokens("text").alias("ws"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    w = Window.partitionBy("w1")
+    return (
+        pair_counts.withColumn("n_ctx", F.sum("n_pair").over(w))
+        .filter(F.col("n_pair") >= 8)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_ctx")).alias("cond_prob"),
+        )
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ), totals AS (SELECT SUM(n) AS total FROM counts),
+    ranked AS (
+      SELECT w, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, w ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n
+      FROM counts
+    )
+    SELECT rnk, w, n,
+           CAST(cum_n AS DOUBLE) / (SELECT total FROM totals) AS cum_coverage
+    FROM ranked WHERE rnk <= 100
+    """,
+    doc="Tokenizer vocabulary induction: top-100 tokens by corpus frequency "
+        "with cumulative coverage share — the report that sizes a "
+        "vocabulary (what fraction of the token stream the top-k covers).  "
+        "Word count is one map-side-combinable aggregation; ranking and "
+        "the running coverage share ONE ordered window over the "
+        "vocabulary-sized frame (not the corpus), and the global total "
+        "folds in as a 1-row broadcast",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy(F.desc("n"), F.asc("w"))
+    cum = Window.orderBy(F.desc("n"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum_n", F.sum("n").over(cum))
+        .filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "w",
+            "n",
+            (F.col("cum_n").cast("double") / F.col("_total")).alias("cum_coverage"),
+        )
     )

@@ -34,6 +34,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy corpus-total divisor crossed onto
     # the bucket counts (the declarative replacement for an eager .count())
     "curation_length_histogram",
+    # deliberate 1-row broadcast: total-token divisor onto the top-100
+    # vocabulary frame
+    "text_vocab_coverage",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
