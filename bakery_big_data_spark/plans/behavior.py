@@ -98,36 +98,41 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Weekly cohort retention: cohort = week of first activity per user, "
         "retention = distinct active users at each week offset / cohort "
-        "size.  The per-user first-touch aggregate and the join back to "
-        "events both key on user_id, so the join reuses the aggregation's "
-        "hash partitioning (one events shuffle); cohort sizes are a tiny "
-        "frame broadcast onto the (cohort, offset) roll-up",
+        "size.  SINGLE-SCAN plan: the per-user cohort comes from a window "
+        "min over the user_id partition (no groupBy+self-join — events are "
+        "read once), the (cohort, offset) roll-up counts distinct users, "
+        "and the denominator is the offset-0 row of the same roll-up "
+        "(every user's first event sits at offset 0 by construction) "
+        "fetched with a first_value window over the tiny cohort frame — "
+        "no cohort-sizes join at all",
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week")
-    )
-    activity = ev.join(firsts, "user_id").select(
+    wu = Window.partitionBy("user_id")
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.min(F.to_date("ts")).over(wu))
+        .cast("date")
+        .alias("cohort_week"),
+        F.to_date("ts").alias("d"),
+    ).select(
         "user_id",
         "cohort_week",
-        F.floor(F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7)
+        F.floor(F.datediff(F.col("d"), F.col("cohort_week")) / 7)
         .cast("bigint")
         .alias("week_offset"),
     )
-    sizes = firsts.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
+    rolled = activity.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
     )
-    return (
-        activity.join(F.broadcast(sizes), "cohort_week")
-        .groupBy("cohort_week", "week_offset")
-        .agg(
-            F.countDistinct("user_id").alias("n_active"),
-            (
-                F.countDistinct("user_id").cast("double")
-                / F.any_value("cohort_size")
-            ).alias("retention"),
-        )
+    wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return rolled.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (
+            F.col("n_active").cast("double") / F.first("n_active").over(wc)
+        ).alias("retention"),
     )
 
 
@@ -159,8 +164,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(generated distributed, never a driver calendar), missing days "
         "left-join to NULL, and last_value(IGNORE NULLS) carries the prior "
         "observation forward.  Spine join, daily rollup, and the fill "
-        "window all partition on event_type, so the plan is one keyed "
-        "shuffle + one window pass regardless of calendar length",
+        "window all partition on event_type; the bounds aggregate "
+        "re-derives the daily rollup (tiny output, but a second events "
+        "scan — at true scale persist the daily frame or read it from the "
+        "gold layer)",
 )
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")

@@ -393,10 +393,11 @@ def text_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Tokenizer vocabulary induction: top-100 tokens by corpus frequency "
         "with cumulative coverage share — the report that sizes a "
         "vocabulary (what fraction of the token stream the top-k covers).  "
-        "Word count is one map-side-combinable aggregation; ranking and "
-        "the running coverage share ONE ordered window over the "
-        "vocabulary-sized frame (not the corpus), and the global total "
-        "folds in as a 1-row broadcast",
+        "SINGLE-SCAN: the corpus is word-counted once; ranking, the running "
+        "coverage sum, AND the grand-total divisor are all windows over the "
+        "vocabulary-sized count frame (the total is an unbounded-frame sum "
+        "— no second corpus scan, no branch duplication); the corpus-level "
+        "work is one map-side-combinable aggregation",
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
@@ -405,16 +406,19 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = counts.agg(F.sum("n").alias("_total"))
-    w = Window.orderBy(F.desc("n"), F.asc("w"))
-    cum = Window.orderBy(F.desc("n"), F.asc("w")).rowsBetween(
-        Window.unboundedPreceding, 0
+    order = (F.desc("n"), F.asc("w"))
+    w = Window.orderBy(*order)
+    cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    # Grand total as an unbounded frame over the SAME vocab-sized frame —
+    # reuses the single word-count, no second lineage for the divisor.
+    tot = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
         counts.withColumn("rnk", F.row_number().over(w))
         .withColumn("cum_n", F.sum("n").over(cum))
+        .withColumn("_total", F.sum("n").over(tot))
         .filter(F.col("rnk") <= 100)
-        .crossJoin(F.broadcast(total))
         .select(
             "rnk",
             "w",
