@@ -198,3 +198,65 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
         )
     )
+
+
+@register(
+    "anomaly_zscore_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             {sql_dsum('value', 'revenue')}
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+      SELECT event_type, d, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(revenue * revenue AS DECIMAL(30,6))) OVER w AS DOUBLE)
+               AS s2,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, revenue,
+           (revenue - s / n) / SQRT((s2 - s * s / n) / (n - 1.0)) AS zscore,
+           ABS((revenue - s / n) / SQRT((s2 - s * s / n) / (n - 1.0))) > 2.0
+             AS is_anomaly
+    FROM stats WHERE n >= 7
+    """,
+    doc="Rolling z-score anomaly detection on the daily revenue series: "
+        "trailing-14-row mean/stddev per event_type from decimal-exact "
+        "frame sums of x and x² (the plans/base.py convention applied to "
+        "window frames — order-independent, bit-identical to the oracle), "
+        "flagging |z| > 2 once 7 observations accumulate.  One daily "
+        "rollup shuffle + one window pass, both keyed on the series",
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("revenue")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, 0)
+    )
+    r = F.col("revenue")
+    s = F.sum(r.cast("decimal(30,6)")).over(w).cast("double")
+    s2 = F.sum((r * r).cast("decimal(30,6)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    stats = daily.select("event_type", "d", "revenue",
+                         s.alias("s"), s2.alias("s2"), n.alias("n"))
+    z = (F.col("revenue") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+    )
+    return stats.filter(F.col("n") >= 7).select(
+        "event_type",
+        "d",
+        "revenue",
+        z.alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

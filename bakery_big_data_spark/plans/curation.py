@@ -399,3 +399,51 @@ def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.col("_total")).alias("share"),
     )
+
+
+@register(
+    "text_scrub_patterns",
+    """
+    WITH contaminated AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com ref ' || (doc_id * 7919) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]'))
+             AS n_emails,
+           len(regexp_extract_all(raw, '[0-9]+')) AS n_digit_runs,
+           regexp_replace(
+             regexp_replace(raw, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]',
+                            '<EMAIL>', 'g'),
+             '[0-9]+', '<NUM>', 'g') AS scrubbed
+    FROM contaminated
+    """,
+    doc="PII-pattern scrubbing (the text-cleaning pass an LLM corpus runs "
+        "before training): per-doc email and digit-run detection counts + "
+        "masked output.  The contaminated column is synthesized "
+        "deterministically from doc_id so the masking paths see real "
+        "matches; the regex subset (char classes, +) behaves identically "
+        "in Java regex (Spark) and RE2 (DuckDB).  Map-only projection — "
+        "regexes run JVM-side, no shuffle, streams at any corpus size",
+)
+def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    email_re = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    c = d.select("doc_id", raw.alias("raw"))
+    return c.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(raw, '{email_re}', 0)")).alias("n_emails"),
+        F.size(F.expr("regexp_extract_all(raw, '[0-9]+', 0)")).alias("n_digit_runs"),
+        F.regexp_replace(
+            F.regexp_replace("raw", email_re, "<EMAIL>"), "[0-9]+", "<NUM>"
+        ).alias("scrubbed"),
+    )
