@@ -260,3 +260,48 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Gap-based session aggregation through Spark's BUILT-IN "
+        "session_window (30-minute inactivity gap): per-(user, session) "
+        "event count and value total, one shuffle on the session key.  The "
+        "oracle derives identical sessions independently via lag + "
+        "cumulative gap flags, so the hash check certifies the built-in's "
+        "merge semantics against a from-first-principles formulation "
+        "(batch analogue of the streaming session windows in SURVEY §2.9; "
+        "cf. sessionize_events, which exposes the per-event session index)",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
