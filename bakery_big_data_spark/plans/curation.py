@@ -447,3 +447,69 @@ def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("raw", email_re, "<EMAIL>"), "[0-9]+", "<NUM>"
         ).alias("scrubbed"),
     )
+
+
+#: Third independent LCG stream (upsampling's fractional-copy coin flips
+#: must be uncorrelated with both split assignment and sampling).
+_MIX_A = 22695477
+_MIX_C = 1
+
+
+@register(
+    "curation_mixture_upsample",
+    f"""
+    WITH weighted AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.5
+                       WHEN 'fr' THEN 3.0 ELSE 0.5 END AS w,
+             ((doc_id * {_MIX_A} + {_MIX_C}) % {_LCG_M}) / {float(_LCG_M)} AS u
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, lang, w,
+             CAST(FLOOR(w) AS BIGINT)
+               + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END AS n_copies
+      FROM weighted
+    )
+    SELECT doc_id, lang, CAST(ci AS INT) AS copy_idx
+    FROM counted, LATERAL unnest(generate_series(1, n_copies)) AS l(ci)
+    WHERE n_copies > 0
+    """,
+    doc="Domain-mixture upsampling (the data-mixing step of a pretraining "
+        "recipe): per-language target weights become integer replication "
+        "plus a key-derived coin flip for the fractional part — de x2.5 "
+        "means every de doc twice and half of them (chosen by hash, not "
+        "rand) a third time; weights < 1 downsample.  Expected output "
+        "ratios equal the weights exactly in distribution, assignment is "
+        "layout-independent, and the explode is map-only (no shuffle) with "
+        "output linear in the weighted corpus size",
+)
+def curation_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "en", 1.0)
+        .when(F.col("lang") == "de", 2.5)
+        .when(F.col("lang") == "fr", 3.0)
+        .otherwise(0.5)
+    )
+    u = (
+        (F.col("doc_id").cast("bigint") * _MIX_A + F.lit(_MIX_C)) % _LCG_M
+    ) / F.lit(float(_LCG_M))
+    counted = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.floor(w).cast("bigint")
+            + F.when(u < (w - F.floor(w)), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        counted.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias(
+                "ci"
+            ),
+        )
+        .select("doc_id", "lang", F.col("ci").cast("int").alias("copy_idx"))
+    )
