@@ -305,3 +305,106 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "session_value")
     )
+
+
+@register(
+    "correlation_matrix_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             {sql_dsum('value', 'revenue')}
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.revenue AS x, b.revenue AS y
+      FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+    ), sums AS (
+      SELECT type_a, type_b,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS sy2
+      FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           (n * sxy - sx * sy)
+             / SQRT((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) AS pearson_r
+    FROM sums
+    """,
+    doc="Pairwise Pearson correlation between the daily revenue series of "
+        "every event-type pair, computed from decimal-exact sums of x, y, "
+        "xy, x², y² rather than the engines' native corr() (whose double "
+        "accumulation is summation-order-sensitive and diverges between "
+        "engines at full precision — same reasoning as plans/base.py "
+        "dstd).  The self-join runs on the TINY daily rollup (days × "
+        "types), never on raw events; one events shuffle total",
+)
+def correlation_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("revenue")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "d", F.col("revenue").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "d", F.col("revenue").alias("y")
+    )
+    pairs = a.join(b, "d").filter(F.col("type_a") < F.col("type_b"))
+    dec = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    sums = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sx2"),
+        dec(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sx2") - sx * sx) * (n * F.col("sy2") - sy * sy)
+    )
+    return sums.select(
+        "type_a", "type_b", n.cast("bigint").alias("n_days"), r.alias("pearson_r")
+    )
+
+
+@register(
+    "feature_quantile_binning",
+    """
+    WITH binned AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM binned GROUP BY decile
+    """,
+    doc="Equal-frequency (decile) feature binning via NTILE over a total "
+        "order (unique tiebreak keeps both engines' tile assignment "
+        "identical) with per-bin count and value bounds — the quantile "
+        "discretization step of feature engineering, complementing the "
+        "equal-width curation_length_histogram.  The global sort is the "
+        "inherent cost of exact quantile binning; at 100 TB swap in "
+        "approx_percentile boundaries + a map-only bucket join and keep "
+        "this as the exactness oracle",
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
