@@ -1,0 +1,92 @@
+"""Custom Python DataSource: deterministic synthetic event generator.
+
+The reference's only true external source is Kafka (stream_to_bronze.py:48);
+its data *generators* (``generate_sales_events.py`` etc.) are driver-side
+Python loops that push to Kafka.  This rebuilds that generation surface as
+a first-class Spark 4 Python DataSource
+(``spark.read.format("synthetic_events")``) — the generator runs INSIDE the
+executors, partitioned, instead of a single driver loop:
+
+- rows are a pure function of (event_id) via the same LCG/mix arithmetic the
+  curation family uses, so any partitioning, retry, or cluster size yields
+  byte-identical data (generator re-runs are reproducible test fixtures);
+- ``partitions()`` splits the id range evenly — generation parallelism
+  scales with the cluster exactly like a parquet scan's input splits;
+- options: ``n_rows`` (total), ``n_partitions``, ``start_ts`` (epoch µs).
+
+At 100 TB the same shape generates arbitrarily large synthetic corpora with
+no driver bottleneck and no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_M = 2147483647  # 2^31 - 1
+_A = 1103515245
+_C = 12345
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def _u(event_id: int, salt: int) -> float:
+    """Key-derived uniform in [0, 1) — same construction as plans/curation."""
+    return ((event_id * _A + _C + salt * 7919) % _M) / float(_M)
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.start_ts = int(options.get("start_ts", 1704067200000000))  # 2024-01-01
+
+    def partitions(self):
+        per = -(-self.n_rows // self.n_partitions)  # ceil
+        return [
+            _Range(i * per, min((i + 1) * per, self.n_rows))
+            for i in range(self.n_partitions)
+            if i * per < self.n_rows
+        ]
+
+    def read(self, partition):
+        from datetime import datetime, timezone
+
+        for eid in range(partition.start, partition.end):
+            ts_us = self.start_ts + eid * 157_000_000  # ~2.6 min cadence
+            yield (
+                eid,
+                datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc).replace(
+                    tzinfo=None
+                ),
+                int(_u(eid, 1) * 150),
+                _EVENT_TYPES[int(_u(eid, 2) * len(_EVENT_TYPES))],
+                round(_u(eid, 3) * 100.0, 2),
+            )
+
+
+class SyntheticEventsSource(DataSource):
+    """``spark.read.format("synthetic_events")`` after
+    ``spark.dataSource.register(SyntheticEventsSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE"
+        )
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    spark.dataSource.register(SyntheticEventsSource)

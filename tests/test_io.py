@@ -153,3 +153,55 @@ def test_saveastable_ddl_ctas(spark, sf_dir, scratch):
         assert spark.table("t_io_db.sales_backup").count() == 300
     finally:
         spark.sql("DROP DATABASE IF EXISTS t_io_db CASCADE")
+
+
+def test_synthetic_datasource_partitioned_and_deterministic(spark):
+    """The custom Python DataSource generates inside executors: row content
+    is a pure function of event_id (identical across partition counts), and
+    the partition count drives generation parallelism."""
+    from bakery_big_data_spark.sources.generator import register_synthetic_source
+
+    register_synthetic_source(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 500)
+            .option("n_partitions", parts)
+            .load()
+        )
+
+    a = load(4)
+    assert a.rdd.getNumPartitions() == 4
+    assert a.count() == 500
+    rows_a = {r.event_id: (r.ts, r.user_id, r.event_type, r.value) for r in a.collect()}
+    rows_b = {r.event_id: (r.ts, r.user_id, r.event_type, r.value) for r in load(9).collect()}
+    assert rows_a == rows_b  # layout-independent generation
+    types = {r.event_type for r in a.collect()}
+    assert types <= {"view", "click", "purchase", "signup", "error"}
+    assert len(types) >= 3
+
+
+def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
+    """S4-adjacent format coverage: ORC and JSON-lines batch round-trips
+    preserve row content exactly (JSON via explicit schema on read)."""
+    import pyspark.sql.functions as F
+
+    from bakery_big_data_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    orc_p, json_p = str(tmp_path / "e_orc"), str(tmp_path / "e_json")
+    ev.write.orc(orc_p)
+    ev.write.json(json_p)
+    back_orc = spark.read.orc(orc_p)
+    back_json = spark.read.schema(
+        "event_id LONG, value DOUBLE, event_type STRING"
+    ).json(json_p)
+    for back in (back_orc, back_json):
+        assert back.count() == ev.count()
+        assert (
+            back.agg(F.sum(F.col("value").cast("decimal(30,6)"))).first()[0]
+            == ev.agg(F.sum(F.col("value").cast("decimal(30,6)"))).first()[0]
+        )
