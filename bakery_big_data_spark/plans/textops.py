@@ -426,3 +426,90 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_n").cast("double") / F.col("_total")).alias("cum_coverage"),
         )
     )
+
+
+@register(
+    "text_lm_quality_score",
+    """
+    WITH pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> struct_pack(w1 := ws[i], w2 := ws[i + 1])))
+               AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ), flat AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM pairs
+    ), model AS (
+      SELECT w1, w2,
+             CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY w1) AS p
+      FROM flat WHERE doc_id % 2 = 0
+      GROUP BY w1, w2
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(COALESCE(m.p, 0.0) AS DECIMAL(30,12))) AS DOUBLE)
+             / COUNT(*) AS mean_cond_prob,
+           COUNT(m.p) AS n_known
+    FROM flat f LEFT JOIN model m ON f.w1 = m.w1 AND f.w2 = m.w2
+    WHERE f.doc_id % 2 = 1
+    GROUP BY f.doc_id
+    """,
+    doc="LM-based quality scoring (the perplexity-filter pattern of corpus "
+        "curation, KenLM-style): a bigram model is fitted on the train "
+        "half (even doc_ids) and every held-out doc is scored by its mean "
+        "conditional probability — unseen bigrams score 0, n_known tracks "
+        "model coverage.  Mean-of-probabilities instead of mean-log: "
+        "probabilities are exact count ratios and the decimal-exact mean "
+        "is bit-identical cross-engine, while ln() is not guaranteed "
+        "correctly-rounded across libms.  One exploded-pairs lineage "
+        "feeds both the model aggregation and the scoring join; the "
+        "model (vocab², counts-reduced) broadcasts at this scale and "
+        "shuffle-joins on (w1, w2) beyond it",
+)
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    flat = (
+        d.select("doc_id", _tokens("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    wctx = Window.partitionBy("w1")
+    model = (
+        flat.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.col("n_pair").cast("double") / F.sum("n_pair").over(wctx)
+            ).alias("p"),
+        )
+    )
+    scored = (
+        flat.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(model), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.coalesce(F.col("p"), F.lit(0.0)).cast("decimal(30,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_cond_prob"),
+            F.count("p").alias("n_known"),
+        )
+    )
+    return scored
