@@ -195,6 +195,59 @@ def start_append_sink(
     return writer.start()
 
 
+def start_merge_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    recency_col: str,
+    available_now: bool = True,
+    query_name: str = "merge_ingest",
+) -> StreamingQuery:
+    """S3/T6 streaming MERGE sink: each micro-batch upserts into a parquet
+    state table through the same recency-conditioned merge the batch layer
+    uses (operators/mutation.py) — the reference's streaming→silver MERGE
+    path (``bronze_to_silver.py:78-90`` run per micro-batch).
+
+    The merged state is rewritten atomically (stage + rename), so readers
+    never see a half-merged table; duplicate or replayed batches converge
+    to the same state because the merge itself is idempotent on
+    (key, recency).
+    """
+    import shutil
+
+    from bakery_big_data_spark.operators.mutation import merge_upsert_when_newer
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+            target = spark.read.parquet(table_path)
+            merged = merge_upsert_when_newer(target, batch_df, keys, recency_col)
+        else:
+            merged = merge_upsert_when_newer(
+                batch_df.limit(0), batch_df, keys, recency_col
+            )
+        staged = table_path.rstrip("/") + "._merge_tmp"
+        shutil.rmtree(staged, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staged)
+        old = table_path.rstrip("/") + "._merge_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
+        os.rename(staged, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = (
+        df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_counts(
     events: DataFrame,
     watermark_delay: str = "10 minutes",

@@ -203,3 +203,55 @@ def test_dlq_routes_malformed_lines(spark, sf_dir):
     run()  # checkpoint resume: no double-ingest on either path
     assert spark.read.parquet(out).count() == 50
     assert spark.read.parquet(dlq).count() == 3
+
+
+def test_streaming_merge_sink_upserts(spark, sf_dir):
+    """Streaming MERGE sink: a second drop of the same keys with newer
+    recency updates in place (no duplicates), older recency is ignored,
+    and new keys insert — per micro-batch, through the batch merge
+    operator."""
+    from bakery_big_data_spark.streaming.ingest import start_merge_sink
+
+    base = tempfile.mkdtemp(prefix="msink_")
+    src, tbl, ckpt = (os.path.join(base, d) for d in ("src", "tbl", "ck"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+
+    def drop(df):
+        import glob
+        import shutil
+        import uuid
+
+        os.makedirs(src, exist_ok=True)
+        staging = os.path.join(base, "staging")
+        df.select(
+            F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(staging)
+        # the file stream does not recurse: land each drop as a flat,
+        # uniquely-named file directly under src
+        for f in glob.glob(os.path.join(staging, "part-*.txt")):
+            shutil.move(f, os.path.join(src, uuid.uuid4().hex + ".txt"))
+        q = start_merge_sink(
+            read_json_stream(spark, src), tbl, ckpt,
+            keys=["event_id"], recency_col="ts",
+        )
+        q.awaitTermination()
+
+    drop(ev)
+    assert spark.read.parquet(tbl).count() == 100
+
+    # newer versions of ids 0-49 (+1 hour, value*10) and 20 new ids
+    newer = ev.filter(F.col("event_id") < 50).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    ).withColumn("value", F.col("value") * 10)
+    fresh = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").between(100, 119)
+    )
+    drop(newer.unionByName(fresh))
+
+    final = spark.read.parquet(tbl)
+    assert final.count() == 120  # 100 upserted + 20 inserted, no dupes
+    assert final.select(F.countDistinct("event_id")).first()[0] == 120
+    updated = final.filter(F.col("event_id") < 50)
+    orig = {r.event_id: r.value for r in ev.filter(F.col("event_id") < 50).collect()}
+    for r in updated.collect():
+        assert abs(r.value - orig[r.event_id] * 10) < 1e-9  # newer won
