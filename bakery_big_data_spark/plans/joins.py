@@ -258,3 +258,71 @@ def join_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", F.lit("orphan").alias("membership")
     )
     return active.unionAll(orphans)
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): six-table join — the "
+        "deepest join in the catalog — with customer and supplier "
+        "constrained to the SAME nation inside one region and a one-year "
+        "order window.  Plan discipline: nation⨝region prune to a handful "
+        "of keys and BROADCAST into supplier; the date predicate pushes "
+        "into the orders scan before its join; the only big shuffles are "
+        "the two fact joins (orders⨝customer on custkey, "
+        "lineitem⨝orders on orderkey), and the same-nation equality rides "
+        "the supplier hash join rather than becoming a post-join filter",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(asian_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    co = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    lco = li.join(co, li.l_orderkey == F.col("o_orderkey"))
+    joined = lco.join(
+        F.broadcast(s),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
