@@ -452,3 +452,69 @@ def sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct_users"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id % 50 AS k, ts FROM events
+    ), ord AS (
+      SELECT o_custkey % 50 AS k, o_orderdate AS ots, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey % 50, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ), matched AS (
+      SELECT e.event_id, e.k, e.ts, o.ots, o.o_orderkey, o.o_totalprice
+      FROM ev e ASOF LEFT JOIN ord o ON e.k = o.k AND e.ts >= o.ots
+    )
+    SELECT event_id, k,
+           CASE WHEN ts - ots <= INTERVAL 30 DAY THEN o_orderkey END
+             AS matched_orderkey,
+           CASE WHEN ts - ots <= INTERVAL 30 DAY THEN o_totalprice END
+             AS matched_price,
+           COALESCE(ts - ots <= INTERVAL 30 DAY, FALSE) AS within_tolerance
+    FROM matched
+    """,
+    doc="As-of join with a staleness tolerance: the latest state at or "
+        "before each event counts only if it is at most 30 days old — "
+        "older matches null out exactly like no-match (the time-series "
+        "enrichment rule that stops a years-stale dimension row from "
+        "silently attaching).  Composed over the same union + "
+        "partitioned-running-last operator as join_asof_latest_state (the "
+        "as-of timestamp rides along as payload; the tolerance is a "
+        "map-side post-predicate) — still one shuffle, no nested loop",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 50).alias("k"), "ts"
+    )
+    dedup_w = Window.partitionBy("k", "ots").orderBy(F.col("o_orderkey").desc())
+    orders = (
+        t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 50).alias("k"),
+            F.col("o_orderdate").alias("ots"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        key="k",
+        left_ts="ts",
+        right_ts="ots",
+        payload_cols=["ots", "o_orderkey", "o_totalprice"],
+    )
+    fresh = F.col("ts") <= F.col("ots") + F.expr("INTERVAL 30 DAYS")
+    return joined.select(
+        "event_id",
+        "k",
+        F.when(fresh, F.col("o_orderkey")).alias("matched_orderkey"),
+        F.when(fresh, F.col("o_totalprice")).alias("matched_price"),
+        F.coalesce(fresh, F.lit(False)).alias("within_tolerance"),
+    )
