@@ -518,3 +518,77 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("o_totalprice")).alias("matched_price"),
         F.coalesce(fresh, F.lit(False)).alias("within_tolerance"),
     )
+
+
+@register(
+    "window_distribution_ranks",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(o_totalprice, 3) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_lowest_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution-rank window functions (percent_rank, cume_dist, "
+        "nth_value) over a unique total order per status — the remaining "
+        "§2.5 ranking surface beyond rank/dense_rank/ntile.  One window "
+        "partition pass; nth_value uses an explicit unbounded frame so "
+        "both engines see the whole partition",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_lowest_price"),
+    )
+
+
+@register(
+    "fuzzy_name_match_blocked",
+    """
+    WITH blocked AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Blocked fuzzy matching (entity resolution): candidate pairs come "
+        "from an equi-join on a blocking key (name prefix) — never "
+        "all-pairs — and survive on Levenshtein distance <= 1 (identical "
+        "DP algorithm in both engines).  The blocking-key join is the "
+        "standard scale shape for fuzzy dedup: candidate volume is "
+        "sum(block²) not n², and the block key can be swapped for "
+        "phonetic/sorted-neighborhood keys without touching the plan",
+)
+def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 15).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    pairs = a.join(b, "blk").filter(F.col("key_a") < F.col("key_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.filter(dist <= 1).select(
+        "key_a", "key_b", dist.alias("edit_dist")
+    )
