@@ -557,7 +557,7 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_name_match_blocked",
     """
     WITH blocked AS (
-      SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk FROM customer
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer
     )
     SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
            levenshtein(a.c_name, b.c_name) AS edit_dist
@@ -566,7 +566,7 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     doc="Blocked fuzzy matching (entity resolution): candidate pairs come "
-        "from an equi-join on a blocking key (name prefix) — never "
+        "from an equi-join on a blocking key (16-char name prefix, sized so blocks stay ~100 rows) — never "
         "all-pairs — and survive on Levenshtein distance <= 1 (identical "
         "DP algorithm in both engines).  The blocking-key join is the "
         "standard scale shape for fuzzy dedup: candidate volume is "
@@ -575,7 +575,7 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.substring("c_name", 1, 15).alias("blk")
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
     )
     a = c.select(
         F.col("c_custkey").alias("key_a"),
