@@ -311,7 +311,7 @@ _PACK_SHARDS = 8
     )
     SELECT shard, pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill_ratio
     FROM placed
     GROUP BY shard, pack_id

@@ -79,9 +79,10 @@ def join_asof_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id, next_gap_hours,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_idx
+           CAST(SUM(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_idx
     FROM g
     """,
     doc="W3 + sessionization in one frame: lead() next-event gap in hours "

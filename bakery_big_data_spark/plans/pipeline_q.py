@@ -88,7 +88,7 @@ def medallion_gold_daily_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.event_date, f.event_type, f.n_events, f.total_value,
            CAST(SUM(CAST(f.total_value AS DECIMAL(30,6))) OVER w8 AS DOUBLE)
              / COUNT(*) OVER w8 AS value_trend_8d,
-           SUM(f.n_events) OVER wcum AS cumulative_events,
+           CAST(SUM(f.n_events) OVER wcum AS BIGINT) AS cumulative_events,
            c.is_weekend, c.weekday_name
     FROM fact f LEFT JOIN cal c USING (event_date)
     WINDOW

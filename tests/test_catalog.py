@@ -29,6 +29,23 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         compare(df, con, q.oracle)
 
 
+def test_no_oracle_column_types_hugeint(con):
+    """DuckDB types SUM(integer) — windowed or not — as HUGEINT (int128),
+    which the driver's value hash serializes differently from Spark's BIGINT
+    even when every value is identical (the only red rows in r04).  Bind every
+    registered oracle (no execution) and assert no output column is int128."""
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            assert str(typ) not in ("HUGEINT", "UHUGEINT"), (
+                f"{name}.{col} types {typ}: wrap the aggregate in "
+                f"CAST(... AS BIGINT) so the driver hash matches Spark"
+            )
+
+
 def test_seeded_rand_is_reproducible(spark, sf_dir):
     q = REGISTRY["seeded_synthetic_features"]
     a = sorted(map(tuple, q.build(spark, sf_dir).collect()))
