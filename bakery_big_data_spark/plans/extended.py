@@ -569,7 +569,9 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Blocked fuzzy matching (entity resolution): candidate pairs come "
         "from an equi-join on a blocking key (16-char name prefix, sized so blocks stay ~100 rows) — never "
         "all-pairs — and survive on Levenshtein distance <= 1 (identical "
-        "DP algorithm in both engines).  The blocking-key join is the "
+        "DP algorithm in both engines).  A |length(a)-length(b)| <= 1 "
+        "pre-filter (a lower bound on edit distance) guards the DP cost "
+        "in pathological blocks.  The blocking-key join is the "
         "standard scale shape for fuzzy dedup: candidate volume is "
         "sum(block²) not n², and the block key can be swapped for "
         "phonetic/sorted-neighborhood keys without touching the plan",
@@ -590,6 +592,9 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, "blk").filter(F.col("key_a") < F.col("key_b"))
     dist = F.levenshtein("name_a", "name_b")
-    return pairs.filter(dist <= 1).select(
+    # cheap length pre-filter: |len(a)-len(b)| is a lower bound on edit
+    # distance, so pathological blocks skip the O(len²) DP for most pairs
+    len_gap = F.abs(F.length("name_a") - F.length("name_b"))
+    return pairs.filter((len_gap <= 1) & (dist <= 1)).select(
         "key_a", "key_b", dist.alias("edit_dist")
     )

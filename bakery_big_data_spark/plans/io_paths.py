@@ -152,7 +152,10 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a 2-version snapshot table from events (idempotent per
     scale factor, rebuilt when the source parquet is newer)."""
-    from bakery_big_data_spark.sources.snapshots import write_snapshot
+    from bakery_big_data_spark.sources.snapshots import (
+        _load_manifest,
+        write_snapshot,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join("/root/repo/.scratch/snapshots", f"events_{tag}")
@@ -161,6 +164,10 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     stale = (
         not os.path.exists(marker)
         or os.path.getmtime(src) >= os.path.getmtime(marker)
+        # a crash between the two write_snapshot calls leaves a valid
+        # manifest with only v1 — treat the table as committed only when
+        # both versions exist, else rebuild from scratch
+        or len(_load_manifest(path)["versions"]) < 2
     )
     if stale:
         import shutil
@@ -201,7 +208,8 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
            COALESCE(v2.event_type, v1.event_type) AS event_type
     FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
     WHERE v1.event_id IS NULL OR v2.event_id IS NULL
-       OR (v1.value <> v2.value OR v1.event_type <> v2.event_type)
+       OR (v1.value IS DISTINCT FROM v2.value
+           OR v1.event_type IS DISTINCT FROM v2.event_type)
     """,
     doc="Snapshot time-travel + incremental diff through the versioned "
         "parquet table layer (sources/snapshots.py — the Iceberg snapshot/"

@@ -35,6 +35,25 @@ def _tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
+def _adjacent_pairs(ws: str) -> Column:
+    """Adjacent (w1, w2) token pairs, matching the oracles' empty-range
+    semantics: DuckDB's ``generate_series(1, 0)`` is empty, but Spark's
+    ``sequence(1, 0)`` DESCENDS to ``[1, 0]`` and ``element_at(ws, 0)``
+    throws INVALID_INDEX_OF_ZERO — so a 1-token (or null-text, size=-1)
+    document must short-circuit to zero pairs before the sequence is built.
+    ``explode`` then drops the empty-array row on both engines."""
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"),
+            F.element_at(ws, i + 1).alias("w2"),
+        ),
+    )
+
+
 #: GPT-2-shaped pretokenizer classes restricted to constructs whose
 #: semantics are identical in Java regex (Spark) and DuckDB's RE2:
 #: optional leading space + letter run | digit run | punctuation run.
@@ -343,17 +362,7 @@ def text_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = (
         d.select(_tokens("text").alias("ws"))
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - 1),
-                    lambda i: F.struct(
-                        F.element_at("ws", i).alias("w1"),
-                        F.element_at("ws", i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("g")
-        )
+        .select(F.explode(_adjacent_pairs("ws")).alias("g"))
         .select("g.w1", "g.w2")
     )
     pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
@@ -471,18 +480,7 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     flat = (
         d.select("doc_id", _tokens("text").alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - 1),
-                    lambda i: F.struct(
-                        F.element_at("ws", i).alias("w1"),
-                        F.element_at("ws", i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("g"),
-        )
+        .select("doc_id", F.explode(_adjacent_pairs("ws")).alias("g"))
         .select("doc_id", "g.w1", "g.w2")
     )
     wctx = Window.partitionBy("w1")

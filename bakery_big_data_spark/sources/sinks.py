@@ -112,8 +112,12 @@ def compact_parquet_dir(
     equivalent).
 
     Returns (files_before, files_after).  The rewrite stages into a sibling
-    directory and moves in last, so a concurrent reader never sees a
-    half-written table.
+    directory and swaps via two renames — single-writer maintenance only:
+    between the renames the table path briefly does not exist, and a crash
+    in that window leaves the data under ``._compact_old`` (recover by
+    renaming it back).  Readers that must never observe the gap need a
+    manifest indirection instead (see :mod:`sources.snapshots`, whose
+    visible path never disappears).
     """
     import math
     import os

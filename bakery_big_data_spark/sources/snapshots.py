@@ -104,7 +104,7 @@ def snapshot_diff(
     change = (
         F.when(F.col("_before").isNull(), "insert")
         .when(F.col("_after").isNull(), "delete")
-        .when(F.col("_before") != F.col("_after"), "update")
+        .when(~F.col("_before").eqNullSafe(F.col("_after")), "update")
     )
     return (
         j.withColumn("_change", change)

@@ -78,3 +78,42 @@ def test_manifest_survives_partial_data(spark, sf_dir, tmp_path):
         raise AssertionError("orphan version must not resolve")
     except ValueError:
         pass
+
+
+def test_snapshot_diff_null_fields(spark, tmp_path):
+    """Updates touching NULL fields are detected null-safely: NULL→value,
+    value→NULL, and NULL→NULL all classify correctly (a plain <> comparison
+    would silently drop every NULL-involving update)."""
+    table = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (3, None, "c"), (4, 7.0, "d")],
+        "k int, value double, tag string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, 9.0, "a"), (2, None, "b"), (3, None, "c"), (4, 7.0, "d")],
+        "k int, value double, tag string",
+    )
+    write_snapshot(v1, table)
+    write_snapshot(v2, table)
+    d = {r.k: r._change for r in snapshot_diff(spark, table, ["k"], 1, 2).collect()}
+    assert d == {1: "update", 2: "update"}  # 3 (NULL==NULL) and 4 unchanged
+
+
+def test_half_committed_scratch_table_rebuilds(spark, sf_dir, monkeypatch):
+    """A crash between the two scratch write_snapshot calls leaves a valid
+    manifest with versions=[1]; the staleness check must treat that as
+    uncommitted and rebuild rather than fail on 'version 2 not in [1]'."""
+    import json
+
+    from bakery_big_data_spark.plans.io_paths import _snapshot_table_path
+
+    path = _snapshot_table_path(spark, sf_dir)
+    manifest = os.path.join(path, "_snapshot_manifest.json")
+    m = json.load(open(manifest))
+    assert m["versions"] == [1, 2]
+    # simulate the crashed second commit
+    json.dump({"current": 1, "versions": [1]}, open(manifest, "w"))
+    os.utime(manifest, (0, 2_000_000_000))  # keep marker newer than source
+    path2 = _snapshot_table_path(spark, sf_dir)
+    m2 = json.load(open(os.path.join(path2, "_snapshot_manifest.json")))
+    assert m2["versions"] == [1, 2]

@@ -1,0 +1,27 @@
+"""Edge-case tests for the text-analysis family.
+
+The catalog test covers the happy path against DuckDB; these cover inputs
+the current testdata never produces (short/empty/null documents) so a
+driver testdata regeneration can't crash the bigram queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bakery_big_data_spark.plans.textops import _adjacent_pairs
+
+
+def test_adjacent_pairs_short_and_null_docs(spark):
+    """A 1-token, empty, or NULL document yields zero pairs instead of
+    tripping Spark's descending sequence(1, 0) → element_at(ws, 0) error
+    (DuckDB's generate_series(1, 0) is empty, so both engines must agree)."""
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("",), (None,)], "text string"
+    ).select(F.split("text", " ").alias("ws"))
+    rows = (
+        df.select(F.explode(_adjacent_pairs("ws")).alias("g"))
+        .select("g.w1", "g.w2")
+        .collect()
+    )
+    assert sorted((r.w1, r.w2) for r in rows) == [("a", "b"), ("b", "c")]
