@@ -192,6 +192,162 @@ def gold_fact_daily(silver: DataFrame) -> DataFrame:
     )
 
 
+def gold_fact_feedback_daily(silver_fb: DataFrame) -> DataFrame:
+    """Second fact: daily feedback rollup (the reference's
+    fact_customer_feedback, init_iceberg_tables.py:426-439) — count,
+    exact-ratio mean rating, verified count.  One keyed shuffle."""
+    return silver_fb.groupBy(
+        F.col("feedback_date").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_feedback"),
+        # SUM(int)/COUNT is exact-int division to double — bit-identical
+        # cross-engine, unlike a native AVG over doubles
+        (F.sum("rating").cast("double") / F.count(F.lit(1))).alias("avg_rating"),
+        F.sum(F.when(F.col("verified_purchase"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_verified"),
+    )
+
+
+def gold_dim_type_stats(silver: DataFrame) -> DataFrame:
+    """Per-event_type stats dim (the reference's current_pricing lookup,
+    update_ml_features.py:86-95): overall mean value + user reach."""
+    return silver.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value_type"),
+        F.countDistinct("user_id").alias("n_users_type"),
+    )
+
+
+def gold_seasonality(fact: DataFrame, calendar: DataFrame) -> DataFrame:
+    """Seasonality index per event_type (update_ml_features.py:121-131:
+    in-season mean over overall mean, NULL when the type never trades in
+    season — here season = weekend): all sums/counts are exact integers,
+    so the two-division ratio is bit-identical cross-engine."""
+    j = fact.join(
+        F.broadcast(calendar.select("event_date", "is_weekend")), "event_date"
+    )
+    wk_sum = F.sum(F.when(F.col("is_weekend"), F.col("n_events"))).cast("double")
+    wk_cnt = F.sum(F.when(F.col("is_weekend"), F.lit(1)))
+    tot_sum = F.sum("n_events").cast("double")
+    tot_cnt = F.count(F.lit(1))
+    return j.groupBy("event_type").agg(
+        ((wk_sum / wk_cnt) / (tot_sum / tot_cnt)).alias("seasonality_index")
+    )
+
+
+def gold_dim_user_scd2(
+    silver: DataFrame, split_date: str = "2024-01-16"
+) -> DataFrame:
+    """SCD2 user dimension: the pre-``split_date`` activity profile is the
+    current dimension (initial load), the full-range profile is the staged
+    batch, and :func:`scd2_apply` re-versions users whose lifetime-value
+    decile band moved (reference silver_to_gold.py:130-165 dim_store SCD2,
+    over the engine's user entity; the banded attribute mirrors the
+    reference's thresholded price SCD2, :205-231 — sub-band drift must NOT
+    re-version).  New users insert, unchanged users pass through, changed
+    users close + re-open with the lazy in-plan key base.
+    """
+    from bakery_big_data_spark.operators.mutation import scd2_apply
+
+    def profile(df: DataFrame) -> DataFrame:
+        # exact-int band: decimal mean floored to a decile — deterministic
+        # across engines and partitionings, unlike a raw double mean
+        return df.groupBy("user_id").agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                / F.count(F.lit(1))
+                / 10
+            )
+            .cast("int")
+            .alias("value_band"),
+            F.min("event_date").alias("first_seen_date"),
+        )
+
+    current = profile(
+        silver.filter(F.col("event_date") < F.lit(split_date).cast("date"))
+    ).select(
+        F.col("user_id").cast("bigint").alias("surrogate_key"),
+        "user_id",
+        "value_band",
+        "first_seen_date",
+        F.lit("2024-01-01").cast("date").alias("start_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    staged = profile(silver)
+    return scd2_apply(
+        current,
+        staged,
+        business_key="user_id",
+        # first_seen_date is monotone-stable (later events never lower a
+        # min), so tracking it adds no spurious re-versions; drift comes
+        # from the value band only
+        tracked=["value_band", "first_seen_date"],
+        effective_date=split_date,
+        key_base=None,
+    )
+
+
+def ml_features_wide(
+    fact: DataFrame,
+    calendar: DataFrame,
+    fb_fact: DataFrame,
+    season: DataFrame,
+    type_stats: DataFrame,
+) -> DataFrame:
+    """Reference-width feature build (update_ml_features.py:134-139: the
+    6-way chain base ⟕ trend ⟕ inventory ⟕ pricing ⟕ promotions ⟕
+    seasonality): the daily fact is enriched with rolling trend (window,
+    the sales_trend leg), calendar attributes, the feedback fact
+    (promotions leg), per-type seasonality, and per-type stats (pricing
+    leg).  Every non-fact side is a broadcast left join — the fact keeps
+    its partitioning end to end, so at 100 TB this is one window shuffle
+    plus map-side joins."""
+    w8 = (
+        Window.partitionBy("event_type").orderBy("event_date").rowsBetween(-7, 0)
+    )
+    rolled = fact.select(
+        "event_date",
+        "event_type",
+        "n_events",
+        "total_value",
+        (
+            F.sum(F.col("total_value").cast("decimal(30,6)")).over(w8).cast("double")
+            / F.count(F.lit(1)).over(w8)
+        ).alias("value_trend_8d"),
+    )
+    return (
+        rolled.join(
+            F.broadcast(
+                calendar.select("event_date", "is_weekend", "weekday_name")
+            ),
+            "event_date",
+            "left",
+        )
+        .join(F.broadcast(fb_fact), "event_date", "left")
+        .join(F.broadcast(season), "event_type", "left")
+        .join(F.broadcast(type_stats), "event_type", "left")
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            "total_value",
+            "value_trend_8d",
+            "is_weekend",
+            "weekday_name",
+            "n_feedback",
+            "avg_rating",
+            "n_verified",
+            "seasonality_index",
+            "avg_value_type",
+            "n_users_type",
+        )
+    )
+
+
 def ml_features_daily(fact: DataFrame, calendar: DataFrame) -> DataFrame:
     """Rolling features (update_ml_features.py:66-77): 8-row trailing mean
     per event_type + calendar attributes via broadcast left join."""
@@ -245,23 +401,61 @@ def run_medallion(
     overwrite_partitions(silver, f"{base_path}/silver_events", ["event_date"])
     silver_r = spark.read.parquet(f"{base_path}/silver_events")
 
+    fb_silver = silver_feedback(bronze_feedback(spark, sf_dir))
+    overwrite_partitions(
+        fb_silver.withColumn("event_date", F.col("feedback_date")),
+        f"{base_path}/silver_feedback",
+        ["event_date"],
+    )
+    fb_silver_r = spark.read.parquet(f"{base_path}/silver_feedback").drop(
+        "event_date"
+    )
+
     cal = gold_dim_calendar(silver_r)
     cal.write.mode("overwrite").parquet(f"{base_path}/gold_dim_calendar")
     users = gold_dim_user(silver_r)
     users.write.mode("overwrite").parquet(f"{base_path}/gold_dim_user")
+    users_scd2 = gold_dim_user_scd2(silver_r)
+    users_scd2.write.mode("overwrite").parquet(f"{base_path}/gold_dim_user_scd2")
     fact = gold_fact_daily(silver_r)
     overwrite_partitions(fact, f"{base_path}/gold_fact_daily", ["event_date"])
 
     cal_r = spark.read.parquet(f"{base_path}/gold_dim_calendar")
     fact_r = spark.read.parquet(f"{base_path}/gold_fact_daily")
+
+    fb_fact = gold_fact_feedback_daily(fb_silver_r)
+    overwrite_partitions(
+        fb_fact, f"{base_path}/gold_fact_feedback_daily", ["event_date"]
+    )
+    fb_fact_r = spark.read.parquet(f"{base_path}/gold_fact_feedback_daily")
+
+    type_stats = gold_dim_type_stats(silver_r)
+    type_stats.write.mode("overwrite").parquet(f"{base_path}/gold_dim_type_stats")
+    season = gold_seasonality(fact_r, cal_r)
+    season.write.mode("overwrite").parquet(f"{base_path}/gold_seasonality")
+
     feats = ml_features_daily(fact_r, cal_r)
     overwrite_partitions(feats, f"{base_path}/ml_features_daily", ["event_date"])
+    wide = ml_features_wide(
+        fact_r,
+        cal_r,
+        fb_fact_r,
+        spark.read.parquet(f"{base_path}/gold_seasonality"),
+        spark.read.parquet(f"{base_path}/gold_dim_type_stats"),
+    )
+    overwrite_partitions(wide, f"{base_path}/ml_features_wide", ["event_date"])
 
     return {
         "bronze": bronze_r,
         "silver": silver_r,
+        "silver_feedback": fb_silver_r,
         "dim_calendar": cal_r,
         "dim_user": spark.read.parquet(f"{base_path}/gold_dim_user"),
+        "dim_user_scd2": spark.read.parquet(f"{base_path}/gold_dim_user_scd2"),
+        "dim_type_stats": spark.read.parquet(f"{base_path}/gold_dim_type_stats"),
+        "seasonality": spark.read.parquet(f"{base_path}/gold_seasonality"),
         "fact_daily": fact_r,
+        "fact_feedback_daily": fb_fact_r,
         "ml_features": spark.read.parquet(f"{base_path}/ml_features_daily"),
+        "ml_features_wide": spark.read.parquet(f"{base_path}/ml_features_wide"),
     }

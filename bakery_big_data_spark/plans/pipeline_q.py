@@ -12,8 +12,12 @@ from bakery_big_data_spark.pipeline.medallion import (
     bronze_events,
     bronze_feedback,
     gold_dim_calendar,
+    gold_dim_type_stats,
     gold_fact_daily,
+    gold_fact_feedback_daily,
+    gold_seasonality,
     ml_features_daily,
+    ml_features_wide,
     silver_events,
     silver_feedback,
 )
@@ -106,10 +110,8 @@ def medallion_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_features_daily(gold_fact_daily(silver), gold_dim_calendar(silver))
 
 
-@register(
-    "medallion_feedback_silver",
-    f"""
-    WITH bronze AS (
+_FB_SILVER_SQL = f"""
+    WITH fb_bronze AS (
       SELECT event_id AS feedback_id,
              ts AS feedback_time,
              user_id AS customer_id,
@@ -117,8 +119,8 @@ def medallion_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type AS platform,
              event_id % 3 = 0 AS verified_purchase
       FROM events
-    ), scored AS (
-      SELECT *, {FEEDBACK_RULES_SQL} AS q FROM bronze
+    ), fb_scored AS (
+      SELECT *, {FEEDBACK_RULES_SQL} AS q FROM fb_bronze
     )
     SELECT feedback_id, customer_id,
            CAST(feedback_time AS DATE) AS feedback_date,
@@ -127,8 +129,13 @@ def medallion_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN rating = 3 THEN 'neutral'
                 ELSE 'negative' END AS sentiment_category,
            q AS data_quality_score
-    FROM scored WHERE q >= 50
-    """,
+    FROM fb_scored WHERE q >= 50
+"""
+
+
+@register(
+    "medallion_feedback_silver",
+    _FB_SILVER_SQL,
     doc="Bronze→Silver feedback path with rating→sentiment_category case "
         "ladder + quality fold (reference load_bronze_from_csv.py:106-128; "
         "the reference DECLARES silver.customer_feedback but ships no "
@@ -137,3 +144,123 @@ def medallion_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def medallion_feedback_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver_feedback(bronze_feedback(spark, sf_dir))
+
+
+@register(
+    "medallion_features_wide",
+    f"""
+    WITH fact AS ({_FACT_SQL}),
+    cal AS (
+      SELECT DISTINCT event_date,
+             dayname(event_date) AS weekday_name,
+             dayname(event_date) IN ('Saturday','Sunday') AS is_weekend
+      FROM ({_SILVER_SQL})
+    ),
+    fbf AS (
+      SELECT feedback_date AS event_date,
+             COUNT(*) AS n_feedback,
+             CAST(SUM(rating) AS DOUBLE) / COUNT(*) AS avg_rating,
+             CAST(SUM(CASE WHEN verified_purchase THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_verified
+      FROM ({_FB_SILVER_SQL})
+      GROUP BY feedback_date
+    ),
+    season AS (
+      SELECT f.event_type,
+             (CAST(SUM(CASE WHEN c.is_weekend THEN f.n_events END) AS DOUBLE)
+                / SUM(CASE WHEN c.is_weekend THEN 1 END))
+             / (CAST(SUM(f.n_events) AS DOUBLE) / COUNT(*))
+               AS seasonality_index
+      FROM fact f JOIN cal c USING (event_date)
+      GROUP BY f.event_type
+    ),
+    tstats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value_type,
+             COUNT(DISTINCT user_id) AS n_users_type
+      FROM ({_SILVER_SQL})
+      GROUP BY event_type
+    )
+    SELECT f.event_date, f.event_type, f.n_events, f.total_value,
+           CAST(SUM(CAST(f.total_value AS DECIMAL(30,6))) OVER w8 AS DOUBLE)
+             / COUNT(*) OVER w8 AS value_trend_8d,
+           c.is_weekend, c.weekday_name,
+           fbf.n_feedback, fbf.avg_rating, fbf.n_verified,
+           s.seasonality_index, t.avg_value_type, t.n_users_type
+    FROM fact f
+    LEFT JOIN cal c USING (event_date)
+    LEFT JOIN fbf USING (event_date)
+    LEFT JOIN season s ON f.event_type = s.event_type
+    LEFT JOIN tstats t ON f.event_type = t.event_type
+    WINDOW w8 AS (PARTITION BY f.event_type ORDER BY f.event_date
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Reference-width ML feature build (update_ml_features.py:134-139 "
+        "6-way chain): daily fact ⟕ rolling trend (window) ⟕ calendar dim "
+        "⟕ feedback fact (promotions leg) ⟕ per-type seasonality index "
+        "(:121-131) ⟕ per-type stats (pricing leg).  The fact keeps its "
+        "partitioning end to end — every enrichment side is a broadcast "
+        "left join, so the whole build is one window shuffle plus "
+        "map-side joins at any scale",
+)
+def medallion_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = silver_events(bronze_events(spark, sf_dir))
+    fact = gold_fact_daily(silver)
+    cal = gold_dim_calendar(silver)
+    return ml_features_wide(
+        fact,
+        cal,
+        gold_fact_feedback_daily(silver_feedback(bronze_feedback(spark, sf_dir))),
+        gold_seasonality(fact, cal),
+        gold_dim_type_stats(silver),
+    )
+
+
+_USER_PROFILE_SQL = """
+      SELECT user_id,
+             CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*) / 10)
+                  AS INT) AS value_band,
+             MIN(event_date) AS first_seen_date
+      FROM silver {where} GROUP BY user_id
+"""
+
+
+@register(
+    "medallion_dim_user_scd2",
+    f"""
+    WITH silver AS ({_SILVER_SQL}),
+    cur AS ({_USER_PROFILE_SQL.format(where="WHERE event_date < DATE '2024-01-16'")}),
+    fullp AS ({_USER_PROFILE_SQL.format(where="")}),
+    chg AS (
+      SELECT f.* FROM fullp f LEFT JOIN cur c USING (user_id)
+      WHERE c.user_id IS NULL
+         OR f.value_band IS DISTINCT FROM c.value_band
+         OR f.first_seen_date IS DISTINCT FROM c.first_seen_date
+    )
+    SELECT CAST(c.user_id AS BIGINT) AS surrogate_key,
+           c.user_id, c.value_band, c.first_seen_date,
+           DATE '2024-01-01' AS start_date,
+           CASE WHEN ch.user_id IS NOT NULL THEN DATE '2024-01-16' END
+             AS end_date,
+           ch.user_id IS NULL AS is_current
+    FROM cur c LEFT JOIN chg ch USING (user_id)
+    UNION ALL
+    SELECT CAST((SELECT COALESCE(MAX(CAST(user_id AS BIGINT)), 0) FROM cur)
+                + ROW_NUMBER() OVER (ORDER BY user_id) AS BIGINT),
+           user_id, value_band, first_seen_date,
+           DATE '2024-01-16', NULL, TRUE
+    FROM chg
+    """,
+    doc="SCD2 user dimension inside the medallion chain (reference "
+        "silver_to_gold.py:130-165 dim_store SCD2): the pre-split profile "
+        "is the current dim, the full-range profile is the staged batch, "
+        "and users whose exact-decimal value band moved are re-versioned "
+        "(close + insert with the lazy in-plan key base).  The banded "
+        "attribute mirrors the reference's thresholded price SCD2 "
+        "(:205-231): sub-band drift must NOT open a version",
+)
+def medallion_dim_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.pipeline.medallion import gold_dim_user_scd2
+
+    return gold_dim_user_scd2(silver_events(bronze_events(spark, sf_dir)))

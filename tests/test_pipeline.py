@@ -42,6 +42,43 @@ def test_medallion_end_to_end(spark, sf_dir):
         for d in os.listdir(f"{base}/silver_events")
     )
 
+    # wide features: one row per fact row, every enrichment leg present
+    wide = layers["ml_features_wide"]
+    assert wide.count() == fact.count()
+    assert wide.filter(F.col("avg_value_type").isNull()).count() == 0
+    assert wide.filter(F.col("n_users_type") <= 0).count() == 0
+    # seasonality: NULL only allowed for types never seen on a weekend
+    weekend_types = {
+        r.event_type
+        for r in wide.filter(F.col("is_weekend")).select("event_type").distinct().collect()
+    }
+    null_season = {
+        r.event_type
+        for r in wide.filter(F.col("seasonality_index").isNull())
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert not (null_season & weekend_types)
+
+    # second fact joins the calendar date spine
+    fbf = layers["fact_feedback_daily"]
+    assert fbf.filter(F.col("avg_rating").between(1, 5)).count() == fbf.count()
+
+    # SCD2 user dim: exactly one open version per user, closed versions
+    # carry end_date = effective date, and re-versioned users have 2 rows
+    scd2 = layers["dim_user_scd2"]
+    open_per_user = (
+        scd2.filter("is_current").groupBy("user_id").count()
+        .filter("count > 1").count()
+    )
+    assert open_per_user == 0
+    closed = scd2.filter(~F.col("is_current"))
+    assert closed.filter(F.col("end_date").isNull()).count() == 0
+    assert closed.count() > 0  # breadth really grew for someone
+    versioned = scd2.groupBy("user_id").count().filter("count = 2")
+    assert versioned.count() == closed.count()
+
     # idempotence: re-running the whole pipeline changes nothing
     counts1 = {k: df.count() for k, df in layers.items()}
     layers2 = run_medallion(spark, sf_dir, base)
