@@ -38,61 +38,72 @@ from bakery_big_data_spark.plans import behavior  # noqa: F401
 #: The first 50 registrations — one slot per §2 capability row (consolidated
 #: where the judge blessed merging redundant variants) + the LLM-pipeline
 #: families.  Everything here must keep a green driver CORRECTNESS row.
+#: ~40 core slots stay fixed round over round; the final ~10 rotate through
+#: the long tail so every family eventually gets a driver row (r05 rotation:
+#: behavioral, grouping sets, CDC/snapshot/incremental maintenance, fuzzy
+#: match, CSV/DDL, and the reference-width feature join).  Rotated-out
+#: queries stay registered — the local catalog suite still oracle-checks
+#: them every run.
 DRIVER_WINDOW: list[str] = [
-    # relational / aggregation core (P, A, §2.11, §2.12, U)
+    # relational / aggregation core (P, A, §2.11, §2.12, U).  P-family
+    # projection/cast surface rides case_when_null_bucketing + the
+    # flagship; ratio-of-aggs now also inside medallion_features_wide.
     "pricing_summary_quality_gated",
-    "filter_project_cast",
     "case_when_null_bucketing",
     "report_quality_multi_table",
     "daily_revenue_rollup",
     "conditional_pivot_agg",
-    "global_scalar_uniqueness",
     "group_stats_report",
-    "distinct_entities",
-    "seasonality_ratio_of_aggs",
     "dashboard_summary",
-    # joins (J1-J8 + as-of extension)
+    # joins (J1-J8 + as-of extension; J6 cross join rotated to local —
+    # fuzzy_name_match_blocked adds the blocked equi-join ER shape)
     "join_inner_broadcast_dim",
     "join_left_outer_keep_unmatched",
     "join_multiway_star",
     "join_sql_tempview",
-    "join_cross_synthesize",
     "join_range_interval",
     "join_semi_anti_membership",
     "join_asof_latest_state",
-    # windows / ranking / top-k (W1-W6, O1-O2; W1+W2 consolidated)
+    "fuzzy_name_match_blocked",
+    # windows / ranking / top-k (W1-W6, O1-O2; rank row carries top-k)
     "window_sequence_keys",
     "sessionize_events",
     "window_moving_cumulative",
-    "window_latest_row_with_context",
     "window_rank_dense_ntile",
-    "topk_leaderboards",
-    # scalar functions (§2.8)
+    # scalar functions (§2.8; array explode rides dedup shingling + text)
     "date_functions_calendar",
     "string_math_functions",
     "json_payload_roundtrip",
-    "array_explode_aggregate",
-    # mutation layer (S10/S11, J4, T6/T7)
+    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths
     "merge_full_upsert",
     "update_status_flip",
     "scd2_versioning",
     "late_arrival_reconciliation",
+    "cdc_apply_changes",
+    "snapshot_incremental_diff",
+    "incremental_fact_maintenance",
+    # behavioral analytics family (first driver rows this round)
+    "funnel_conversion",
+    "cohort_retention",
+    "timeseries_gapfill",
+    "grouping_sets_matrix",
     # LLM: text analysis (token stats + quality + language-ID in one pass)
     "text_analysis_profile",
-    # LLM: dedup
+    # LLM: dedup (n-gram jaccard rotated to local; LSH covers the family)
     "dedup_exact_content",
-    "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",
     # LLM: similarity
     "similarity_topk_bruteforce",
     "embedding_cosine_near_dup_pairs",
     # pipeline / IO / streaming (gold_daily_fact is strictly between
-    # silver_transform and ml_features in the chain — covered locally)
+    # silver_transform and the feature build in the chain — covered
+    # locally; features_wide supersedes ml_features with the 6-source join)
     "medallion_silver_transform",
-    "medallion_ml_features",
+    "medallion_features_wide",
     "medallion_feedback_silver",
     "partition_pruned_scan",
+    "csv_ddl_roundtrip",
     "streaming_ingest_replay",
     "streaming_watermark_parity",
     "seeded_synthetic_features",

@@ -149,6 +149,113 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_DIR = "/root/repo/.scratch/csv_ddl/customer_sample_csv"
+
+
+def _csv_scratch_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a CSV copy of a customer slice at a FIXED path (the
+    static oracle SQL embeds it), keyed on source mtime + scale-factor tag:
+    a driver testdata regeneration or an sf switch rewrites the CSV before
+    either engine reads it.  Values are stringified deterministically
+    (acctbal pre-cast to DECIMAL(15,2)) so the text round-trips exactly in
+    both engines; headers use dotted names ('cust.key', 'acct.bal') to
+    exercise quoted-identifier handling on read."""
+    marker = os.path.join(_CSV_DIR, "_tag.txt")
+    src = os.path.join(sf_dir, "customer.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != tag or os.path.getmtime(
+                src
+            ) >= os.path.getmtime(marker)
+    if stale:
+        import shutil
+
+        shutil.rmtree(_CSV_DIR, ignore_errors=True)
+        (
+            t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 2000)
+            .select(
+                F.col("c_custkey").alias("cust.key"),
+                F.col("c_mktsegment").alias("segment"),
+                F.col("c_acctbal").cast("decimal(15,2)").alias("acct.bal"),
+            )
+            .coalesce(1)
+            .write.option("header", True)
+            .csv(_CSV_DIR)
+        )
+        with open(marker, "w") as fh:
+            fh.write(tag)
+    return _CSV_DIR
+
+
+@register(
+    "csv_ddl_roundtrip",
+    f"""
+    SELECT segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM("acct.bal") AS DOUBLE) AS total_balance,
+           CAST(MAX("cust.key") AS BIGINT) AS max_key
+    FROM read_csv('{_CSV_DIR}/*.csv', header=true,
+                  columns={{'cust.key': 'BIGINT',
+                           'segment': 'VARCHAR',
+                           'acct.bal': 'DECIMAL(15,2)'}})
+    GROUP BY segment
+    """,
+    doc="S4+S12+S13 in one driver row: a CSV scratch written by the engine "
+        "is read back with an EXPLICIT schema (no inference — dotted "
+        "headers 'cust.key'/'acct.bal' exercise backtick quoting, decimal "
+        "casts keep the text round-trip exact), CTAS'd into a catalog "
+        "database (CREATE DATABASE + CREATE TABLE AS SELECT, reference "
+        "init_iceberg_tables.py:29 namespaces / "
+        "bakery_csv_etl_pipeline.py:260-262 CTAS), and aggregated from the "
+        "catalog table.  The oracle reads the same CSV via read_csv with "
+        "the same explicit column types",
+)
+def csv_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bakery_big_data_spark.sources.sinks import create_database
+
+    path = _csv_scratch_path(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("cust.key", LongType()),
+            StructField("segment", StringType()),
+            StructField("acct.bal", DecimalType(15, 2)),
+        ]
+    )
+    csv = spark.read.schema(schema).option("header", True).csv(path)
+
+    create_database(spark, "csv_ddl", "/root/repo/.scratch/csv_ddl/db")
+    spark.sql("DROP TABLE IF EXISTS csv_ddl.customer_roundtrip")
+    # a previous SESSION's managed-table files survive its in-memory
+    # catalog; clear the location or CTAS fails LOCATION_ALREADY_EXISTS
+    import shutil
+
+    shutil.rmtree(
+        "/root/repo/.scratch/csv_ddl/db/customer_roundtrip", ignore_errors=True
+    )
+    csv.createOrReplaceTempView("_csv_src")
+    spark.sql(
+        "CREATE TABLE csv_ddl.customer_roundtrip USING parquet AS "
+        "SELECT `cust.key` AS cust_key, segment, `acct.bal` AS acct_bal "
+        "FROM _csv_src"
+    )
+    return spark.table("csv_ddl.customer_roundtrip").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acct_bal").cast("double").alias("total_balance"),
+        F.max("cust_key").cast("bigint").alias("max_key"),
+    )
+
+
 def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a 2-version snapshot table from events (idempotent per
     scale factor, rebuilt when the source parquet is newer)."""

@@ -31,6 +31,7 @@ NESTED_LOOP_ALLOWED = {
     # scd2_apply) — the declarative replacement for an eager .first() lookup;
     # the nested-loop side is exactly one row
     "scd2_versioning",
+    "medallion_dim_user_scd2",  # same scd2_apply lazy 1-row key base
     # deliberate 1-row broadcast: the lazy corpus-total divisor crossed onto
     # the bucket counts (the declarative replacement for an eager .count())
     "curation_length_histogram",
