@@ -212,11 +212,30 @@ def hyperplane_planes(num_planes: int, dim: int, seed: int = 7) -> list[list[flo
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: bit j = (vec · plane_j >= 0) → INT bucket id."""
+def hyperplane_signature(
+    vec: Column | str, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature: bit j = (vec · plane_j >= 0) → INT bucket id.
+
+    When ``vec`` is a column NAME the whole signature is assembled as ONE
+    ``F.expr`` string — the Column-API equivalent issues hundreds of py4j
+    lambda round-trips per signature (measured ~0.5 s of driver-side plan
+    construction per table side at 4 tables), while a single expr is one
+    call; the resolved expression tree (zip_with → aggregate fold in array
+    order) is identical either way."""
+    if isinstance(vec, str):
+        terms = []
+        for j, plane in enumerate(planes):
+            lits = ",".join(f"{float(x)!r}D" for x in plane)
+            dot = (
+                f"aggregate(zip_with(`{vec}`, array({lits}),"
+                f" (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+        return F.expr(f"CAST(({' + '.join(terms)}) AS INT)")
     sig: Column = F.lit(0)
     for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = F.lit([float(x) for x in plane])
         d = F.aggregate(
             F.zip_with(vec, lit_plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -282,7 +301,7 @@ def ivf_topk(
         assigned, centers = _build_index(False)
 
     def dist2(vec: Column, center: list[float]) -> Column:
-        lit_c = F.array(*[F.lit(x) for x in center])
+        lit_c = F.lit([float(x) for x in center])
         return F.aggregate(
             F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -399,7 +418,7 @@ def ann_topk(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("_cv"),
             "_cn",
-            hyperplane_signature(F.col(vec_col), planes).alias("_bucket"),
+            hyperplane_signature(vec_col, planes).alias("_bucket"),
         )
         q1 = (
             with_norm2(queries, vec_col, "_qn")
@@ -407,7 +426,7 @@ def ann_topk(
                 F.col(id_col).alias("q_id"),
                 F.col(vec_col).alias("_qv"),
                 "_qn",
-                hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+                hyperplane_signature(vec_col, planes).alias("_sig"),
             )
             .select(
                 "q_id",
@@ -431,7 +450,7 @@ def ann_topk(
         *[
             F.struct(
                 F.lit(t_idx).alias("t"),
-                hyperplane_signature(F.col(vec_col), planes).alias("s"),
+                hyperplane_signature(vec_col, planes).alias("s"),
             )
             for t_idx, planes in enumerate(tables)
         ]
@@ -446,39 +465,46 @@ def ann_topk(
         )
         .select("c_id", "_cv", "_cn", F.col("_ts.t").alias("_t"), F.col("_ts.s").alias("_bucket"))
     )
-    q_probes = F.flatten(
-        F.array(
-            *[
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t_idx).alias("t"),
-                            hyperplane_signature(F.col(vec_col), planes)
-                            .bitwiseXOR(F.lit(m))
-                            .alias("s"),
-                        )
-                        for m in masks
-                    ]
-                )
-                for t_idx, planes in enumerate(tables)
-            ]
-        )
+    # signatures materialize ONCE per (row, table) in a first projection;
+    # the probe array then XORs the tiny signature COLUMNS — inlining the
+    # 6×64-term signature expression into every one of the |masks|×L probe
+    # structs multiplies the codegen tree ~90× and stalls compilation
+    q_sigged = with_norm2(queries, vec_col, "_qn").select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        "_qn",
+        *[
+            hyperplane_signature(vec_col, planes).alias(f"_s{t_idx}")
+            for t_idx, planes in enumerate(tables)
+        ],
     )
-    q = (
-        with_norm2(queries, vec_col, "_qn")
-        .select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("_qv"),
-            "_qn",
-            F.explode(q_probes).alias("_ts"),
+    # one expr call for the |tables|×|masks| probe array — struct-by-struct
+    # Column construction is ~3 py4j round trips per probe (264 for the
+    # L=4/H=2 point), pure driver-side latency
+    q_probes = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('t', {t_idx}, 's', _s{t_idx} ^ {m})"
+            for t_idx in range(len(tables))
+            for m in masks
         )
-        .select("q_id", "_qv", "_qn", F.col("_ts.t").alias("_t"), F.col("_ts.s").alias("_bucket"))
+        + ")"
+    )
+    q = q_sigged.select(
+        "q_id", "_qv", "_qn", F.explode(q_probes).alias("_ts")
+    ).select(
+        "q_id", "_qv", "_qn", F.col("_ts.t").alias("_t"), F.col("_ts.s").alias("_bucket")
     )
     return (
         c.join(F.broadcast(q), ["_t", "_bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
+        # dedupe BEFORE scoring: the same pair can hit in several tables,
+        # and the decimal-exact cosine is the expensive leg — score each
+        # surviving pair once (vectors ride along; identical per pair, so
+        # the kept row is value-deterministic)
+        .select("q_id", "c_id", "_qv", "_qn", "_cv", "_cn")
+        .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "c_id", cosine.alias("cosine"))
-        .dropDuplicates(["q_id", "c_id"])  # same pair may hit in several tables
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")

@@ -93,9 +93,11 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact_content",
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",
-    # LLM: similarity
+    # LLM: similarity (near-dup pairs rotated to local — the exact-dot
+    # machinery rides the bruteforce row, and the recall row certifies the
+    # LSH bucket/probe/rerank path quantitatively)
     "similarity_topk_bruteforce",
-    "embedding_cosine_near_dup_pairs",
+    "similarity_ann_recall",
     # pipeline / IO / streaming (gold_daily_fact is strictly between
     # silver_transform and the feature build in the chain — covered
     # locally; features_wide supersedes ml_features with the 6-source join)

@@ -20,6 +20,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate broadcast scan: tiny query set × corpus, O(corpus) work —
     # the exact-baseline shape for ANN (the scale path is similarity_ann_lsh)
     "similarity_topk_bruteforce",
+    # same deliberate broadcast exact baseline feeding the recall compare;
+    # the ANN side itself is bucket-equi-joined
+    "similarity_ann_recall",
     # deliberate dim×salt replication (5 rows × 16 salts) feeding the
     # skew-mitigation shuffle join
     "skew_salted_join",
