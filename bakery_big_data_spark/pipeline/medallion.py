@@ -291,12 +291,42 @@ def gold_dim_user_scd2(
     )
 
 
+def gold_dim_promotions(silver: DataFrame) -> DataFrame:
+    """Promotions dim with VALIDITY RANGES (reference fact_promotions,
+    init_iceberg_tables.py:410-425): one campaign per event_type, active
+    for a 10-day window staggered by the type's alphabetical ordinal —
+    deterministic, so the oracle derives the identical ranges."""
+    w = Window.orderBy("event_type")
+    return (
+        silver.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.concat(F.lit("camp_"), F.col("event_type")).alias(
+                "marketing_campaign"
+            ),
+            (F.row_number().over(w) - 1).alias("_ord"),
+        )
+        .select(
+            "event_type",
+            "marketing_campaign",
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("_ord") * 5).alias(
+                "start_date"
+            ),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), F.col("_ord") * 5 + 9
+            ).alias("end_date"),
+        )
+    )
+
+
 def ml_features_wide(
     fact: DataFrame,
     calendar: DataFrame,
     fb_fact: DataFrame,
     season: DataFrame,
     type_stats: DataFrame,
+    promotions: DataFrame | None = None,
 ) -> DataFrame:
     """Reference-width feature build (update_ml_features.py:134-139: the
     6-way chain base ⟕ trend ⟕ inventory ⟕ pricing ⟕ promotions ⟕
@@ -305,7 +335,11 @@ def ml_features_wide(
     (promotions leg), per-type seasonality, and per-type stats (pricing
     leg).  Every non-fact side is a broadcast left join — the fact keeps
     its partitioning end to end, so at 100 TB this is one window shuffle
-    plus map-side joins."""
+    plus map-side joins.  When ``promotions`` is given, the reference's
+    active_promotions leg joins on a VALIDITY RANGE
+    (update_ml_features.py:100-108: ``date BETWEEN start AND end``, active
+    flag coalesced to false) — on a broadcast join the range predicate is
+    a map-side post-filter on the type-equality condition."""
     w8 = (
         Window.partitionBy("event_type").orderBy("event_date").rowsBetween(-7, 0)
     )
@@ -319,7 +353,7 @@ def ml_features_wide(
             / F.count(F.lit(1)).over(w8)
         ).alias("value_trend_8d"),
     )
-    return (
+    out = (
         rolled.join(
             F.broadcast(
                 calendar.select("event_date", "is_weekend", "weekday_name")
@@ -330,21 +364,39 @@ def ml_features_wide(
         .join(F.broadcast(fb_fact), "event_date", "left")
         .join(F.broadcast(season), "event_type", "left")
         .join(F.broadcast(type_stats), "event_type", "left")
-        .select(
-            "event_date",
-            "event_type",
-            "n_events",
-            "total_value",
-            "value_trend_8d",
-            "is_weekend",
-            "weekday_name",
-            "n_feedback",
-            "avg_rating",
-            "n_verified",
-            "seasonality_index",
-            "avg_value_type",
-            "n_users_type",
-        )
+    )
+    cols = [
+        "event_date",
+        "event_type",
+        "n_events",
+        "total_value",
+        "value_trend_8d",
+        "is_weekend",
+        "weekday_name",
+        "n_feedback",
+        "avg_rating",
+        "n_verified",
+        "seasonality_index",
+        "avg_value_type",
+        "n_users_type",
+    ]
+    if promotions is None:
+        return out.select(*cols)
+    p = promotions.select(
+        F.col("event_type").alias("_p_type"),
+        "marketing_campaign",
+        "start_date",
+        "end_date",
+    )
+    return out.join(
+        F.broadcast(p),
+        (F.col("event_type") == F.col("_p_type"))
+        & F.col("event_date").between(F.col("start_date"), F.col("end_date")),
+        "left",
+    ).select(
+        *cols,
+        F.col("_p_type").isNotNull().alias("promotion_active"),
+        "marketing_campaign",
     )
 
 
@@ -433,6 +485,8 @@ def run_medallion(
     type_stats.write.mode("overwrite").parquet(f"{base_path}/gold_dim_type_stats")
     season = gold_seasonality(fact_r, cal_r)
     season.write.mode("overwrite").parquet(f"{base_path}/gold_seasonality")
+    promos = gold_dim_promotions(silver_r)
+    promos.write.mode("overwrite").parquet(f"{base_path}/gold_dim_promotions")
 
     feats = ml_features_daily(fact_r, cal_r)
     overwrite_partitions(feats, f"{base_path}/ml_features_daily", ["event_date"])
@@ -442,6 +496,7 @@ def run_medallion(
         fb_fact_r,
         spark.read.parquet(f"{base_path}/gold_seasonality"),
         spark.read.parquet(f"{base_path}/gold_dim_type_stats"),
+        spark.read.parquet(f"{base_path}/gold_dim_promotions"),
     )
     overwrite_partitions(wide, f"{base_path}/ml_features_wide", ["event_date"])
 
@@ -453,6 +508,7 @@ def run_medallion(
         "dim_user": spark.read.parquet(f"{base_path}/gold_dim_user"),
         "dim_user_scd2": spark.read.parquet(f"{base_path}/gold_dim_user_scd2"),
         "dim_type_stats": spark.read.parquet(f"{base_path}/gold_dim_type_stats"),
+        "dim_promotions": spark.read.parquet(f"{base_path}/gold_dim_promotions"),
         "seasonality": spark.read.parquet(f"{base_path}/gold_seasonality"),
         "fact_daily": fact_r,
         "fact_feedback_daily": fb_fact_r,

@@ -591,10 +591,13 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
     )
     pairs = a.join(b, "blk").filter(F.col("key_a") < F.col("key_b"))
-    dist = F.levenshtein("name_a", "name_b")
     # cheap length pre-filter: |len(a)-len(b)| is a lower bound on edit
-    # distance, so pathological blocks skip the O(len²) DP for most pairs
+    # distance; then the THRESHOLD form of levenshtein — banded DP, O(len)
+    # instead of O(len²) per pair, returning -1 above the bound (for
+    # surviving pairs the band returns the true distance, so the output
+    # column is identical to the unbounded DP's)
     len_gap = F.abs(F.length("name_a") - F.length("name_b"))
-    return pairs.filter((len_gap <= 1) & (dist <= 1)).select(
+    dist = F.levenshtein("name_a", "name_b", 1)
+    return pairs.filter((len_gap <= 1) & (dist >= 0)).select(
         "key_a", "key_b", dist.alias("edit_dist")
     )

@@ -12,6 +12,7 @@ from bakery_big_data_spark.pipeline.medallion import (
     bronze_events,
     bronze_feedback,
     gold_dim_calendar,
+    gold_dim_promotions,
     gold_dim_type_stats,
     gold_fact_daily,
     gold_fact_feedback_daily,
@@ -181,28 +182,44 @@ def medallion_feedback_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(DISTINCT user_id) AS n_users_type
       FROM ({_SILVER_SQL})
       GROUP BY event_type
+    ),
+    promo AS (
+      SELECT event_type,
+             'camp_' || event_type AS marketing_campaign,
+             DATE '2024-01-01' + CAST((rn - 1) * 5 AS INTEGER) AS start_date,
+             DATE '2024-01-01' + CAST((rn - 1) * 5 + 9 AS INTEGER) AS end_date
+      FROM (SELECT event_type,
+                   ROW_NUMBER() OVER (ORDER BY event_type) AS rn
+            FROM (SELECT DISTINCT event_type FROM ({_SILVER_SQL})))
     )
     SELECT f.event_date, f.event_type, f.n_events, f.total_value,
            CAST(SUM(CAST(f.total_value AS DECIMAL(30,6))) OVER w8 AS DOUBLE)
              / COUNT(*) OVER w8 AS value_trend_8d,
            c.is_weekend, c.weekday_name,
            fbf.n_feedback, fbf.avg_rating, fbf.n_verified,
-           s.seasonality_index, t.avg_value_type, t.n_users_type
+           s.seasonality_index, t.avg_value_type, t.n_users_type,
+           p.event_type IS NOT NULL AS promotion_active,
+           p.marketing_campaign
     FROM fact f
     LEFT JOIN cal c USING (event_date)
     LEFT JOIN fbf USING (event_date)
     LEFT JOIN season s ON f.event_type = s.event_type
     LEFT JOIN tstats t ON f.event_type = t.event_type
+    LEFT JOIN promo p ON f.event_type = p.event_type
+                     AND f.event_date BETWEEN p.start_date AND p.end_date
     WINDOW w8 AS (PARTITION BY f.event_type ORDER BY f.event_date
                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
     """,
     doc="Reference-width ML feature build (update_ml_features.py:134-139 "
         "6-way chain): daily fact ⟕ rolling trend (window) ⟕ calendar dim "
-        "⟕ feedback fact (promotions leg) ⟕ per-type seasonality index "
-        "(:121-131) ⟕ per-type stats (pricing leg).  The fact keeps its "
-        "partitioning end to end — every enrichment side is a broadcast "
-        "left join, so the whole build is one window shuffle plus "
-        "map-side joins at any scale",
+        "⟕ feedback fact ⟕ per-type seasonality index (:121-131) ⟕ "
+        "per-type stats (pricing leg) ⟕ promotions dim on a VALIDITY "
+        "RANGE (:100-108 — date BETWEEN start AND end, active flag "
+        "coalesced false, campaign NULL when inactive).  The fact keeps "
+        "its partitioning end to end — every enrichment side is a "
+        "broadcast left join (the range predicate rides the type-equality "
+        "hash join as a map-side post-filter), so the whole build is one "
+        "window shuffle plus map-side joins at any scale",
 )
 def medallion_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = silver_events(bronze_events(spark, sf_dir))
@@ -214,6 +231,7 @@ def medallion_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         gold_fact_feedback_daily(silver_feedback(bronze_feedback(spark, sf_dir))),
         gold_seasonality(fact, cal),
         gold_dim_type_stats(silver),
+        gold_dim_promotions(silver),
     )
 
 

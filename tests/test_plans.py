@@ -116,3 +116,12 @@ def test_filters_and_projection_reach_scan(name, col, spark, sf_dir):
         assert "PushedFilters: [" in scan
         pushed = scan.split("PushedFilters: [")[1].split("]")[0]
         assert pushed.strip(), f"{name}: no pushed filters"
+
+
+def test_features_wide_enrichment_all_broadcast(spark, sf_dir):
+    """The 7-source feature chain must keep every enrichment leg a
+    broadcast join — a SortMergeJoin anywhere means a dim side lost its
+    broadcast and the fact would shuffle per leg at scale."""
+    plan = _plan(spark, sf_dir, "medallion_features_wide")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
