@@ -400,6 +400,42 @@ def ml_features_wide(
     )
 
 
+def gold_fact_user_daily(silver: DataFrame) -> DataFrame:
+    """Third fact: per-(user, day) activity rollup (the reference's
+    fact_equipment_performance shape, init_iceberg_tables.py:440-462 —
+    entity × day utilization metrics).  One keyed shuffle."""
+    return silver.groupBy("event_date", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def ml_user_features(user_fact: DataFrame) -> DataFrame:
+    """Third feature table: per-user rolling activity + burst flag (the
+    reference's equipment_maintenance_features pattern,
+    init_iceberg_tables.py:491-510 / update_ml_features.py rolling
+    health metrics): 7-row trailing mean of daily event counts and a
+    burst flag when a day runs ≥2× its trailing mean.  The trailing mean
+    is a ratio of exact integers, so the flag is engine-exact even at the
+    threshold boundary."""
+    w7 = Window.partitionBy("user_id").orderBy("event_date").rowsBetween(-6, 0)
+    trailing = (
+        F.sum("n_events").over(w7).cast("double") / F.count(F.lit(1)).over(w7)
+    )
+    return user_fact.select(
+        "event_date",
+        "user_id",
+        "n_events",
+        "total_value",
+        "n_types",
+        trailing.alias("events_trend_7d"),
+        (F.col("n_events").cast("double") >= 2 * trailing).alias("is_burst"),
+    )
+
+
 def ml_features_daily(fact: DataFrame, calendar: DataFrame) -> DataFrame:
     """Rolling features (update_ml_features.py:66-77): 8-row trailing mean
     per event_type + calendar attributes via broadcast left join."""
@@ -500,6 +536,17 @@ def run_medallion(
     )
     overwrite_partitions(wide, f"{base_path}/ml_features_wide", ["event_date"])
 
+    user_fact = gold_fact_user_daily(silver_r)
+    overwrite_partitions(
+        user_fact, f"{base_path}/gold_fact_user_daily", ["event_date"]
+    )
+    user_feats = ml_user_features(
+        spark.read.parquet(f"{base_path}/gold_fact_user_daily")
+    )
+    overwrite_partitions(
+        user_feats, f"{base_path}/ml_user_features", ["event_date"]
+    )
+
     return {
         "bronze": bronze_r,
         "silver": silver_r,
@@ -514,4 +561,6 @@ def run_medallion(
         "fact_feedback_daily": fb_fact_r,
         "ml_features": spark.read.parquet(f"{base_path}/ml_features_daily"),
         "ml_features_wide": spark.read.parquet(f"{base_path}/ml_features_wide"),
+        "fact_user_daily": spark.read.parquet(f"{base_path}/gold_fact_user_daily"),
+        "ml_user_features": spark.read.parquet(f"{base_path}/ml_user_features"),
     }

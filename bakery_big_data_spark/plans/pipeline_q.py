@@ -245,6 +245,46 @@ _USER_PROFILE_SQL = """
 
 
 @register(
+    "medallion_user_features",
+    f"""
+    WITH ufact AS (
+      SELECT event_date, user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM ({_SILVER_SQL})
+      GROUP BY event_date, user_id
+    )
+    SELECT event_date, user_id, n_events, total_value, n_types,
+           CAST(SUM(n_events) OVER w7 AS DOUBLE) / COUNT(*) OVER w7
+             AS events_trend_7d,
+           CAST(n_events AS DOUBLE)
+             >= 2 * (CAST(SUM(n_events) OVER w7 AS DOUBLE)
+                     / COUNT(*) OVER w7) AS is_burst
+    FROM ufact
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY event_date
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Third ML feature table: per-user daily activity fact (the "
+        "reference's fact_equipment_performance shape, "
+        "init_iceberg_tables.py:440-462) + 7-row trailing mean and a "
+        "2×-trailing burst flag (equipment_maintenance_features pattern, "
+        ":491-510).  The trailing mean is a ratio of exact integers, so "
+        "the threshold flag is engine-exact; one agg shuffle + one "
+        "same-keyed window",
+)
+def medallion_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.pipeline.medallion import (
+        gold_fact_user_daily,
+        ml_user_features,
+    )
+
+    return ml_user_features(
+        gold_fact_user_daily(silver_events(bronze_events(spark, sf_dir)))
+    )
+
+
+@register(
     "medallion_dim_user_scd2",
     f"""
     WITH silver AS ({_SILVER_SQL}),

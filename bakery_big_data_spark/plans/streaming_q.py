@@ -131,3 +131,70 @@ def streaming_watermark_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_append_sink(agg, out, ckpt, available_now=True, query_name="wm_parity")
     q.awaitTermination()
     return spark.read.parquet(out).select("window_start", "event_type", "n_events")
+
+
+@register(
+    "streaming_session_windows",
+    f"""
+    WITH src AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_id < {_N}
+    ), m AS (SELECT MAX(ts) AS mx FROM src),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+    FROM sess, m
+    GROUP BY user_id, sid, mx
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= mx - INTERVAL 10 MINUTE
+    """,
+    doc="Stateful streaming SESSION windows, STREAM-RUN (merging window "
+        "state in the state store): the JSON-lines stream drains under "
+        "availableNow through withWatermark + session_window(30 min) in "
+        "append mode, and the landed frame is returned.  A session emits "
+        "exactly when the final watermark (max event time − 10 min) "
+        "passes its end (last event + gap) — the oracle derives the same "
+        "sessions from first principles (lag + cumulative gap flags, "
+        "event_id tiebreaks) and states the emission cutoff as a HAVING "
+        "on the session end, so the driver hash-checks the streaming "
+        "runtime's session-merge AND late-data semantics in one row "
+        "(stateful counterpart of session_window_agg; SURVEY §2.9 "
+        "session windows are a rebuild extension)",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.streaming.ingest import session_window_counts
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_sess")
+    src, out, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        ev.select(
+            F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(src)
+    agg = session_window_counts(
+        read_json_stream(spark, src),
+        watermark_delay="10 minutes",
+        gap="30 minutes",
+    )
+    q = start_append_sink(agg, out, ckpt, available_now=True, query_name="sess_parity")
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "n_events", "session_value"
+    )

@@ -315,3 +315,35 @@ def supervise(
         if on_error is not None:
             on_error(exc)
         raise
+
+
+def session_window_counts(
+    events: DataFrame,
+    watermark_delay: str = "10 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Stateful streaming SESSION windows (T1 + merging window state):
+    per-user gap-based sessions maintained by the streaming state store —
+    sessions grow/merge as events arrive and emit in append mode only when
+    the watermark (max event time − delay) passes the session's end
+    (last event + gap).  The stateful counterpart of the batch
+    sessionize_events / session_window_agg operators; SURVEY §2.9 lists
+    session windows as 'not present' in the reference."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

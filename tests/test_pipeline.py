@@ -65,6 +65,25 @@ def test_medallion_end_to_end(spark, sf_dir):
     fbf = layers["fact_feedback_daily"]
     assert fbf.filter(F.col("avg_rating").between(1, 5)).count() == fbf.count()
 
+    # third fact + user feature table: one feature row per fact row, the
+    # trailing mean is positive, and burst days really run >= 2x trailing
+    ufact, ufeat = layers["fact_user_daily"], layers["ml_user_features"]
+    assert ufeat.count() == ufact.count()
+    assert ufeat.filter(F.col("events_trend_7d") <= 0).count() == 0
+    bad_burst = ufeat.filter(
+        F.col("is_burst")
+        & (F.col("n_events") < 2 * F.col("events_trend_7d"))
+    ).count()
+    assert bad_burst == 0
+
+    # promotions dim: every campaign window is 10 days, ranges staggered
+    promos = layers["dim_promotions"]
+    assert promos.filter(
+        F.datediff("end_date", "start_date") != 9
+    ).count() == 0
+    wide_active = wide.filter(F.col("promotion_active"))
+    assert wide_active.filter(F.col("marketing_campaign").isNull()).count() == 0
+
     # SCD2 user dim: exactly one open version per user, closed versions
     # carry end_date = effective date, and re-versioned users have 2 rows
     scd2 = layers["dim_user_scd2"]
