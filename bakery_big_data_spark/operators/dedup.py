@@ -439,3 +439,153 @@ def hamming64(a: Column, b: Column) -> Column:
         F.bit_count(a.getField("hi").bitwiseXOR(b.getField("hi")))
         + F.bit_count(a.getField("lo").bitwiseXOR(b.getField("lo")))
     ).alias("hamming")
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash: engine-independent bits (cross-checkable against any SQL
+# engine), unlike the xxhash64 variant above whose bit patterns are
+# Spark-specific.  Shingles are hashed with md5 — natively codegen'd in
+# Spark AND reproducible anywhere (a character-level rolling-hash fold was
+# ~10× slower: Spark's higher-order functions are CodegenFallback, so
+# per-character folds run interpreted) — giving a 62-bit signature as two
+# 31-bit halves parsed from the two md5 hex halves.  Bigram (not unigram)
+# features matter on low-entropy corpora: with a small vocabulary,
+# distinct-unigram majority votes collapse to near-identical signatures;
+# bigrams restore word-order sensitivity.
+# ---------------------------------------------------------------------------
+
+_PORTABLE_MASK = 2147483647  # low 31 bits — sign-safe shifts in BIGINT
+
+
+def portable_gram_hashes(grams: Column, half: int) -> Column:
+    """31-bit engine-portable hash per shingle: hex half ``half`` (1 or 2)
+    of ``md5(w)`` parsed base-16, masked to 31 bits.  All codegen-native
+    (md5/substring/conv), no interpreted fold."""
+    off = 1 if half == 1 else 9
+    return F.transform(
+        grams,
+        lambda w: F.conv(F.substring(F.md5(w), off, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_PORTABLE_MASK)),
+    )
+
+
+def _portable_votes(hashes: Column) -> Column:
+    """31-element ±1 vote vector over the bits of bound 31-bit hashes."""
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("int"), 31),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("int")
+                    for i in range(31)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def with_portable_simhash(
+    df: DataFrame,
+    text_col: str,
+    hi_col: str = "simhash_hi",
+    lo_col: str = "simhash_lo",
+) -> DataFrame:
+    """Attach a 62-bit engine-portable SimHash as two 31-bit BIGINT halves.
+
+    Distinct word-bigram shingles → the two md5 hex halves per shingle
+    (materialized ONCE as bound columns) → per-bit majority vote → packed
+    halves.  Map-only: no explode, no shuffle — signatures stream out of the
+    scan at 100 TB with zero data movement.
+    """
+    tmp = (
+        df.withColumn("_pg", word_shingles(text_col, n=2))
+        .withColumn("_ph1", portable_gram_hashes(F.col("_pg"), 1))
+        .withColumn("_ph2", portable_gram_hashes(F.col("_pg"), 2))
+    )
+    return (
+        tmp.withColumn(hi_col, _pack_votes(_portable_votes(F.col("_ph1"))))
+        .withColumn(lo_col, _pack_votes(_portable_votes(F.col("_ph2"))))
+        .drop("_pg", "_ph1", "_ph2")
+    )
+
+
+#: Disjoint band layout over the 62 signature bits: (half, offset, width).
+#: 6 bands → pigeonhole guarantee: any pair with Hamming distance ≤ 5 shares
+#: at least one band exactly, so banded candidate generation has 100% recall
+#: at the ≤5 threshold (no probabilistic miss, unlike MinHash banding).
+_SIMHASH_BANDS: list[tuple[str, int, int]] = [
+    ("hi", 0, 10),
+    ("hi", 10, 10),
+    ("hi", 20, 11),
+    ("lo", 0, 10),
+    ("lo", 10, 10),
+    ("lo", 20, 11),
+]
+
+
+def simhash_banded_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 5,
+    hi_col: str = "simhash_hi",
+    lo_col: str = "simhash_lo",
+) -> DataFrame:
+    """Near-dup pairs at ``Hamming ≤ max_hamming`` via band-bucket equi-join.
+
+    Candidates come from exploding each signature into its 6 disjoint bit
+    bands and self-joining on ``(band_index, band_value)`` — work scales with
+    Σ bucket², never all-pairs.  The exact Hamming filter runs BEFORE the
+    pair-dedup so ``distinct`` sees only surviving pairs.  ``max_hamming``
+    may not exceed ``len(bands) - 1`` (the pigeonhole recall guarantee).
+
+    At 1000× corpus scale the dial is band width: wider bands (more bits)
+    shrink buckets and candidate volume at the cost of a lower guaranteed
+    threshold — same trade the MinHash ``(bands, rows_per_band)`` pair
+    exposes.
+    """
+    if max_hamming > len(_SIMHASH_BANDS) - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {len(_SIMHASH_BANDS)}-band "
+            "pigeonhole guarantee (<= bands-1)"
+        )
+    half = {"hi": F.col(hi_col), "lo": F.col(lo_col)}
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(half[h], off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (h, off, w) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    e = sigs.select(
+        F.col(id_col), F.col(hi_col), F.col(lo_col), F.explode(bands).alias("b")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    hamming = (
+        F.bit_count(F.col(f"a.{hi_col}").bitwiseXOR(F.col(f"b.{hi_col}")))
+        + F.bit_count(F.col(f"a.{lo_col}").bitwiseXOR(F.col(f"b.{lo_col}")))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.b.band") == F.col("b.b.band"))
+            & (F.col("a.b.val") == F.col("b.b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -89,10 +89,13 @@ DRIVER_WINDOW: list[str] = [
     "grouping_sets_matrix",
     # LLM: text analysis (token stats + quality + language-ID in one pass)
     "text_analysis_profile",
-    # LLM: dedup (n-gram jaccard rotated to local; LSH covers the family)
+    # LLM: dedup (n-gram jaccard + connected components rotated to local —
+    # CC's oracle shape is the canonical-assignment star contraction already
+    # proven in-window for two rounds; the portable-SimHash banded-pairs row
+    # gives the SimHash family its first hash-certified driver signal)
     "dedup_exact_content",
     "dedup_minhash_lsh_pairs",
-    "dedup_connected_components",
+    "dedup_simhash_banded_pairs",
     # LLM: similarity (near-dup pairs rotated to local — the exact-dot
     # machinery rides the bruteforce row, and the recall row certifies the
     # LSH bucket/probe/rerank path quantitatively)

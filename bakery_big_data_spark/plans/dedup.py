@@ -23,7 +23,9 @@ from bakery_big_data_spark.operators.dedup import (
     canonical_assignment,
     connected_components,
     exact_ngram_pairs,
+    simhash_banded_pairs,
     verify_pairs,
+    with_portable_simhash,
     with_simhash,
     word_shingles,
 )
@@ -61,6 +63,13 @@ _EXACT_PAIRS_SQL = """
 #: Bounded LRU (unpersist-on-evict, weakref session identity) — see
 #: operators/cache.py; at most 2 scale factors' shingle frames stay pinned.
 _SHINGLE_CACHE = PlanCache(max_entries=2)
+
+#: Portable-SimHash signatures (doc_id, hi, lo — ~24 B/doc).  Persisted
+#: because the banded self-join references the frame from both sides and
+#: the band-array projection would otherwise inline the vote fold into
+#: every band expression per side (the same CollapseProject blowup the ANN
+#: signature tables hit in round 5 — ~12× the fold cost).
+_SIG_CACHE = PlanCache(max_entries=2)
 
 
 def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
@@ -198,6 +207,65 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
     return connected_components(docs, pairs, "doc_id")
+
+
+@register(
+    "dedup_simhash_banded_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, len(ws) - 1),
+                       i -> ws[i] || '_' || ws[i + 1])) AS gs
+      FROM docs
+    ), wh AS (
+      SELECT doc_id,
+        list_transform(gs, w ->
+          ('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647) AS h1,
+        list_transform(gs, w ->
+          ('0x' || substr(md5(w), 9, 8))::BIGINT & 2147483647) AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 31), i ->
+          CASE WHEN list_sum(list_transform(h1, h ->
+            CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS hi,
+        CAST(list_sum(list_transform(range(0, 31), i ->
+          CASE WHEN list_sum(list_transform(h2, h ->
+            CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS lo
+      FROM wh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 5
+    """,
+    doc="Engine-portable SimHash(62) near-dup pairs: word-bigram shingles → "
+        "md5 hex halves as two 31-bit hashes → per-bit majority vote → two "
+        "31-bit BIGINT halves; pairs at Hamming <= 5 found via a 6-band "
+        "disjoint-bit bucket equi-join (pigeonhole-guaranteed 100% recall at "
+        "the threshold — never all-pairs; the oracle IS all-pairs, proving "
+        "banding lost nothing).  Unlike dedup_simhash_fingerprint's "
+        "xxhash64 bits, every bit here is cross-engine reproducible",
+)
+def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _SIG_CACHE.get_or_build(
+        spark,
+        (sf_dir, "portable_simhash"),
+        lambda: (
+            with_portable_simhash(
+                spread(t(spark, sf_dir, "documents").select("doc_id", "text")),
+                "text",
+            )
+            .select("doc_id", "simhash_hi", "simhash_lo")
+            .persist()
+        ),
+    )
+    return simhash_banded_pairs(sigs, "doc_id", max_hamming=5)
 
 
 @register(

@@ -98,3 +98,47 @@ def test_simhash_identity_and_locality(spark, sf_dir):
         .first()[0]
     )
     assert dup_ham < rand_ham / 2
+
+
+def test_portable_simhash_banded_recall(spark, sf_dir):
+    """Banded candidate generation must find EVERY pair at Hamming <= 5
+    (pigeonhole over 6 disjoint bands) — compare against an all-pairs scan
+    computed Spark-side; and the guard rejects thresholds past the
+    guarantee."""
+    import pytest
+
+    from bakery_big_data_spark.operators.dedup import (
+        simhash_banded_pairs,
+        with_portable_simhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = with_portable_simhash(docs, "text").select(
+        "doc_id", "simhash_hi", "simhash_lo"
+    )
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_banded_pairs(sigs, "doc_id", max_hamming=5).collect()
+    }
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = (
+        F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+        + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    ).cast("bigint")
+    allpairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 5)
+        .collect()
+    }
+    assert allpairs, "corpus should contain near-dup pairs under SimHash"
+    assert banded == allpairs
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_banded_pairs(sigs, "doc_id", max_hamming=6)
