@@ -198,3 +198,117 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "user_id", "session_start", "n_events", "session_value"
     )
+
+
+def _write_json_src(spark: SparkSession, sf_dir: str, src: str, df) -> None:
+    df.select(
+        F.to_json(F.struct(*df.columns), JSON_OPTIONS).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(src)
+
+
+@register(
+    "streaming_dedup_replay",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_id < {_N}
+    """,
+    doc="Streaming EXACT dedup, STREAM-RUN: the JSON-lines source carries "
+        "every 5th event TWICE (at-least-once delivery), and the stream "
+        "drains through withWatermark + dropDuplicatesWithinWatermark"
+        "(event_id) into a checkpointed append sink — keyed dedup state is "
+        "retained only until the watermark passes (bounded at 100 TB/day, "
+        "unlike unbounded dropDuplicates state).  The oracle is the clean "
+        "slice: a hash match proves every duplicate was dropped and every "
+        "unique event kept exactly once",
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.streaming.ingest import dedup_stream
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_dedup")
+    src, out, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        dup = ev.unionAll(ev.filter(F.col("event_id") % 5 == 0))
+        _write_json_src(spark, sf_dir, src, dup)
+    deduped = dedup_stream(read_json_stream(spark, src), watermark_delay="10 minutes")
+    q = start_append_sink(
+        deduped, out, ckpt, available_now=True, query_name="dedup_replay"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "streaming_stream_stream_join",
+    f"""
+    WITH src AS (
+      SELECT event_id, ts, user_id, event_type
+      FROM events WHERE event_id < {_N}
+    ), l AS (
+      SELECT * FROM src WHERE event_type IN ('click', 'view')
+    ), r AS (
+      SELECT * FROM src WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id AS user_id,
+           l.event_id AS src_event_id,
+           l.event_type AS src_type,
+           l.ts AS src_ts,
+           r.event_id AS purchase_id,
+           r.ts AS purchase_ts
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """,
+    doc="Stream-stream INNER interval join, STREAM-RUN (attribution shape: "
+        "purchases matched to same-user clicks/views within 2 h): two "
+        "watermarked JSON-lines streams join on user + event-time interval "
+        "into a checkpointed append sink.  The interval bound lets the "
+        "state store evict rows the other side's watermark has passed — "
+        "bounded join state on unbounded streams; inner matches emit "
+        "immediately, so the full availableNow drain hash-matches the "
+        "batch join stated by the oracle",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.streaming.ingest import interval_join_streams
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_ssj")
+    src_l, src_r, out, ckpt = (
+        os.path.join(base, "src_l"),
+        os.path.join(base, "src_r"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src_l, sf_dir) or _needs_rebuild(src_r, sf_dir):
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        _write_json_src(
+            spark, sf_dir, src_l,
+            ev.filter(F.col("event_type").isin("click", "view")),
+        )
+        _write_json_src(
+            spark, sf_dir, src_r, ev.filter(F.col("event_type") == "purchase")
+        )
+    joined = interval_join_streams(
+        read_json_stream(spark, src_l),
+        read_json_stream(spark, src_r),
+        attribution_window="2 hours",
+        watermark_delay="10 minutes",
+    )
+    q = start_append_sink(
+        joined, out, ckpt, available_now=True, query_name="ssj_replay"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id", "src_event_id", "src_type", "src_ts",
+        "purchase_id", "purchase_ts",
+    )

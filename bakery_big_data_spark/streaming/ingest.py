@@ -274,16 +274,21 @@ def windowed_counts(
 
 
 def dedup_stream(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
-    """Streaming exactly-once-per-id dedup: ``dropDuplicates`` keyed on
-    event_id within the watermark horizon.
+    """Streaming exactly-once-per-id dedup — ``dropDuplicatesWithinWatermark``
+    keyed on event_id.
 
-    State holds one entry per id seen in the last ``watermark_delay`` of
-    event time; older duplicate arrivals are already outside the horizon
-    and handled by the batch reconciliation layer (T6) — the streaming and
-    batch dedup bounds compose exactly like the reference's 48 h design
-    (``stream_to_bronze.py:157-163`` + ``bronze_to_silver.py:101-111``).
+    NOT plain ``dropDuplicates(["event_id"])``: that variant only evicts
+    state when the event-time column is part of the dedup key, so keyed on
+    id alone its state grows forever on an unbounded stream.  The
+    WithinWatermark form retains each seen key exactly until the watermark
+    passes its event time + delay — bounded state at 100 TB/day.  Duplicate
+    arrivals older than the horizon are handled by the batch reconciliation
+    layer (T6) — the streaming and batch dedup bounds compose exactly like
+    the reference's 48 h design (``stream_to_bronze.py:157-163`` +
+    ``bronze_to_silver.py:101-111``).  Emission is immediate (row-level
+    dedup holds nothing back); only state cleanup rides the watermark.
     """
-    return events.withWatermark("ts", watermark_delay).dropDuplicates(
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
 
@@ -346,4 +351,39 @@ def session_window_counts(
             "n_events",
             "session_value",
         )
+    )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER interval join (attribution shape): each right
+    event joins left events of the same user whose timestamp precedes it
+    by at most ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can evict left rows once the right
+    watermark passes ``l.ts + window`` (and vice versa) — without the
+    interval bound, stream-stream join state grows forever.  Inner-join
+    matches emit as soon as both rows have arrived; the watermark governs
+    state cleanup only, so a full ``availableNow`` drain lands exactly the
+    batch join's result."""
+    l, r = left.alias("l"), right.alias("r")
+    lw = l.withWatermark("ts", watermark_delay)
+    rw = r.withWatermark("ts", watermark_delay)
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("src_event_id"),
+        F.col("l.event_type").alias("src_type"),
+        F.col("l.ts").alias("src_ts"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
     )

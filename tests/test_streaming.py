@@ -255,3 +255,45 @@ def test_streaming_merge_sink_upserts(spark, sf_dir):
     orig = {r.event_id: r.value for r in ev.filter(F.col("event_id") < 50).collect()}
     for r in updated.collect():
         assert abs(r.value - orig[r.event_id] * 10) < 1e-9  # newer won
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The availableNow drain of the watermarked stream-stream interval
+    join must land exactly the batch join (inner matches emit immediately;
+    the watermark only bounds state), and a checkpointed re-run with no
+    new input must not change the landed table."""
+    from bakery_big_data_spark.plans import REGISTRY
+
+    q = REGISTRY["streaming_stream_stream_join"]
+    first = {tuple(r) for r in q.build(spark, sf_dir).collect()}
+    again = {tuple(r) for r in q.build(spark, sf_dir).collect()}
+    assert first and first == again
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    l = ev.filter(F.col("event_type").isin("click", "view")).alias("l")
+    r = ev.filter(F.col("event_type") == "purchase").alias("r")
+    batch = {
+        tuple(row)
+        for row in l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 2 hours")),
+        )
+        .select(
+            "l.user_id", "l.event_id", "l.event_type", "l.ts",
+            "r.event_id", "r.ts",
+        )
+        .collect()
+    }
+    assert first == batch
+
+
+def test_streaming_dedup_replay_idempotent(spark, sf_dir):
+    from bakery_big_data_spark.plans import REGISTRY
+
+    q = REGISTRY["streaming_dedup_replay"]
+    first = q.build(spark, sf_dir)
+    n1, d1 = first.count(), first.select(F.countDistinct("event_id")).first()[0]
+    assert n1 == d1  # every duplicate dropped
+    assert q.build(spark, sf_dir).count() == n1  # checkpoint resume: no growth
