@@ -513,3 +513,66 @@ def curation_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("ci").cast("int").alias("copy_idx"))
     )
+
+
+_PPS_K = 10  # samples per stratum
+
+
+@register(
+    "curation_pps_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             (doc_id * 1103515245 + 12345) % {_LCG_M} AS shuffle_key
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, lang, n_chars, shuffle_key,
+             CAST(SUM(n_chars) OVER (PARTITION BY lang
+                                     ORDER BY shuffle_key, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS total_w
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST((cw * {_PPS_K}) // total_w AS BIGINT) AS stripe
+    FROM cum
+    WHERE (cw * {_PPS_K}) // total_w > ((cw - n_chars) * {_PPS_K}) // total_w
+    """,
+    doc="Probability-proportional-to-size systematic sampling per stratum "
+        "(mixture assembly by TOKEN budget, not doc count: a 10k-char doc "
+        "is 10k training tokens, so sampling docs uniformly under-weights "
+        "long documents).  Docs are shuffled by a key-derived LCG, then "
+        f"{_PPS_K} equal-weight stripes per lang select the doc whose "
+        "cumulative char-weight crosses each stripe boundary — selection "
+        "probability is proportional to n_chars.  ALL-INTEGER arithmetic "
+        "(cumsum, multiply, floor-divide in BIGINT): bit-exact on any "
+        "engine and any partition layout, unlike float-priority weighted "
+        "reservoirs whose ln()/pow() ulp differences can flip boundary "
+        "picks.  One window shuffle per stratum",
+)
+def curation_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    keyed = d.withColumn(
+        "shuffle_key",
+        (F.col("doc_id").cast("bigint") * 1103515245 + 12345) % _LCG_M,
+    )
+    w_ord = (
+        Window.partitionBy("lang")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = keyed.withColumn(
+        "cw", F.sum("n_chars").over(w_ord).cast("bigint")
+    ).withColumn("total_w", F.sum("n_chars").over(w_all).cast("bigint"))
+    # `div` is exact BIGINT division (float `/` + floor would silently
+    # mis-round once cw*K passes 2^53 — real at 100 TB char budgets).
+    stripe = F.expr(f"(cw * {_PPS_K}) div total_w").cast("bigint")
+    prev_stripe = F.expr(f"((cw - n_chars) * {_PPS_K}) div total_w").cast(
+        "bigint"
+    )
+    return cum.filter(stripe > prev_stripe).select(
+        "doc_id", "lang", "n_chars", stripe.alias("stripe")
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bakery_big_data_spark.plans.base import register, t
+from bakery_big_data_spark.plans.base import register, spread, t
 from bakery_big_data_spark.quality import QualityRule, apply_quality_rules
 
 _MOD = 2147483647  # 2^31-1, same arithmetic in BIGINT on both engines
@@ -511,3 +511,70 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+               AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)
+                                         / CAST(df.df AS DOUBLE) DESC,
+                                         tf.term) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rk
+    FROM scored WHERE rk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (linear-idf variant: score = "
+        "tf * N / df as ONE double division — IEEE-exact and bit-identical "
+        "cross-engine, unlike ln()-idf whose last-ulp differences between "
+        "libm implementations can flip rank boundaries; ranking ties break "
+        "on the term).  Plan: one explode → (doc, term) hash agg → term "
+        "document-frequency agg joined back on term (shuffle join — the "
+        "term vocabulary at 100 TB does not fit a broadcast; AQE downgrades "
+        "to broadcast when it does) → per-doc top-k window.  The classic "
+        "keyword-extraction / relevance primitive the quality-scoring "
+        "family feeds on",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
