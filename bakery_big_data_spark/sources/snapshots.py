@@ -116,3 +116,37 @@ def snapshot_diff(
         )
         .select(*key_cols, "_change", "_row.*")
     )
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
+    """Lakehouse maintenance: expire all but the last ``keep_last`` versions
+    (the Iceberg ``expire_snapshots`` shape — without expiry a time-travel
+    table at 100 TB retains every historical copy forever).
+
+    Commit order is crash-safe in the same way as ``write_snapshot``: the
+    manifest is atomically swapped to the retained version list FIRST, then
+    the expired data directories are deleted — a crash between the two
+    leaves orphan directories (invisible to readers, re-deletable) rather
+    than a manifest pointing at missing data.  Returns the expired
+    versions.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1: the current version can never expire")
+    m = _load_manifest(table_path)
+    versions = sorted(m["versions"])
+    if m["current"] not in versions[-keep_last:]:
+        raise ValueError(
+            f"current version {m['current']} would expire with keep_last={keep_last}"
+        )
+    expired, kept = versions[:-keep_last], versions[-keep_last:]
+    if not expired:
+        return []
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"current": m["current"], "versions": kept}, fh)
+    os.replace(tmp, _manifest_path(table_path))
+    for v in expired:
+        shutil.rmtree(os.path.join(table_path, f"v={v}"), ignore_errors=True)
+    return expired

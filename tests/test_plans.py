@@ -41,6 +41,10 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: total-token divisor onto the top-100
     # vocabulary frame
     "text_vocab_coverage",
+    # deliberate 1-row broadcast: the lazy corpus-size N crossed onto the
+    # (term, tf, df) frame for the idf numerator — declarative replacement
+    # for an eager .count()
+    "text_tfidf_top_terms",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but

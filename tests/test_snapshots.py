@@ -117,3 +117,30 @@ def test_half_committed_scratch_table_rebuilds(spark, sf_dir, monkeypatch):
     path2 = _snapshot_table_path(spark, sf_dir)
     m2 = json.load(open(os.path.join(path2, "_snapshot_manifest.json")))
     assert m2["versions"] == [1, 2]
+
+
+def test_expire_snapshots_retains_current(spark, sf_dir, tmp_path):
+    from bakery_big_data_spark.sources.snapshots import expire_snapshots
+
+    table = str(tmp_path / "t_expire")
+    base = _base(spark, sf_dir)
+    v1 = write_snapshot(base, table)
+    v2 = write_snapshot(base.withColumn("value", F.col("value") + 1), table)
+    v3 = write_snapshot(base.withColumn("value", F.col("value") + 2), table)
+
+    expired = expire_snapshots(table, keep_last=2)
+    assert expired == [v1]
+    assert not os.path.exists(os.path.join(table, f"v={v1}"))
+    # current + previous still readable (time travel within retention)
+    assert read_snapshot(spark, table).count() == base.count()
+    assert read_snapshot(spark, table, version=v2).count() == base.count()
+    # expired version now rejected with the manifest's retained list
+    import pytest
+
+    with pytest.raises(ValueError, match="not in"):
+        read_snapshot(spark, table, version=v1)
+    with pytest.raises(ValueError, match="expire"):
+        expire_snapshots(table, keep_last=0)
+    # idempotent: nothing further to expire at the same retention
+    assert expire_snapshots(table, keep_last=2) == []
+    assert read_snapshot(spark, table, version=v3).count() == base.count()
