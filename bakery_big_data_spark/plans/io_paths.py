@@ -391,3 +391,68 @@ def incremental_fact_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > 0)
     )
     return merged
+
+
+@register(
+    "layout_zorder_keys",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             user_id & 65535 AS sx,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) & 65535 AS sy
+      FROM events WHERE event_id < 2000
+    ), s1 AS (
+      SELECT event_id, user_id, ts,
+             (sx | (sx << 8)) & 16711935 AS ax,
+             (sy | (sy << 8)) & 16711935 AS ay
+      FROM base
+    ), s2 AS (
+      SELECT event_id, user_id, ts,
+             (ax | (ax << 4)) & 252645135 AS bx,
+             (ay | (ay << 4)) & 252645135 AS by
+      FROM s1
+    ), s3 AS (
+      SELECT event_id, user_id, ts,
+             (bx | (bx << 2)) & 858993459 AS cx,
+             (by | (by << 2)) & 858993459 AS cy
+      FROM s2
+    ), s4 AS (
+      SELECT event_id, user_id, ts,
+             (cx | (cx << 1)) & 1431655765 AS dx,
+             (cy | (cy << 1)) & 1431655765 AS dy
+      FROM s3
+    )
+    SELECT event_id,
+           user_id AS x,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS y,
+           CAST(dx | (dy << 1) AS BIGINT) AS zkey,
+           CAST((dx | (dy << 1)) >> 16 AS BIGINT) AS ztile
+    FROM s4
+    """,
+    doc="Z-order (Morton) clustering keys for two-dimensional data "
+        "skipping: the low 16 bits of (user_id, day-index) interleaved via "
+        "magic-mask bit spreading — pure BIGINT shifts/masks, hash-exact on "
+        "any engine.  ztile = zkey >> 16 is the coarse Z-curve tile a "
+        "range-partitioned writer assigns to one file, giving every file a "
+        "bounded rectangle in (user, day) space so scans filtering EITHER "
+        "dimension prune on footer min/max stats (Delta OPTIMIZE ZORDER / "
+        "Iceberg z-ordered rewrite, re-expressed as repartitionByRange + "
+        "sortWithinPartitions in operators/layout.py; the measured file "
+        "skipping is asserted in tests/test_io.py)",
+)
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.layout import morton_key
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "bigint"
+    )
+    keyed = ev.select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        day.alias("y"),
+        morton_key(F.col("user_id"), day).cast("bigint").alias("zkey"),
+    )
+    return keyed.withColumn(
+        "ztile", F.shiftright(F.col("zkey"), 16).cast("bigint")
+    )

@@ -205,3 +205,41 @@ def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
             back.agg(F.sum(F.col("value").cast("decimal(30,6)"))).first()[0]
             == ev.agg(F.sum(F.col("value").cast("decimal(30,6)"))).first()[0]
         )
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must bound BOTH dimensions: a single-user predicate
+    and a single-day predicate each touch a minority of files, whereas a
+    user-sorted layout only bounds user (a day predicate hits every file)."""
+    from bakery_big_data_spark.operators.layout import write_zordered
+    from bakery_big_data_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    )
+    n_files = 8
+    zpath = str(tmp_path / "z")
+    upath = str(tmp_path / "u")
+    write_zordered(ev, zpath, ("user_id", "day"), num_files=n_files)
+    ev.repartitionByRange(n_files, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(upath)
+
+    def files_hit(path, cond):
+        df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+        return df.filter(cond).select("_f").distinct().count()
+
+    probe_user = ev.select(F.min("user_id")).first()[0]
+    z_user = files_hit(zpath, F.col("user_id") == probe_user)
+    z_day = files_hit(zpath, F.col("day") == 3)
+    u_day = files_hit(upath, F.col("day") == 3)
+    # user-sorted layout cannot bound day: the day predicate hits all files
+    assert u_day == n_files
+    # the z-order trade: the secondary dimension keeps real skipping
+    # (>= 2x fewer files than the single-key sort) ...
+    assert z_day * 2 <= u_day
+    # ... while the primary dimension stays bounded too (a single user
+    # never spans the whole curve; the exact fraction scales ~sqrt(files))
+    assert z_user < n_files
