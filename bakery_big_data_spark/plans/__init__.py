@@ -52,7 +52,11 @@ DRIVER_WINDOW: list[str] = [
     "case_when_null_bucketing",
     "report_quality_multi_table",
     "daily_revenue_rollup",
-    "conditional_pivot_agg",
+    # A5 scale path: the HLL sketch is now QUANTITATIVELY certified (error
+    # bound stated TRUE by the oracle) — conditional_pivot_agg rotates to
+    # local (its conditional-agg surface also rides grouping_sets_matrix
+    # and dashboard_summary)
+    "approx_count_distinct_scale",
     "group_stats_report",
     "dashboard_summary",
     # joins (J1-J8 + as-of extension; J6 cross join rotated to local —
@@ -68,7 +72,11 @@ DRIVER_WINDOW: list[str] = [
     # windows / ranking / top-k (W1-W6, O1-O2; rank row carries top-k)
     "window_sequence_keys",
     "sessionize_events",
-    "window_moving_cumulative",
+    # W4/W5 moving/cumulative frames rotate to local — the same frame
+    # shapes run inside medallion_features_wide's trend windows (in-window)
+    # — freeing the slot for the stream-stream interval join, a runtime
+    # capability no other row exercises
+    "streaming_stream_stream_join",
     "window_rank_dense_ntile",
     # scalar functions (§2.8; array explode rides dedup shingling + text)
     "date_functions_calendar",
