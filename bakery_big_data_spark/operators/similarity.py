@@ -509,3 +509,21 @@ def ann_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def rademacher_planes(num_comps: int, dim: int, seed: int = 11) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) projection matrix.
+
+    Johnson-Lindenstrauss with ±1 entries (Achlioptas 2003: database-
+    friendly random projections) preserves pairwise distances like
+    Gaussian planes but keeps every product a SIGN FLIP — float-exact, so
+    the projection is reproducible bit-for-bit on any engine, unlike a
+    Gaussian matrix whose products inherit multiplication rounding order.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(num_comps)
+    ]

@@ -361,3 +361,76 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(5).cast("double") / (F.lit(10) * F.col("scale"))
         ).alias("within_half_step"),
     )
+
+
+def _rp_oracle() -> str:
+    from bakery_big_data_spark.operators.similarity import rademacher_planes
+
+    comps = []
+    for i, plane in enumerate(rademacher_planes(8, 64, seed=11)):
+        lits = ",".join(str(w) for w in plane)
+        s = (
+            f"CAST(CAST(list_sum(list_transform(list_zip(v, [{lits}]),"
+            f" s -> CAST(s[1] * s[2] AS DECIMAL(30,12)))) AS DOUBLE)"
+            f" * 0.25 AS DOUBLE) AS p{i}"
+        )
+        comps.append(s)
+    cols = ",\n           ".join(comps)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {cols}
+    FROM e
+    """
+
+
+@register(
+    "embedding_random_projection",
+    _rp_oracle(),
+    doc="Johnson-Lindenstrauss compression for the 100 TB embedding store: "
+        "8-component Rademacher (±1) projection of the 64-dim vectors, "
+        "scaled by the fixed constant 0.25 — exact in binary, and any "
+        "uniform scale preserves the distance RATIOS the JL guarantee is "
+        "about (1/sqrt(k) would not be float-exact).  ±1 entries make "
+        "every product a sign flip (float-exact; Achlioptas 2003 "
+        "'database-friendly' projections), and accumulation is "
+        "DECIMAL(30,12) — layout-independent, so the projected vectors are "
+        "hash-identical on any engine and any partition count.  Plan: "
+        "posexplode → 64-row broadcast weight join → ONE hash aggregate "
+        "with 8 conditional decimal sums (codegen; a per-row 8-fold HOF "
+        "chain would run interpreted).  The reduced vectors are what the "
+        "ANN index at scale actually stores: 8 doubles vs 64 floats",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(8, 64, seed=11)
+    wdf = spark.createDataFrame(
+        [(pos, *[planes[i][pos] for i in range(8)]) for pos in range(64)],
+        ["pos", *[f"w{i}" for i in range(8)]],
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        x.join(F.broadcast(wdf), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                (
+                    F.sum(
+                        (F.col("val") * F.col(f"w{i}")).cast("decimal(30,12)")
+                    ).cast("double")
+                    * F.lit(0.25)
+                ).alias(f"p{i}")
+                for i in range(8)
+            ]
+        )
+    )
