@@ -6,12 +6,16 @@ has no vector columns).  All vector math is built-in higher-order functions
 (``zip_with`` + ``aggregate``) over ``array<float>`` columns — JVM-side, no
 Python UDFs, no linear-algebra dependency.
 
-Determinism: dot products and squared norms follow the repo's decimal-sum
-convention (plans/base.py) — each float32 pair is widened to DOUBLE (exact),
-multiplied (IEEE, exact same bits in any engine), cast to DECIMAL(30,12)
-(same half-up rounding in Spark and DuckDB), and summed exactly — so cosine
-scores are bit-identical to the DuckDB oracle regardless of evaluation
-order.
+Determinism: dot products and squared norms are ORDER-EXACT pure-double
+left folds in array-element order — each float32 pair is widened to DOUBLE
+(exact), multiplied (IEEE, same bits in any engine), and accumulated in the
+array's fixed order, which ``F.aggregate`` and DuckDB's ``list_reduce``
+share.  In-row folds are also layout-independent (array order never depends
+on partitioning), so cosine scores are bit-identical to the oracle on any
+cluster size.  (The decimal-sum convention in plans/base.py remains right
+for CROSS-ROW aggregation, where no canonical order exists; per-product
+double→decimal casts were dropped here after a cross-engine 1-ulp rounding
+flip — see ``dot_exact``.)
 
 100 TB notes: brute-force top-k broadcasts the *query set* (small by
 construction) over the corpus — map-only, no shuffle, linear scan; the ANN
@@ -27,22 +31,25 @@ from pyspark.sql import functions as F
 
 from bakery_big_data_spark.operators.cache import PlanCache
 
-DEC = "decimal(30,12)"
-
-
 def to_double_vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
 
 
 def dot_exact(a: Column, b: Column) -> Column:
-    """Order-independent exact dot product of two double vectors → DOUBLE."""
+    """Order-exact dot product of two double vectors → DOUBLE.
+
+    Pure-double LEFT FOLD in array-element order: ``F.aggregate`` and a SQL
+    engine's sequential ``list_reduce`` visit elements identically, so the
+    sum is bit-identical cross-engine — and layout-independent too, because
+    the fold runs inside one row (array order never depends on
+    partitioning).  The earlier per-product DECIMAL(30,12) cast was NOT
+    cross-engine-safe: double→decimal rounding at a 1-ulp half boundary
+    differs between Spark's exact BigDecimal expansion and DuckDB's
+    conversion on real float32 data (one flip observed in 256k products,
+    round 5) — a latent red-row risk on every testdata regeneration."""
     products = F.zip_with(a, b, lambda x, y: x * y)
-    return F.aggregate(
-        products,
-        F.lit(0).cast(DEC),
-        lambda acc, p: (acc + p.cast(DEC)).cast(DEC),
-    ).cast("double")
+    return F.aggregate(products, F.lit(0.0), lambda acc, p: acc + p)
 
 
 def norm2_exact(a: Column) -> Column:

@@ -192,7 +192,8 @@ def json_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            COUNT(*) AS n_vectors,
-           CAST(SUM(CAST(emb_head AS DECIMAL(30,12))) AS DOUBLE) AS sum_head
+           CAST(SUM(CAST(FLOOR(emb_head * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 AS sum_head
     FROM (
       SELECT label, CAST(embedding[1] AS DOUBLE) AS emb_head FROM embeddings
     )
@@ -208,6 +209,14 @@ def array_explode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.col("emb_head").cast("decimal(30,12)")).cast("double").alias("sum_head"),
+            # floor-quantize before the cross-row sum: float32 doubles can
+            # tie EXACTLY at the 1e-12 decimal midpoint, where Spark's
+            # half-up and DuckDB's half-even DECIMAL rounding diverge
+            # (see embedding_label_centroids)
+            (
+                F.sum(F.floor(F.col("emb_head") * 1e12).cast("bigint"))
+                .cast("double")
+                / F.lit(1e12)
+            ).alias("sum_head"),
         )
     )

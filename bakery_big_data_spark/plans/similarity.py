@@ -2,9 +2,11 @@
 cosine top-k (oracle-exact), embedding near-dup pairs (oracle-exact), and
 LSH-bucketed ANN (rows-only; recall asserted in tests/test_similarity.py).
 
-The DuckDB oracles compute dot products by position-join (unnest +
-generate_subscripts) with the same DOUBLE-widen → DECIMAL(30,12) → exact-sum
-convention as the Spark side, so cosine values are bit-identical.
+The DuckDB oracles compute dot products with order-exact ``list_reduce``
+folds over the vector pairs — the same element order as the Spark side's
+``F.aggregate``, so cosine values are bit-identical (per-product DECIMAL
+casts were dropped: double→decimal rounding can differ cross-engine at a
+1-ulp half boundary; see operators/similarity.py).
 """
 
 from __future__ import annotations
@@ -39,17 +41,19 @@ def _sig_sql(planes: list[list[float]], vec_expr: str) -> str:
         terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 
-# positional explode of all vectors, with exact squared norms
-_VEC_CTE = """
+# vectors as arrays with order-exact squared norms (list_reduce shares
+# F.aggregate's element order, so every fold is bit-identical — see
+# operators/similarity.py on why per-product DECIMAL casts are unsafe)
+_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)"
+)
+_VEC_CTE = f"""
     e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
-    ), x AS (
-      SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
     ), nrm AS (
-      SELECT vec_id,
-             CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS n2
-      FROM x GROUP BY vec_id
+      SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
     )
 """
 
@@ -57,24 +61,17 @@ _VEC_CTE = """
 @register(
     "similarity_topk_bruteforce",
     f"""
-    WITH {_VEC_CTE},
-    dots AS (
-      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-             CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-      FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id <> b.vec_id
-      WHERE a.vec_id < 5
-      GROUP BY a.vec_id, b.vec_id
-    )
-    SELECT q_id, c_id, dot / sqrt(na.n2 * nb.n2) AS cosine
-    FROM dots
-    JOIN nrm na ON na.vec_id = q_id
-    JOIN nrm nb ON nb.vec_id = c_id
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
-                               ORDER BY cosine DESC, c_id) <= 10
+    WITH {_VEC_CTE}
+    SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           {_FOLD_DOT.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2) AS cosine
+    FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 5
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                               ORDER BY cosine DESC, b.vec_id) <= 10
     """,
     doc="Brute-force exact cosine top-10 for a 5-query set: broadcast query "
         "side over the corpus, map-only scoring, per-query top-k window — "
-        "the ANN baseline; zip_with/aggregate decimal-exact dot products",
+        "the ANN baseline; zip_with/aggregate order-exact dot products",
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
@@ -85,18 +82,12 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_near_dup_pairs",
     f"""
-    WITH {_VEC_CTE},
-    dots AS (
+    WITH {_VEC_CTE}
+    SELECT id_a, id_b, cosine FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-      FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id
-    )
-    SELECT id_a, id_b, dot / sqrt(na.n2 * nb.n2) AS cosine
-    FROM dots
-    JOIN nrm na ON na.vec_id = id_a
-    JOIN nrm nb ON nb.vec_id = id_b
-    WHERE dot / sqrt(na.n2 * nb.n2) >= 0.45
+             {_FOLD_DOT.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2) AS cosine
+      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.45
     """,
     doc="Embedding-cosine near-duplicate pairs (threshold 0.45) — all-pairs "
         "exactness baseline with broadcast nested loop; the 100 TB candidate "
@@ -136,23 +127,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_sig_sql(hyperplane_planes(6, 64, 2007), 'v')} AS s2,
              {_sig_sql(hyperplane_planes(6, 64, 3007), 'v')} AS s3
       FROM e
-    ), x AS (
-      SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
     ), nrm AS (
-      SELECT vec_id,
-             CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS n2
-      FROM x GROUP BY vec_id
-    ), dots AS (
-      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-             CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-      FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id <> b.vec_id
-      WHERE a.vec_id < 5
-      GROUP BY a.vec_id, b.vec_id
+      SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
     ), scored AS (
-      SELECT q_id, c_id, dot / sqrt(na.n2 * nb.n2) AS cosine
-      FROM dots
-      JOIN nrm na ON na.vec_id = q_id
-      JOIN nrm nb ON nb.vec_id = c_id
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             {_FOLD_DOT.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)
+               AS cosine
+      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
     ), bf AS (
       SELECT q_id, c_id FROM scored
       QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
@@ -369,10 +351,16 @@ def _rp_oracle() -> str:
     comps = []
     for i, plane in enumerate(rademacher_planes(8, 64, seed=11)):
         lits = ",".join(str(w) for w in plane)
+        # Order-exact left fold (the _sig_sql pattern): ±1 products are
+        # float-exact and list_reduce matches F.aggregate's element order,
+        # so the double sum is bit-identical.  A per-product DECIMAL cast
+        # is NOT safe here: double→decimal rounding at a 1-ulp half
+        # boundary can differ between engines (observed once in 256k
+        # products at sf0.01).
         s = (
-            f"CAST(CAST(list_sum(list_transform(list_zip(v, [{lits}]),"
-            f" s -> CAST(s[1] * s[2] AS DECIMAL(30,12)))) AS DOUBLE)"
-            f" * 0.25 AS DOUBLE) AS p{i}"
+            f"CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            f" list_transform(list_zip(v, [{lits}]), s -> s[1] * s[2])),"
+            f" (a, b) -> a + b) * 0.25 AS DOUBLE) AS p{i}"
         )
         comps.append(s)
     cols = ",\n           ".join(comps)
@@ -396,41 +384,33 @@ def _rp_oracle() -> str:
         "uniform scale preserves the distance RATIOS the JL guarantee is "
         "about (1/sqrt(k) would not be float-exact).  ±1 entries make "
         "every product a sign flip (float-exact; Achlioptas 2003 "
-        "'database-friendly' projections), and accumulation is "
-        "DECIMAL(30,12) — layout-independent, so the projected vectors are "
-        "hash-identical on any engine and any partition count.  Plan: "
-        "posexplode → 64-row broadcast weight join → ONE hash aggregate "
-        "with 8 conditional decimal sums (codegen; a per-row 8-fold HOF "
-        "chain would run interpreted).  The reduced vectors are what the "
-        "ANN index at scale actually stores: 8 doubles vs 64 floats",
+        "'database-friendly' projections), and each component is an "
+        "ORDER-EXACT in-row double fold (the _sig_sql pattern — "
+        "F.aggregate and list_reduce share element order, so sums are "
+        "bit-identical; a per-product DECIMAL cast is NOT: double→decimal "
+        "rounding at a 1-ulp half boundary flipped one of 256k products "
+        "between engines).  Map-only: no explode, no shuffle — the "
+        "projection streams out of the scan.  The reduced vectors are "
+        "what the ANN index at scale actually stores: 8 doubles vs 64 "
+        "floats",
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.operators.similarity import rademacher_planes
 
     planes = rademacher_planes(8, 64, seed=11)
-    wdf = spark.createDataFrame(
-        [(pos, *[planes[i][pos] for i in range(8)]) for pos in range(64)],
-        ["pos", *[f"w{i}" for i in range(8)]],
-    )
     emb = t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "val"
-        ),
-    )
-    return (
-        x.join(F.broadcast(wdf), "pos")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                (
-                    F.sum(
-                        (F.col("val") * F.col(f"w{i}")).cast("decimal(30,12)")
-                    ).cast("double")
-                    * F.lit(0.25)
-                ).alias(f"p{i}")
-                for i in range(8)
-            ]
+    v = F.col("embedding").cast("array<double>")
+
+    def comp(plane: list[int]) -> F.Column:
+        prods = F.zip_with(
+            v,
+            F.array(*[F.lit(float(w)) for w in plane]),
+            lambda x, w: x * w,
         )
+        return (
+            F.aggregate(prods, F.lit(0.0), lambda a, b: a + b) * F.lit(0.25)
+        )
+
+    return emb.select(
+        "vec_id", *[comp(p).alias(f"p{i}") for i, p in enumerate(planes)]
     )

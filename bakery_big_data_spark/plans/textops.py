@@ -457,8 +457,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.doc_id,
            COUNT(*) AS n_bigrams,
-           CAST(SUM(CAST(COALESCE(m.p, 0.0) AS DECIMAL(30,12))) AS DOUBLE)
-             / COUNT(*) AS mean_cond_prob,
+           CAST(SUM(CAST(FLOOR(COALESCE(m.p, 0.0) * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS mean_cond_prob,
            COUNT(m.p) AS n_known
     FROM flat f LEFT JOIN model m ON f.w1 = m.w1 AND f.w2 = m.w2
     WHERE f.doc_id % 2 = 1
@@ -469,9 +469,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "half (even doc_ids) and every held-out doc is scored by its mean "
         "conditional probability — unseen bigrams score 0, n_known tracks "
         "model coverage.  Mean-of-probabilities instead of mean-log: "
-        "probabilities are exact count ratios and the decimal-exact mean "
-        "is bit-identical cross-engine, while ln() is not guaranteed "
-        "correctly-rounded across libms.  One exploded-pairs lineage "
+        "probabilities are exact count ratios and the floor-quantized "
+        "(1e-12) integer-summed mean is bit-identical cross-engine, while "
+        "ln() is not guaranteed correctly-rounded across libms.  One exploded-pairs lineage "
         "feeds both the model aggregation and the scoring join; the "
         "model (vocab², counts-reduced) broadcasts at this scale and "
         "shuffle-joins on (w1, w2) beyond it",
@@ -502,9 +502,18 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            # floor-quantize each probability before the cross-row sum —
+            # a DECIMAL cast of a full-mantissa double can round apart
+            # cross-engine at a 1-ulp midpoint (half-up vs half-even);
+            # floor() is bit-identical and the BIGINT sum order-free
             (
-                F.sum(F.coalesce(F.col("p"), F.lit(0.0)).cast("decimal(30,12)"))
+                F.sum(
+                    F.floor(
+                        F.coalesce(F.col("p"), F.lit(0.0)) * 1e12
+                    ).cast("bigint")
+                )
                 .cast("double")
+                / F.lit(1e12)
                 / F.count(F.lit(1))
             ).alias("mean_cond_prob"),
             F.count("p").alias("n_known"),
