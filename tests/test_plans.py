@@ -45,6 +45,9 @@ NESTED_LOOP_ALLOWED = {
     # (term, tf, df) frame for the idf numerator — declarative replacement
     # for an eager .count()
     "text_tfidf_top_terms",
+    # deliberate 1-row × 1-row cross: the merged-sketch estimate joined to
+    # the exact distinct count for the error-bound column
+    "sketch_incremental_distinct",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
