@@ -64,12 +64,33 @@ _EXACT_PAIRS_SQL = """
 #: operators/cache.py; at most 2 scale factors' shingle frames stay pinned.
 _SHINGLE_CACHE = PlanCache(max_entries=2)
 
+#: LSH-verified near-dup pairs (id_a, id_b, jaccard — ~25 rows/sf).  Three
+#: queries (LSH pairs, canonical assignment, connected components) derive
+#: the IDENTICAL pairs frame through minhash → banding → exact verify;
+#: caching it turns the second and third builds into a tiny table read.
+_PAIRS_CACHE = PlanCache(max_entries=2)
+
 #: Portable-SimHash signatures (doc_id, hi, lo — ~24 B/doc).  Persisted
 #: because the banded self-join references the frame from both sides and
 #: the band-array projection would otherwise inline the vote fold into
 #: every band expression per side (the same CollapseProject blowup the ANN
 #: signature tables hit in round 5 — ~12× the fold cost).
 _SIG_CACHE = PlanCache(max_entries=2)
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-verified near-dup pairs, built once per (session, sf)."""
+
+    def build() -> DataFrame:
+        docs = _shingled(spark, sf_dir, cache=True)
+        cands = candidate_pairs(
+            docs, "doc_id", "shingles", bands=16, rows_per_band=2
+        )
+        return verify_pairs(
+            cands, docs, "doc_id", "shingles", threshold=0.5
+        ).persist()
+
+    return _PAIRS_CACHE.get_or_build(spark, (sf_dir, "lsh_pairs"), build)
 
 
 def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
@@ -146,11 +167,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "J≥0.8 pair)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _shingled(spark, sf_dir, cache=True)
-    cands = candidate_pairs(
-        docs, "doc_id", "shingles", bands=16, rows_per_band=2
-    )
-    return verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
+    return _lsh_pairs(spark, sf_dir)
 
 
 @register(
@@ -172,11 +189,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingled(spark, sf_dir, cache=True)
-    cands = candidate_pairs(
-        docs, "doc_id", "shingles", bands=16, rows_per_band=2
-    )
-    pairs = verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
-    return canonical_assignment(docs, "doc_id", pairs)
+    return canonical_assignment(docs, "doc_id", _lsh_pairs(spark, sf_dir))
 
 
 @register(
@@ -202,11 +215,7 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingled(spark, sf_dir, cache=True)
-    cands = candidate_pairs(
-        docs, "doc_id", "shingles", bands=16, rows_per_band=2
-    )
-    pairs = verify_pairs(cands, docs, "doc_id", "shingles", threshold=0.5)
-    return connected_components(docs, pairs, "doc_id")
+    return connected_components(docs, _lsh_pairs(spark, sf_dir), "doc_id")
 
 
 @register(
