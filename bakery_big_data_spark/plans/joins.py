@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bakery_big_data_spark.plans.base import (
+    DEC,
     davg,
     dsum,
     register,
@@ -325,4 +326,106 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           CAST(COALESCE(nation_volume, 0.0) / total_volume AS DOUBLE)
+             AS mkt_share,
+           CAST(COALESCE(nation_volume, 0.0) AS DOUBLE) AS nation_volume,
+           total_volume
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                           END AS DECIMAL(30,6))) AS DOUBLE) AS nation_volume,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS total_volume
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+                   AND r.r_name = 'AMERICA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      GROUP BY year(o.o_orderdate)
+    )
+    """,
+    doc="TPC-H Q8 shape (national market share): EIGHT-table join — the "
+        "deepest in the catalog — computing NATION_3 suppliers' share of "
+        "AMERICA-region customers' PROMO-part volume per year, as a ratio "
+        "of two decimal-exact conditional sums (single IEEE division of "
+        "exact doubles — cross-engine bit-identical).  Plan discipline: "
+        "part/supplier/nation/region all broadcast (dims), the date "
+        "predicate pushes into the orders scan, and the only large "
+        "shuffles are the two fact joins (lineitem⨝orders on orderkey, "
+        "orders⨝customer on custkey); the share numerator rides the SAME "
+        "aggregate as the denominator — one pass, no self-join",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    america_nations = n1.join(
+        F.broadcast(r), n1.n_regionkey == r.r_regionkey
+    ).select("n_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(america_nations),
+            c.c_nationkey == america_nations.n_nationkey,
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", vol).cast(DEC)
+        )
+        .cast("double")
+        .alias("nation_volume"),
+        F.sum(vol.cast(DEC)).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.coalesce(F.col("nation_volume"), F.lit(0.0))
+            / F.col("total_volume")
+        ).alias("mkt_share"),
+        F.coalesce(F.col("nation_volume"), F.lit(0.0)).alias("nation_volume"),
+        "total_volume",
     )
