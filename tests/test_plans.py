@@ -132,3 +132,39 @@ def test_features_wide_enrichment_all_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "medallion_features_wide")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """100 TB lever: with a selective dim side and shuffle join, Spark's
+    runtime bloom filter (on by default in this engine's session) injects
+    a might_contain() pre-filter into the FACT side, built from a
+    bloom_filter_agg over the dim keys — rows that cannot join are dropped
+    at the scan instead of shuffled.  Assert the injection and that it is
+    semantics-preserving."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.plans.base import t
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    sel = F.col("o_totalprice") > 500000
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        o = t(spark, sf_dir, "orders").filter(sel).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        n_bloom = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+    o = t(spark, sf_dir, "orders").filter(sel).select("o_orderkey")
+    assert n_bloom == li.join(o, li.l_orderkey == o.o_orderkey).count()
