@@ -50,3 +50,87 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_DDL = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events LONG, total_value DOUBLE"
+)
+#: (session_start_us, session_end_us, n_events, value_sum)
+SESSION_STATE_DDL = "start_us LONG, end_us LONG, n LONG, v DOUBLE"
+
+_US = 1_000_000
+
+
+def idle_session_flush(
+    events: DataFrame,
+    watermark_delay: str = "10 minutes",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Hand-rolled stateful sessionizer with EVENT-TIME TIMEOUTS: a user's
+    open session lives in the state store and is emitted exactly when the
+    watermark passes its end + gap — the "abandoned session flush" that
+    ``session_window`` does internally, expressed with the raw
+    ``applyInPandasWithState`` primitives (register a timeout, flush on
+    ``state.hasTimedOut``, remove state).
+
+    Assumes per-user event-time order across micro-batches (true for
+    chronological replay and for any source partitioned by user).  A new
+    batch whose first event starts more than ``gap`` after the open
+    session's end closes it inline (emitted immediately) and opens a new
+    one — so multi-session users are handled without waiting for a
+    timeout.  State per user is four scalars; per-batch work is
+    proportional to touched keys, and idle keys are reclaimed by their
+    timeout instead of leaking."""
+    gap_us = gap_minutes * 60 * _US
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def emit(start_us: int, end_us: int, n: int, v: float):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [v],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n, v = state.get
+            state.remove()
+            yield emit(start_us, end_us, n, v)
+            return
+
+        if state.exists:
+            start_us, end_us, n, v = state.get
+        else:
+            start_us = end_us = -1
+            n, v = 0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if start_us < 0:
+                    start_us, end_us, n, v = ts_us, ts_us, 1, float(val)
+                elif ts_us - end_us <= gap_us:
+                    end_us, n, v = ts_us, n + 1, v + float(val)
+                else:
+                    yield emit(start_us, end_us, n, v)
+                    start_us, end_us, n, v = ts_us, ts_us, 1, float(val)
+        state.update((start_us, end_us, n, v))
+        state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_DDL,
+            stateStructType=SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

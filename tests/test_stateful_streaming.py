@@ -70,3 +70,109 @@ def test_state_accumulates_across_restarts(spark, sf_dir):
     l = {(r.user_id, r.n_events) for r in latest.select("user_id", "n_events").collect()}
     b = {(r.user_id, r.n_events) for r in batch.collect()}
     assert l == b
+
+
+def test_idle_session_flush_matches_batch_sessionization(spark, sf_dir):
+    """The event-time-timeout sessionizer must flush exactly the sessions
+    a batch lag/gap sessionization derives, once a sentinel event advances
+    the watermark past every real session's end + gap."""
+    from bakery_big_data_spark.streaming.stateful import idle_session_flush
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1200)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    # four chronological files -> four micro-batches in event-time order
+    rows = ev.orderBy("ts", "event_id").collect()
+    quarter = max(1, len(rows) // 4)
+    import json as _json
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        chunk = rows[i * quarter : None if i == 3 else (i + 1) * quarter]
+        with open(f"{src}/part-{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    # sentinel far past everything: advances the watermark so every real
+    # session's timeout fires during its batch
+    max_ts = rows[-1].ts
+    import datetime as _dt
+
+    sentinel_ts = max_ts + _dt.timedelta(hours=10)
+    with open(f"{src}/part-4-sentinel.json", "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "event_id": 999999,
+                    "ts": sentinel_ts.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
+                    "user_id": -1,
+                    "event_type": "sentinel",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+
+    stream = idle_session_flush(
+        read_json_stream(spark, src, max_files_per_trigger=1),
+        watermark_delay="10 minutes",
+        gap_minutes=30,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flushed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+
+    # batch expectation: lag/gap sessionization over the same slice
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            <= 1800,
+            0,
+        ).otherwise(1),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert flushed == expected
