@@ -408,3 +408,73 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "rfm_segmentation",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             {sql_dsum('o_totalprice', 'monetary')}
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+    FROM (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency   DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary    DESC, o_custkey) AS m_score
+      FROM per_cust
+    )
+    """,
+    doc="RFM customer segmentation (the standard behavioral-marketing "
+        "triage): per customer recency (days since last order vs corpus "
+        "anchor), frequency, decimal-exact monetary — then quintile "
+        "scores via NTILE with custkey tiebreaks and the 3-digit RFM "
+        "cell.  One groupBy shuffle + three global ntile windows; at "
+        "100 TB the ntile step runs on the COMPACTED per-customer frame "
+        "(|customers| << |orders|), and the anchor date is a lazy 1-row "
+        "broadcast, not an eager .first()",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.plans.base import DEC
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_anchor"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("_anchor", "_last").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = (
+        per_cust.withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("rfm_cell"),
+    )

@@ -48,6 +48,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row × 1-row cross: the merged-sketch estimate joined to
     # the exact distinct count for the error-bound column
     "sketch_incremental_distinct",
+    # deliberate 1-row broadcast: the lazy corpus anchor date (max
+    # o_orderdate) crossed onto the per-customer frame for recency
+    "rfm_segmentation",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
