@@ -289,3 +289,46 @@ def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_simhash(d, "text").select(
         "doc_id", "simhash_hi", "simhash_lo"
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(trim(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', '', 'g')), ' +', ' ', 'g')
+               AS norm_text
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_members,
+           CAST(md5(norm_text) AS VARCHAR) AS content_key
+    FROM norm
+    GROUP BY norm_text
+    """,
+    doc="Exact dedup on NORMALIZED text (the CCNet-style step real "
+        "pipelines run before exact hashing: lowercase, strip "
+        "non-alphanumerics, collapse whitespace — so 'Hello,  World!' and "
+        "'hello world' collapse to one key).  Regex normalization is "
+        "engine-portable (POSIX classes avoided deliberately — their "
+        "locale behavior differs), the group key ships as md5 so the "
+        "shuffle carries 32-byte keys instead of document bodies at "
+        "100 TB, and the hash-agg is map-side combinable",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")),
+        " +",
+        " ",
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("canonical_id", "n_members", "content_key")
+    )
