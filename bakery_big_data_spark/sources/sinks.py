@@ -144,3 +144,52 @@ def compact_parquet_dir(
     os.rename(staged, path)
     shutil.rmtree(backup)
     return len(before), len(_data_files(path))
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_dims: tuple[str, str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> tuple[int, int]:
+    """Lakehouse OPTIMIZE: compaction, optionally Z-ORDER re-clustered.
+
+    With ``zorder_dims`` the rewrite range-partitions on the Morton key of
+    the two dimensions (operators/layout.py) instead of coalescing — the
+    shape of Delta's ``OPTIMIZE ... ZORDER BY`` / Iceberg's sort-rewrite:
+    one pass fixes BOTH pathologies a streamed table accumulates (small
+    files AND interleaved dimension values that defeat min/max skipping).
+    Same single-writer swap discipline as :func:`compact_parquet_dir`.
+
+    Returns (files_before, files_after).
+    """
+    import math
+    import os
+    import shutil
+
+    from bakery_big_data_spark.operators.layout import write_zordered
+
+    if zorder_dims is None:
+        return compact_parquet_dir(spark, path, target_file_bytes, min_files)
+
+    def _data_files(p: str) -> list[str]:
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(min_files, math.ceil(total / target_file_bytes))
+    staged = path.rstrip("/") + "._optimize_tmp"
+    shutil.rmtree(staged, ignore_errors=True)
+    write_zordered(spark.read.parquet(path), staged, zorder_dims, num_files=n_out)
+    backup = path.rstrip("/") + "._optimize_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup)
+    return len(before), len(_data_files(path))

@@ -243,3 +243,42 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     # ... while the primary dimension stays bounded too (a single user
     # never spans the whole curve; the exact fraction scales ~sqrt(files))
     assert z_user < n_files
+
+
+def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
+    """OPTIMIZE with zorder dims fixes both streamed-table pathologies in
+    one pass: many small files -> few, and interleaved dimension values ->
+    clustered files a day-predicate can skip."""
+    from bakery_big_data_spark.sources.sinks import optimize_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    )
+    path = str(tmp_path / "frag")
+    # fragment: 20 small appends (a streaming sink's leavings)
+    for i in range(20):
+        ev.filter(F.col("event_id") % 20 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    n_rows = spark.read.parquet(path).count()
+
+    before, after = optimize_table(
+        spark, path, zorder_dims=("user_id", "day"), min_files=4,
+        target_file_bytes=64 * 1024,
+    )
+    assert before == 20
+    assert after < before
+    got = spark.read.parquet(path)
+    assert got.count() == n_rows
+    # clustered: a single-day predicate no longer touches every file
+    hit = (
+        got.withColumn("_f", F.input_file_name())
+        .filter(F.col("day") == 3)
+        .select("_f")
+        .distinct()
+        .count()
+    )
+    assert hit < after
