@@ -52,11 +52,21 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     previous version current and an orphan directory (harmless, re-written
     by the next commit of that version number).
     """
+    import datetime
+
     m = _load_manifest(table_path)
     version = m["current"] + 1
     vdir = os.path.join(table_path, f"v={version}")
     df.write.mode("overwrite").parquet(vdir)
-    m = {"current": version, "versions": m["versions"] + [version]}
+    stamps = dict(m.get("committed_at", {}))
+    stamps[str(version)] = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f+00:00"
+    )
+    m = {
+        "current": version,
+        "versions": m["versions"] + [version],
+        "committed_at": stamps,
+    }
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(m, fh)
@@ -143,10 +153,49 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
     expired, kept = versions[:-keep_last], versions[-keep_last:]
     if not expired:
         return []
+    stamps = {
+        str(v): ts
+        for v, ts in m.get("committed_at", {}).items()
+        if int(v) in set(kept)
+    }
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"current": m["current"], "versions": kept}, fh)
+        json.dump(
+            {"current": m["current"], "versions": kept, "committed_at": stamps},
+            fh,
+        )
     os.replace(tmp, _manifest_path(table_path))
     for v in expired:
         shutil.rmtree(os.path.join(table_path, f"v={v}"), ignore_errors=True)
     return expired
+
+
+def read_snapshot_as_of(
+    spark: SparkSession, table_path: str, as_of: str
+) -> DataFrame:
+    """Timestamp time travel: the newest version committed at or before
+    ``as_of`` (ISO-8601 UTC) — the `FOR TIMESTAMP AS OF` read.
+
+    Commit times are recorded by ``write_snapshot`` in the manifest
+    (``committed_at``, UTC).  Manifests written before this field existed
+    resolve as if every surviving version carries its file's commit order
+    but no wall-clock — those raise, pointing at version-based reads,
+    rather than silently guessing.
+    """
+    m = _load_manifest(table_path)
+    stamps: dict = m.get("committed_at", {})
+    if not stamps:
+        raise ValueError(
+            f"{table_path} manifest predates commit timestamps — "
+            "use read_snapshot(version=...)"
+        )
+    eligible = [
+        int(v)
+        for v in m["versions"]
+        if str(v) in stamps and stamps[str(v)] <= as_of
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no version of {table_path} committed at or before {as_of}"
+        )
+    return read_snapshot(spark, table_path, version=max(eligible))

@@ -144,3 +144,36 @@ def test_expire_snapshots_retains_current(spark, sf_dir, tmp_path):
     # idempotent: nothing further to expire at the same retention
     assert expire_snapshots(table, keep_last=2) == []
     assert read_snapshot(spark, table, version=v3).count() == base.count()
+
+
+def test_timestamp_time_travel(spark, sf_dir, tmp_path):
+    import pytest
+
+    from bakery_big_data_spark.sources.snapshots import (
+        expire_snapshots,
+        read_snapshot_as_of,
+    )
+
+    table = str(tmp_path / "t_asof")
+    base = _base(spark, sf_dir)
+    import json as _json
+
+    v1 = write_snapshot(base, table)
+    v2 = write_snapshot(base.withColumn("value", F.col("value") + 1), table)
+    with open(os.path.join(table, "_snapshot_manifest.json")) as fh:
+        stamps = _json.load(fh)["committed_at"]
+    t1, t2 = stamps[str(v1)], stamps[str(v2)]
+
+    # as-of exactly t1 -> v1; as-of t2 (and later) -> v2; before t1 -> error
+    s1 = read_snapshot_as_of(spark, table, t1)
+    assert s1.agg(F.sum(F.col("value").cast("decimal(30,6)"))).first()[0] == \
+        base.agg(F.sum(F.col("value").cast("decimal(30,6)"))).first()[0]
+    assert read_snapshot_as_of(spark, table, "9999-01-01T00:00:00.000000+00:00").count() == base.count()
+    with pytest.raises(ValueError, match="at or before"):
+        read_snapshot_as_of(spark, table, "1990-01-01T00:00:00.000000+00:00")
+
+    # retention keeps the surviving versions' timestamps
+    expire_snapshots(table, keep_last=1)
+    assert read_snapshot_as_of(spark, table, t2).count() == base.count()
+    with pytest.raises(ValueError, match="at or before"):
+        read_snapshot_as_of(spark, table, t1)
