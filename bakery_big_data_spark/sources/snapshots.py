@@ -44,13 +44,19 @@ def _load_manifest(table_path: str) -> dict:
         return {"current": 0, "versions": []}
 
 
-def write_snapshot(df: DataFrame, table_path: str) -> int:
+def write_snapshot(
+    df: DataFrame, table_path: str, meta: dict | None = None
+) -> int:
     """Commit ``df`` as the table's next version; returns the version number.
 
     The data directory is fully written before the manifest swap, and the
     manifest swap is an atomic rename — a crash mid-commit leaves the
     previous version current and an orphan directory (harmless, re-written
-    by the next commit of that version number).
+    by the next commit of that version number).  ``meta`` rides INSIDE the
+    same atomic swap (stored per version under ``meta``), which is what
+    lets a streaming sink make data + applied-batch-id a single commit —
+    the transactional-write half of exactly-once (see
+    :func:`last_commit_meta`).
     """
     import datetime
 
@@ -62,10 +68,14 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     stamps[str(version)] = datetime.datetime.now(datetime.timezone.utc).strftime(
         "%Y-%m-%dT%H:%M:%S.%f+00:00"
     )
+    metas = dict(m.get("meta", {}))
+    if meta is not None:
+        metas[str(version)] = meta
     m = {
         "current": version,
         "versions": m["versions"] + [version],
         "committed_at": stamps,
+        "meta": metas,
     }
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as fh:
@@ -153,15 +163,28 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
     expired, kept = versions[:-keep_last], versions[-keep_last:]
     if not expired:
         return []
+    keep_set = set(kept)
     stamps = {
         str(v): ts
         for v, ts in m.get("committed_at", {}).items()
-        if int(v) in set(kept)
+        if int(v) in keep_set
+    }
+    # meta rides retention too — dropping it would e.g. forget a streaming
+    # sink's applied-batch-id and let a replayed batch double-count
+    metas = {
+        str(v): mv
+        for v, mv in m.get("meta", {}).items()
+        if int(v) in keep_set
     }
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
-            {"current": m["current"], "versions": kept, "committed_at": stamps},
+            {
+                "current": m["current"],
+                "versions": kept,
+                "committed_at": stamps,
+                "meta": metas,
+            },
             fh,
         )
     os.replace(tmp, _manifest_path(table_path))
@@ -199,3 +222,10 @@ def read_snapshot_as_of(
             f"no version of {table_path} committed at or before {as_of}"
         )
     return read_snapshot(spark, table_path, version=max(eligible))
+
+
+def last_commit_meta(table_path: str) -> dict | None:
+    """The ``meta`` recorded with the current version's commit (None if the
+    table does not exist yet or the commit carried no meta)."""
+    m = _load_manifest(table_path)
+    return m.get("meta", {}).get(str(m.get("current")))

@@ -387,3 +387,69 @@ def interval_join_streams(
         F.col("r.event_id").alias("purchase_id"),
         F.col("r.ts").alias("purchase_ts"),
     )
+
+
+def start_snapshot_rollup_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    available_now: bool = True,
+    query_name: str = "gold_rollup",
+) -> StreamingQuery:
+    """Streaming incremental GOLD maintenance with version history: each
+    micro-batch folds its per-key deltas (count + decimal-exact value sum)
+    into the running rollup and commits the result as a NEW snapshot
+    version (sources/snapshots.py manifest — readers always see a complete
+    version, and every historical state stays time-travelable).
+
+    The delta fold touches only the keys present in the batch — the
+    incremental-view-maintenance contract: per-batch work is O(batch),
+    never O(accumulated table).  Exactly-once: the applied batch_id is
+    committed in the SAME atomic manifest swap as the data
+    (``write_snapshot(meta=...)``), so a batch replayed after a crash
+    between data commit and checkpoint-offset commit is detected
+    (``last_commit_meta``) and skipped instead of double-counted.
+    """
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.sources.snapshots import (
+        last_commit_meta,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = last_commit_meta(table_path)
+        if applied is not None and applied.get("batch_id", -1) >= batch_id:
+            return  # replayed batch already inside the current version
+        delta = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_vsum"),
+        )
+        try:
+            current = read_snapshot(spark, table_path).select(
+                key_col, "n_events", F.col("value_sum").cast("decimal(30,6)").alias("_vsum")
+            )
+        except Exception:
+            current = delta.limit(0)
+        merged = (
+            current.unionByName(delta)
+            .groupBy(key_col)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("_vsum").cast("double").alias("value_sum"),
+            )
+        )
+        write_snapshot(merged, table_path, meta={"batch_id": batch_id})
+
+    writer = (
+        df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
