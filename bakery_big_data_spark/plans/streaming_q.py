@@ -312,3 +312,48 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "src_event_id", "src_type", "src_ts",
         "purchase_id", "purchase_ts",
     )
+
+
+@register(
+    "streaming_versioned_rollup",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM events WHERE event_id < {_N}
+    GROUP BY event_type
+    """,
+    doc="Streaming incremental GOLD maintenance, STREAM-RUN with version "
+        "history: the replay stream drains through the snapshot-rollup "
+        "sink (one snapshot version per micro-batch; the applied batch_id "
+        "commits INSIDE the manifest's atomic swap, so crash-replays are "
+        "skipped, not double-counted — transactional exactly-once).  The "
+        "returned frame is the CURRENT version of the versioned gold "
+        "table; the oracle states the equivalent batch rollup, so the "
+        "hash certifies the whole incremental fold across batches",
+)
+def streaming_versioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.sources.snapshots import read_snapshot
+    from bakery_big_data_spark.streaming.ingest import (
+        start_snapshot_rollup_sink,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_vroll")
+    src, table, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "table"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        _write_json_src(spark, sf_dir, src, ev)
+    q = start_snapshot_rollup_sink(
+        read_json_stream(spark, src), table, ckpt,
+        query_name="vroll_replay",
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, table).select(
+        "event_type", "n_events", "value_sum"
+    )
