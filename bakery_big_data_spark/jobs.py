@@ -46,6 +46,35 @@ def _streaming_ingest(args: argparse.Namespace) -> dict[str, int]:
     return {"ingested_total": spark.read.parquet(args.out).count()}
 
 
+def _maintenance(args: argparse.Namespace) -> dict[str, int]:
+    """Nightly table maintenance (the reference schedules these as Airflow
+    DAG tasks; Iceberg calls them rewrite_data_files / expire_snapshots):
+    compact every parquet table under --lake (optionally Z-order
+    re-clustered via --zorder col1,col2) and expire old snapshot versions
+    of every manifest-bearing table down to --keep-last."""
+    import os
+
+    from bakery_big_data_spark.session import get_spark
+    from bakery_big_data_spark.sources.sinks import optimize_table
+    from bakery_big_data_spark.sources.snapshots import expire_snapshots
+
+    spark = get_spark("job-maintenance")
+    zdims = tuple(args.zorder.split(",")) if args.zorder else None
+    summary: dict[str, int] = {"tables_optimized": 0, "versions_expired": 0}
+    for name in sorted(os.listdir(args.lake)):
+        path = os.path.join(args.lake, name)
+        if not os.path.isdir(path):
+            continue
+        if os.path.exists(os.path.join(path, "_snapshot_manifest.json")):
+            summary["versions_expired"] += len(
+                expire_snapshots(path, keep_last=args.keep_last)
+            )
+        elif any(f.endswith(".parquet") for f in os.listdir(path)):
+            optimize_table(spark, path, zorder_dims=zdims)
+            summary["tables_optimized"] += 1
+    return summary
+
+
 def main(argv: list[str] | None = None) -> dict[str, int]:
     parser = argparse.ArgumentParser(prog="bakery_big_data_spark.jobs")
     sub = parser.add_subparsers(dest="job", required=True)
@@ -60,6 +89,14 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
     s.add_argument("--out", required=True)
     s.add_argument("--checkpoint", required=True)
     s.set_defaults(fn=_streaming_ingest)
+
+    mt = sub.add_parser(
+        "maintenance", help="compact/zorder tables + expire snapshots"
+    )
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("--zorder", default=None, help="col1,col2")
+    mt.add_argument("--keep-last", type=int, default=2)
+    mt.set_defaults(fn=_maintenance)
 
     args = parser.parse_args(argv)
     result = args.fn(args)

@@ -17,3 +17,38 @@ def test_medallion_job_cli(spark, sf_dir):
     assert counts["bronze"] > counts["silver"] > 0
     assert counts["fact_daily"] == counts["ml_features"] > 0
     assert os.path.isdir(f"{out}/gold_fact_daily")
+
+
+def test_maintenance_job(spark, sf_dir, tmp_path):
+    """The nightly maintenance subcommand compacts fragmented parquet
+    tables and expires old snapshot versions in one sweep."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.jobs import main
+    from bakery_big_data_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from bakery_big_data_spark.sources.tables import load_table
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    # fragmented plain table
+    for i in range(6):
+        ev.filter(F.col("event_id") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(lake / "frag"))
+    # versioned table with history
+    for bump in range(3):
+        write_snapshot(
+            ev.withColumn("value", F.col("value") + bump), str(lake / "gold")
+        )
+
+    out = main(
+        ["maintenance", "--lake", str(lake), "--keep-last", "1"]
+    )
+    assert out["tables_optimized"] == 1
+    assert out["versions_expired"] == 2
+    assert spark.read.parquet(str(lake / "frag")).count() == ev.count()
+    assert read_snapshot(spark, str(lake / "gold")).count() == ev.count()
