@@ -551,22 +551,29 @@ _PPS_K = 10  # samples per stratum
         "picks.  One window shuffle per stratum",
 )
 def curation_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from bakery_big_data_spark.operators.keys import add_prefix_sum
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     keyed = d.withColumn(
         "shuffle_key",
         (F.col("doc_id").cast("bigint") * 1103515245 + 12345) % _LCG_M,
     )
-    w_ord = (
-        Window.partitionBy("lang")
-        .orderBy("shuffle_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # SCALABLE cumulative weight: a plain SUM OVER (PARTITION BY lang ...)
+    # would funnel each of ~5 strata through one task at 100 TB; the
+    # range-partitioned prefix sum keeps every heavy step parallel
+    # (operators/keys.py::add_prefix_sum).  Totals come from a tiny
+    # per-lang aggregate broadcast back — not a whole-partition window.
+    cum = add_prefix_sum(
+        keyed,
+        partition_by="lang",
+        order_by=["shuffle_key", "doc_id"],
+        value_col="n_chars",
+        out_col="cw",
     )
-    w_all = Window.partitionBy("lang")
-    cum = keyed.withColumn(
-        "cw", F.sum("n_chars").over(w_ord).cast("bigint")
-    ).withColumn("total_w", F.sum("n_chars").over(w_all).cast("bigint"))
+    totals = keyed.groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("total_w")
+    )
+    cum = cum.join(F.broadcast(totals), "lang")
     # `div` is exact BIGINT division (float `/` + floor would silently
     # mis-round once cw*K passes 2^53 — real at 100 TB char budgets).
     stripe = F.expr(f"(cw * {_PPS_K}) div total_w").cast("bigint")

@@ -96,3 +96,36 @@ def test_upsert_idempotent(spark, target, source):
             assert etl == t_ts
         else:
             assert etl == (s_ts if s_ts > t_ts else t_ts)
+
+
+def test_scalable_prefix_sum_matches_window(spark, sf_dir):
+    """add_prefix_sum (range-partitioned decomposition) must equal the
+    plain single-partition window cumsum exactly, at any partition count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.keys import add_prefix_sum
+    from bakery_big_data_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        (r.doc_id, r.cw)
+        for r in d.withColumn(
+            "cw", F.sum("n_chars").over(w).cast("bigint")
+        ).collect()
+    }
+    for parts in (3, 16):
+        got = {
+            (r.doc_id, r.cw)
+            for r in add_prefix_sum(
+                d, "lang", ["doc_id"], "n_chars", "cw", num_partitions=parts
+            ).collect()
+        }
+        assert got == expected
