@@ -128,3 +128,45 @@ def add_prefix_sum(
         .withColumn(out_col, (F.col(_OFF) + F.col(_RN)).cast("bigint"))
         .drop(_PID, _RN, _OFF)
     )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    order_by: list[str | Column],
+    k: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global NTILE(k) without the single-task global window.
+
+    Unpartitioned ``NTILE(k) OVER (ORDER BY ...)`` funnels the whole table
+    through one task.  Here the global dense rank comes from
+    :func:`add_surrogate_key` (fully parallel range decomposition) and the
+    bucket from SQL NTILE's closed form — larger buckets first: with
+    ``q, m = divmod(n, k)``, rows ranked ≤ ``m·(q+1)`` land in bucket
+    ``ceil(r/(q+1))``, the rest in ``m + ceil((r - m·(q+1))/q)``.  All
+    BIGINT arithmetic; ``order_by`` must be a total order.
+    """
+    ranked = add_surrogate_key(
+        df, order_by, key_col="_nt_rank", num_partitions=num_partitions
+    )
+    n_row = ranked.groupBy().agg(F.count(F.lit(1)).alias("_nt_n"))
+    r = F.col("_nt_rank")
+    n = F.col("_nt_n")
+    # exact BIGINT arithmetic throughout (`div`, never float `/`)
+    q = F.expr(f"_nt_n div {k}")
+    m = n % k
+    thresh = m * (q + 1)
+
+    def ceil_div(a: Column, b: Column) -> Column:
+        c = a + b - 1
+        return ((c - c % b) / b).cast("bigint")  # exact: c-c%b is a multiple
+
+    bucket = F.when(r <= thresh, ceil_div(r, q + 1)).otherwise(
+        m + ceil_div(r - thresh, q)
+    )
+    return (
+        ranked.join(F.broadcast(n_row))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_nt_rank", "_nt_n")
+    )

@@ -391,16 +391,24 @@ def correlation_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order (unique tiebreak keeps both engines' tile assignment "
         "identical) with per-bin count and value bounds — the quantile "
         "discretization step of feature engineering, complementing the "
-        "equal-width curation_length_histogram.  The global sort is the "
-        "inherent cost of exact quantile binning; at 100 TB swap in "
-        "approx_percentile boundaries + a map-only bucket join and keep "
-        "this as the exactness oracle",
+        "equal-width curation_length_histogram.  EXACT deciles without the "
+        "single-task global window: scalable_ntile derives SQL NTILE's "
+        "buckets from the range-partitioned dense rank + closed-form "
+        "bucket math (operators/keys.py), so the heavy steps stay "
+        "parallel at 100 TB; approx_percentile boundaries remain the "
+        "cheaper alternative when exactness is negotiable",
 )
 def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.keys import scalable_ntile
+
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_orderkey", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+        scalable_ntile(
+            o.select("o_orderkey", "o_totalprice"),
+            ["o_totalprice", "o_orderkey"],
+            10,
+            "decile",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -463,13 +471,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = (
-        per_cust.withColumn("r_score", F.ntile(5).over(r_w))
-        .withColumn("f_score", F.ntile(5).over(f_w))
-        .withColumn("m_score", F.ntile(5).over(m_w))
+    # NO global ntile windows: an unpartitioned NTILE funnels every
+    # customer through one task at 100 TB.  scalable_ntile derives the
+    # same buckets from the range-partitioned dense rank + SQL NTILE's
+    # closed form (operators/keys.py) — three fully-parallel passes.
+    from bakery_big_data_spark.operators.keys import scalable_ntile
+
+    scored = scalable_ntile(
+        per_cust, [F.col("recency_days").asc(), F.col("o_custkey")], 5, "r_score"
+    )
+    scored = scalable_ntile(
+        scored, [F.col("frequency").desc(), F.col("o_custkey")], 5, "f_score"
+    )
+    scored = scalable_ntile(
+        scored, [F.col("monetary").desc(), F.col("o_custkey")], 5, "m_score"
     )
     return scored.select(
         "o_custkey", "recency_days", "frequency", "monetary",

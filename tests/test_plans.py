@@ -49,8 +49,11 @@ NESTED_LOOP_ALLOWED = {
     # the exact distinct count for the error-bound column
     "sketch_incremental_distinct",
     # deliberate 1-row broadcast: the lazy corpus anchor date (max
-    # o_orderdate) crossed onto the per-customer frame for recency
+    # o_orderdate) crossed onto the per-customer frame for recency, plus
+    # scalable_ntile's lazy row-count cross (operators/keys.py)
     "rfm_segmentation",
+    # scalable_ntile's lazy 1-row row-count cross
+    "feature_quantile_binning",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
