@@ -414,3 +414,106 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", *[comp(p).alias(f"p{i}") for i, p in enumerate(planes)]
     )
+
+
+@register(
+    "contrastive_negative_sampling",
+    """
+    WITH n AS (
+      SELECT COUNT(*) AS n_vecs FROM embeddings
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id < 50
+    ), cands AS (
+      SELECT a.anchor_id, a.anchor_label,
+             i AS try_idx,
+             CAST((a.anchor_id * 2654435761 + i * 40503 + 97) % n.n_vecs
+                  AS BIGINT) AS cand_id
+      FROM anchors a, n, range(1, 25) t(i)
+    ), valid AS (
+      SELECT c.anchor_id, c.anchor_label, c.try_idx, c.cand_id,
+             e.label AS cand_label
+      FROM cands c JOIN embeddings e ON e.vec_id = c.cand_id
+      WHERE c.cand_id <> c.anchor_id AND e.label <> c.anchor_label
+    )
+    SELECT anchor_id, cand_id AS negative_id, cand_label AS negative_label,
+           CAST(rk AS BIGINT) AS neg_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY try_idx, cand_id) AS rk
+      FROM (
+        SELECT DISTINCT ON (anchor_id, cand_id)
+               anchor_id, cand_id, cand_label, try_idx
+        FROM valid
+        ORDER BY anchor_id, cand_id, try_idx
+      )
+    ) WHERE rk <= 8
+    """,
+    doc="Deterministic negative sampling for contrastive training: each "
+        "anchor draws candidate ids from a key-derived LCG sequence "
+        "(layout- and engine-independent — F.rand would resample on every "
+        "re-run and leak across epochs), drops self and same-label hits "
+        "(the standard in-batch false-negative filter), dedupes repeat "
+        "draws keeping the earliest try, and keeps the first 8 survivors "
+        "in draw order.  Plan: candidate synthesis is a map-side explode "
+        "of 24 tries per anchor; the only shuffles are the label-lookup "
+        "equi-join and the per-anchor top-k window — no RNG state, no "
+        "driver loop, reproducible at any scale",
+)
+def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n_row = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    anchors = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cands = (
+        anchors.crossJoin(F.broadcast(n_row))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(F.sequence(F.lit(1), F.lit(24))).alias("try_idx"),
+            "n_vecs",
+        )
+        .withColumn(
+            "cand_id",
+            (
+                F.col("anchor_id").cast("bigint") * 2654435761
+                + F.col("try_idx").cast("bigint") * 40503
+                + 97
+            )
+            % F.col("n_vecs"),
+        )
+    )
+    valid = (
+        cands.join(
+            emb.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("cand_label"),
+            ),
+            "cand_id",
+        )
+        .filter(
+            (F.col("cand_id") != F.col("anchor_id"))
+            & (F.col("cand_label") != F.col("anchor_label"))
+        )
+    )
+    # dedupe repeat draws of the same candidate, keeping the earliest try
+    first_try = Window.partitionBy("anchor_id", "cand_id").orderBy("try_idx")
+    deduped = (
+        valid.withColumn("_ft", F.row_number().over(first_try))
+        .filter(F.col("_ft") == 1)
+        .drop("_ft")
+    )
+    rank_w = Window.partitionBy("anchor_id").orderBy("try_idx", "cand_id")
+    return (
+        deduped.withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= 8)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cand_label").alias("negative_label"),
+            F.col("rk").cast("bigint").alias("neg_rank"),
+        )
+    )

@@ -54,6 +54,9 @@ NESTED_LOOP_ALLOWED = {
     "rfm_segmentation",
     # scalable_ntile's lazy 1-row row-count cross
     "feature_quantile_binning",
+    # deliberate 1-row broadcast: the lazy corpus size N modulo for the
+    # key-derived negative-candidate LCG
+    "contrastive_negative_sampling",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
