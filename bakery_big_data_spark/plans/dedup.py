@@ -195,23 +195,26 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_connected_components",
     f"""
-    WITH pairs AS ({_EXACT_PAIRS_SQL}),
-    nbr AS (
-      SELECT id_a AS doc_id, id_b AS nb FROM pairs
-      UNION ALL
-      SELECT id_b, id_a FROM pairs
+    WITH RECURSIVE pairs AS ({_EXACT_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
     )
-    SELECT d.doc_id,
-           LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id)) AS canonical_id
-    FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
-    GROUP BY d.doc_id
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY node
     """,
     doc="True connected-components duplicate clustering: iterative min-label "
         "propagation to a fixpoint (handles chains the single-pass star "
         "contraction cannot; tests/test_dedup.py proves the chain case).  "
-        "Oracle is the single-pass form, exact here because the corpus's "
-        "near-dup clusters are disjoint pairs — the iteration converges to "
-        "the same labels in one round",
+        "Oracle upgraded (round 5) to a RECURSIVE-CTE transitive closure "
+        "with per-node reachable-minimum — a true fixpoint, so the row "
+        "stays green even if regenerated testdata grows chained clusters "
+        "(the previous star-contraction oracle only coincided because "
+        "current clusters are disjoint pairs)",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingled(spark, sf_dir, cache=True)
