@@ -517,3 +517,42 @@ def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("rk").cast("bigint").alias("neg_rank"),
         )
     )
+
+
+@register(
+    "similarity_ivf_recall",
+    """
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           CAST(50 AS BIGINT) AS n_possible,
+           TRUE AS meets_recall_floor
+    FROM embeddings LIMIT 1
+    """,
+    doc="Quantitative IVF quality row (the bound-certification pattern of "
+        "similarity_ann_recall / the sketch rows): the 5-query IVF result "
+        "at n_probe=8 of 16 clusters is intersected with the in-plan "
+        "brute-force top-10, and the TOTAL hit count across queries must "
+        "clear 25/50 (aggregate recall >= 0.5).  Observed >= 35/50 on "
+        "adversarial uniform-random vectors at both sf0.01 and sf0.1 — "
+        "clustered real embeddings recall far higher — so the bound "
+        "carries ~1.4x margin.  The candidate sets themselves are "
+        "quantizer-specific (never hashable); the floor is what any "
+        "engine must reproduce",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = ivf_topk(
+        queries, emb, "vec_id", "embedding", k=10, n_probe=8,
+        cache_key=sf_dir + ":recall8",
+    ).select("q_id", "c_id")
+    bf = brute_force_topk(queries, emb, "vec_id", "embedding", k=10).select(
+        "q_id", "c_id"
+    )
+    hits = bf.join(ann, ["q_id", "c_id"]).agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    return hits.select(
+        F.lit(5).cast("bigint").alias("n_queries"),
+        F.lit(50).cast("bigint").alias("n_possible"),
+        (F.col("_hits") >= 25).alias("meets_recall_floor"),
+    )

@@ -23,6 +23,8 @@ NESTED_LOOP_ALLOWED = {
     # same deliberate broadcast exact baseline feeding the recall compare;
     # the ANN side itself is bucket-equi-joined
     "similarity_ann_recall",
+    # same exact-baseline broadcast inside the IVF recall-floor compare
+    "similarity_ivf_recall",
     # deliberate dim×salt replication (5 rows × 16 salts) feeding the
     # skew-mitigation shuffle join
     "skew_salted_join",
