@@ -347,6 +347,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning unconverged labels would be a WRONG answer
+        # that still row-counts correctly — fail loudly instead (deep
+        # chains mean max_iter was sized below the graph diameter)
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels
 
 

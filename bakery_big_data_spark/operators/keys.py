@@ -162,8 +162,11 @@ def scalable_ntile(
         c = a + b - 1
         return ((c - c % b) / b).cast("bigint")  # exact: c-c%b is a multiple
 
+    # the otherwise-branch is unreachable when q = 0 (n < k puts every row
+    # under thresh = n), but ANSI division still needs a non-zero literal
+    # denominator there — greatest(q, 1) keeps it inert
     bucket = F.when(r <= thresh, ceil_div(r, q + 1)).otherwise(
-        m + ceil_div(r - thresh, q)
+        m + ceil_div(r - thresh, F.greatest(q, F.lit(1).cast("bigint")))
     )
     return (
         ranked.join(F.broadcast(n_row))

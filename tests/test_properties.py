@@ -129,3 +129,29 @@ def test_scalable_prefix_sum_matches_window(spark, sf_dir):
             ).collect()
         }
         assert got == expected
+
+
+def test_scalable_ntile_small_n_and_convergence_guard(spark, sf_dir):
+    """n < k: each row gets its own bucket (SQL NTILE semantics); and
+    connected_components raises rather than silently returning
+    unconverged labels when max_iter is below the graph diameter."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.dedup import connected_components
+    from bakery_big_data_spark.operators.keys import scalable_ntile
+
+    small = spark.range(3).select(F.col("id").alias("k"))
+    got = {
+        (r.k, r.ntile)
+        for r in scalable_ntile(small, ["k"], 5, "ntile").collect()
+    }
+    assert got == {(0, 1), (1, 2), (2, 3)}
+
+    # a 6-node path graph has diameter 5: max_iter=2 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    nodes = spark.range(6).select(F.col("id").alias("node"))
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(nodes, chain, "node", max_iter=2)
