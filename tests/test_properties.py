@@ -155,3 +155,30 @@ def test_scalable_ntile_small_n_and_convergence_guard(spark, sf_dir):
     nodes = spark.range(6).select(F.col("id").alias("node"))
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(nodes, chain, "node", max_iter=2)
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    k=st.integers(1, 7),
+)
+@SETTINGS
+def test_scalable_ntile_matches_builtin(spark, vals, k):
+    """The closed-form range-decomposed NTILE must equal Spark's built-in
+    NTILE on arbitrary data, bucket counts, and tie patterns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.keys import scalable_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid LONG, v LONG")
+    w = Window.orderBy("v", "rid")
+    expected = {
+        (r.rid, r.nt)
+        for r in df.select("rid", F.ntile(k).over(w).alias("nt")).collect()
+    }
+    got = {
+        (r.rid, r.ntile)
+        for r in scalable_ntile(df, ["v", "rid"], k, num_partitions=3).collect()
+    }
+    assert got == expected
