@@ -20,7 +20,12 @@ no driver bottleneck and no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _M = 2147483647  # 2^31 - 1
 _A = 1103515245
@@ -70,6 +75,55 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+def _event_row(eid: int, start_ts: int):
+    from datetime import datetime, timezone
+
+    ts_us = start_ts + eid * 157_000_000  # ~2.6 min cadence
+    return (
+        eid,
+        datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc).replace(
+            tzinfo=None
+        ),
+        int(_u(eid, 1) * 150),
+        _EVENT_TYPES[int(_u(eid, 2) * len(_EVENT_TYPES))],
+        round(_u(eid, 3) * 100.0, 2),
+    )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """S1 as a CUSTOM STREAMING SOURCE (Spark 4 Python stream reader):
+    offsets are plain ``{"next": <event_id>}`` dicts, each micro-batch
+    emits the next ``rows_per_batch`` ids up to ``n_rows``, and
+    ``readBetweenOffsets`` regenerates any committed range bit-identically
+    (rows are a pure function of event_id) — so checkpoint recovery
+    replays EXACTLY the rows the lost batch contained, the property Kafka
+    needs retained logs for."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 200))
+        self.start_ts = int(options.get("start_ts", 1704067200000000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        s = int(start["next"])
+        e = min(s + self.rows_per_batch, self.n_rows)
+        return (
+            iter([_event_row(i, self.start_ts) for i in range(s, e)]),
+            {"next": e},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [
+                _event_row(i, self.start_ts)
+                for i in range(int(start["next"]), int(end["next"]))
+            ]
+        )
+
+
 class SyntheticEventsSource(DataSource):
     """``spark.read.format("synthetic_events")`` after
     ``spark.dataSource.register(SyntheticEventsSource)``."""
@@ -86,6 +140,9 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

@@ -282,3 +282,50 @@ def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
         .count()
     )
     assert hit < after
+
+
+def test_synthetic_streaming_source_offsets_and_determinism(spark, tmp_path):
+    """The Spark 4 Python STREAMING data source: offset-tracked micro-batches
+    drain the id range exactly once, and the landed rows are bit-identical
+    to the batch reader's (rows are a pure function of event_id, so
+    checkpoint replays regenerate lost batches exactly)."""
+    import time
+
+    from bakery_big_data_spark.sources.generator import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n = 500
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", n)
+        .option("rows_per_batch", 150)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    import os
+
+    def landed():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    while landed() < n and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == n  # every id exactly once — offsets never overlap
+    batch = (
+        spark.read.format("synthetic_events").option("n_rows", n).load()
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
