@@ -357,3 +357,96 @@ def streaming_versioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table).select(
         "event_type", "n_events", "value_sum"
     )
+
+
+_GEN_N = 3000
+
+
+@register(
+    "streaming_custom_source_agg",
+    f"""
+    WITH gen AS (
+      SELECT i AS event_id,
+             CAST(((i*1103515245+12345+1*7919) % 2147483647) * 150
+                  // 2147483647 AS BIGINT) AS user_id,
+             ['view','click','purchase','signup','error']
+               [1 + CAST(((i*1103515245+12345+2*7919) % 2147483647) * 5
+                         // 2147483647 AS INT)] AS event_type,
+             CAST(((i*1103515245+12345+3*7919) % 2147483647) * 10000
+                  // 2147483647 AS DOUBLE) / 100 AS value
+      FROM range(0, {_GEN_N}) t(i)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM gen GROUP BY event_type
+    """,
+    doc="The CUSTOM Python streaming source, STREAM-RUN and hash-certified "
+        "end to end: the synthetic-events SimpleDataSourceStreamReader "
+        "drains its offset-tracked micro-batches into a checkpointed sink, "
+        "and the landed rollup must hash-match an oracle that RE-SYNTHESIZES "
+        "every row in pure SQL — possible because the generator is integer "
+        "LCG arithmetic ('mix*range // M', floor-quantized values; Python "
+        "round() and float truncation were deliberately avoided as not "
+        "SQL-restatable).  Certifies the source's offset exactness AND the "
+        "generator's engine-independence in one row",
+)
+def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from bakery_big_data_spark.sources.generator import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_gensrc")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    import bakery_big_data_spark.sources.generator as genmod
+
+    gen_src = genmod.__file__
+
+    def _stale() -> bool:
+        if not os.path.exists(out):
+            return True
+        try:
+            return os.path.getmtime(gen_src) >= os.path.getmtime(out)
+        except OSError:
+            return True
+
+    def _landed() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    if _stale():
+        _reset_scratch(base)
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", _GEN_N)
+            .option("rows_per_batch", 700)
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .trigger(processingTime="0 seconds")
+            .queryName("gen_drain")
+            .start()
+        )
+        deadline = time.time() + 120
+        while _landed() < _GEN_N and time.time() < deadline:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+    landed = spark.read.parquet(out)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )

@@ -39,6 +39,14 @@ def _u(event_id: int, salt: int) -> float:
     return ((event_id * _A + _C + salt * 7919) % _M) / float(_M)
 
 
+def _mix(event_id: int, salt: int) -> int:
+    """The integer LCG mix behind :func:`_u` — field derivation stays in
+    PURE INTEGER arithmetic (``mix * range // M``), because the float path
+    ``int(u * range)`` can land one off at truncation boundaries and then
+    no SQL engine can restate the generator exactly."""
+    return (event_id * _A + _C + salt * 7919) % _M
+
+
 class _Range(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
@@ -60,19 +68,8 @@ class SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        from datetime import datetime, timezone
-
         for eid in range(partition.start, partition.end):
-            ts_us = self.start_ts + eid * 157_000_000  # ~2.6 min cadence
-            yield (
-                eid,
-                datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc).replace(
-                    tzinfo=None
-                ),
-                int(_u(eid, 1) * 150),
-                _EVENT_TYPES[int(_u(eid, 2) * len(_EVENT_TYPES))],
-                round(_u(eid, 3) * 100.0, 2),
-            )
+            yield _event_row(eid, self.start_ts)
 
 
 def _event_row(eid: int, start_ts: int):
@@ -84,9 +81,12 @@ def _event_row(eid: int, start_ts: int):
         datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc).replace(
             tzinfo=None
         ),
-        int(_u(eid, 1) * 150),
-        _EVENT_TYPES[int(_u(eid, 2) * len(_EVENT_TYPES))],
-        round(_u(eid, 3) * 100.0, 2),
+        (_mix(eid, 1) * 150) // _M,
+        _EVENT_TYPES[(_mix(eid, 2) * len(_EVENT_TYPES)) // _M],
+        # 2-decimal value via integer floor-quantization: Python round()
+        # is banker's rounding and float truncation is boundary-fragile —
+        # integer mix*10000//M then one IEEE division is exact everywhere
+        (_mix(eid, 3) * 10000) // _M / 100.0,
     )
 
 
