@@ -329,3 +329,47 @@ def test_synthetic_streaming_source_offsets_and_determinism(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_custom_jsonl_sink_commit_protocol(spark, sf_dir, tmp_path):
+    """The Python DataSourceWriter sink: per-task staged files publish
+    atomically on commit (manifest lists exactly the published files), the
+    round-trip preserves rows, and orphaned staged files stay invisible to
+    manifest-honoring readers."""
+    import json as _json
+    import os as _os
+
+    from bakery_big_data_spark.sources.jsonl_sink import (
+        read_committed,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    path = str(tmp_path / "sink")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .limit(300)
+    )
+    ev.repartition(4).write.format("jsonl_sink").option("path", path).mode(
+        "append"
+    ).save()
+
+    manifest = _json.load(open(_os.path.join(path, "_SINK_COMMIT")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 300
+    back = read_committed(spark, path)
+    parsed = back.select(
+        F.from_json(
+            "value", "event_id LONG, event_type STRING, value DOUBLE"
+        ).alias("d")
+    ).select("d.*")
+    assert parsed.count() == 300
+    assert {r.event_id for r in parsed.collect()} == {
+        r.event_id for r in ev.collect()
+    }
+    # an orphaned staged file (failed/speculative task leftovers) is not
+    # visible through the manifest path
+    _os.makedirs(_os.path.join(path, "_staging"), exist_ok=True)
+    with open(_os.path.join(path, "_staging", "orphan.jsonl"), "w") as fh:
+        fh.write('{"event_id": 999999}\n')
+    assert read_committed(spark, path).count() == back.count()
