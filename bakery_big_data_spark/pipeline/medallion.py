@@ -7,6 +7,13 @@ each layer as a date-partitioned parquet table (dynamic partition overwrite,
 so re-running a day is idempotent — the property the reference's
 ``MERGE``-based jobs guarantee via Iceberg).
 
+Layout note: the pipeline writes partition-pruned but does NOT Z-order
+inline — ingest stays one cheap partitioned write, and multi-dimensional
+clustering is the nightly ``jobs maintenance`` pass (``optimize_table``
+with zorder dims), exactly Delta/Iceberg's ingest-then-OPTIMIZE split:
+clustering in the hot path would add a range shuffle per micro-run for a
+benefit only scans enjoy.
+
 Layer shapes mirror the reference over the driver's ``events`` table:
 
 - **bronze**: raw events + ingestion-time bifurcation (T7,
