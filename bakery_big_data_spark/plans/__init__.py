@@ -49,7 +49,11 @@ DRIVER_WINDOW: list[str] = [
     # projection/cast surface rides case_when_null_bucketing + the
     # flagship; ratio-of-aggs now also inside medallion_features_wide.
     "pricing_summary_quality_gated",
-    "case_when_null_bucketing",
+    # P-family projection/case/null surface rides the flagship (its quality
+    # fold is case/null logic over every column) — the slot goes to the
+    # versioned-gold streaming rollup, whose transactional exactly-once
+    # (batch_id inside the manifest swap) no other row exercises
+    "streaming_versioned_rollup",
     "report_quality_multi_table",
     "daily_revenue_rollup",
     # A5 scale path: the HLL sketch is now QUANTITATIVELY certified (error
@@ -65,7 +69,10 @@ DRIVER_WINDOW: list[str] = [
     "join_left_outer_keep_unmatched",
     "join_multiway_star",
     "join_sql_tempview",
-    "join_range_interval",
+    # J7 interval semantics are certified in-window by the stream-stream
+    # event-time interval join; the slot goes to the ER cluster row, whose
+    # iterative fixpoint + RECURSIVE-CTE oracle no other row exercises
+    "er_fuzzy_clusters",
     "join_semi_anti_membership",
     "join_asof_latest_state",
     "fuzzy_name_match_blocked",
