@@ -126,7 +126,11 @@ DRIVER_WINDOW: list[str] = [
     "csv_ddl_roundtrip",
     "streaming_ingest_replay",
     "streaming_watermark_parity",
-    "seeded_synthetic_features",
+    # synthesis stays driver-certified — the custom-source row's oracle
+    # RE-SYNTHESIZES every generated row in pure SQL (the seeded-features
+    # cross-join shape rotates to local coverage), and the row additionally
+    # certifies the Spark 4 Python streaming connector's offset exactness
+    "streaming_custom_source_agg",
     # 100 TB write-side layout + LLM curation/multimodal representatives
     "bucketed_colocated_join",
     "curation_contamination_check",

@@ -450,3 +450,114 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_sum"),
     )
+
+
+@register(
+    "streaming_stateful_sessions",
+    f"""
+    WITH src AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_id < {_N}
+    ), flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="CUSTOM stateful operator, STREAM-RUN: the hand-rolled "
+        "applyInPandasWithState sessionizer (event-time TIMEOUTS — "
+        "register at end+gap, flush on hasTimedOut, reclaim state; "
+        "streaming/stateful.py::idle_session_flush) drains a chronological "
+        "4-file replay one file per micro-batch, with a far-future "
+        "sentinel batch advancing the watermark so every real session's "
+        "timeout fires.  The landed sessions (sentinel excluded) must "
+        "hash-match the first-principles batch lag/gap sessionization — "
+        "certifying raw state-store timeout semantics, not just the "
+        "built-in session_window (which streaming_session_windows covers)",
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from bakery_big_data_spark.streaming.ingest import (
+        read_json_stream,
+        start_append_sink,
+    )
+    from bakery_big_data_spark.streaming.stateful import idle_session_flush
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_stateful_sess")
+    src, out, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        rows = ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).orderBy("ts", "event_id").collect()
+        quarter = max(1, len(rows) // 4)
+        os.makedirs(src, exist_ok=True)
+
+        def dump(r):
+            return _json.dumps(
+                {
+                    "event_id": r.event_id,
+                    "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
+                    "user_id": r.user_id,
+                    "event_type": r.event_type,
+                    "value": r.value,
+                    "props": r.props,
+                }
+            )
+
+        for i in range(4):
+            chunk = rows[i * quarter : None if i == 3 else (i + 1) * quarter]
+            with open(os.path.join(src, f"part-{i}.json"), "w") as fh:
+                for r in chunk:
+                    fh.write(dump(r) + "\n")
+        import datetime as _dt
+
+        sentinel = rows[-1].ts + _dt.timedelta(hours=10)
+        with open(os.path.join(src, "part-4-sentinel.json"), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "event_id": 999999,
+                        "ts": sentinel.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
+                        "user_id": -1,
+                        "event_type": "sentinel",
+                        "value": 0.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    stream = idle_session_flush(
+        read_json_stream(spark, src, max_files_per_trigger=1),
+        watermark_delay="10 minutes",
+        gap_minutes=30,
+    )
+    q = start_append_sink(
+        stream, out, ckpt, available_now=True, query_name="stateful_sess"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
