@@ -489,8 +489,6 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "built-in session_window (which streaming_session_windows covers)",
 )
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
-
     from bakery_big_data_spark.streaming.ingest import (
         read_json_stream,
         start_append_sink,
@@ -506,47 +504,40 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if _needs_rebuild(src, sf_dir):
         _reset_scratch(base)
+        from pyspark.sql import Window as _W
+
         ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
-        rows = ev.select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
-        ).orderBy("ts", "event_id").collect()
-        quarter = max(1, len(rows) // 4)
-        os.makedirs(src, exist_ok=True)
+        # chronological quarters via ntile — NO .collect(): each bucket is
+        # appended as its own file in order, so the file source (mtime
+        # order) replays event time monotonically across micro-batches
+        bucketed = ev.withColumn(
+            "_b", F.ntile(4).over(_W.orderBy("ts", "event_id"))
+        )
+        import time as _time
 
-        def dump(r):
-            return _json.dumps(
-                {
-                    "event_id": r.event_id,
-                    "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
-                    "user_id": r.user_id,
-                    "event_type": r.event_type,
-                    "value": r.value,
-                    "props": r.props,
-                }
-            )
-
-        for i in range(4):
-            chunk = rows[i * quarter : None if i == 3 else (i + 1) * quarter]
-            with open(os.path.join(src, f"part-{i}.json"), "w") as fh:
-                for r in chunk:
-                    fh.write(dump(r) + "\n")
-        import datetime as _dt
-
-        sentinel = rows[-1].ts + _dt.timedelta(hours=10)
-        with open(os.path.join(src, "part-4-sentinel.json"), "w") as fh:
-            fh.write(
-                _json.dumps(
-                    {
-                        "event_id": 999999,
-                        "ts": sentinel.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
-                        "user_id": -1,
-                        "event_type": "sentinel",
-                        "value": 0.0,
-                        "props": "{}",
-                    }
+        for i in range(1, 5):
+            chunk = bucketed.filter(F.col("_b") == i).drop("_b")
+            chunk.select(
+                F.to_json(F.struct(*chunk.columns), JSON_OPTIONS).alias(
+                    "value"
                 )
-                + "\n"
+            ).coalesce(1).write.mode("append").text(src)
+            # the file source orders batches by modification time; keep
+            # bucket mtimes strictly increasing even on coarse filesystems
+            _time.sleep(0.05)
+        sentinel = ev.agg(
+            F.lit(999999).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinel.select(
+            F.to_json(F.struct(*sentinel.columns), JSON_OPTIONS).alias(
+                "value"
             )
+        ).coalesce(1).write.mode("append").text(src)
     stream = idle_session_flush(
         read_json_stream(spark, src, max_files_per_trigger=1),
         watermark_delay="10 minutes",
