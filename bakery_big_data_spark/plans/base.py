@@ -103,12 +103,19 @@ def davg(col: Column | str, alias: str) -> Column:
 
 
 def dstd(col: Column | str, alias: str) -> Column:
-    """Order-independent sample stddev from exact sums of x and x²."""
+    """Order-independent sample stddev from exact sums of x and x².
+
+    SQL STDDEV_SAMP semantics for degenerate groups: n < 2 yields NULL —
+    an unguarded ``/(n-1)`` raises DIVIDE_BY_ZERO under ANSI the first
+    time a regenerated corpus produces a single-row group (caught by the
+    adversarial-regeneration suite, round 5)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.count(c).cast("double")
     s = F.sum(c.cast(DEC)).cast("double")
     s2 = F.sum((c * c).cast(DEC)).cast("double")
-    return F.sqrt((s2 - s * s / n) / (n - F.lit(1.0))).alias(alias)
+    return F.when(
+        n > 1.0, F.sqrt((s2 - s * s / n) / (n - F.lit(1.0)))
+    ).alias(alias)
 
 
 def dtrunc(col: Column, alias: str, scale: int = 2) -> Column:
@@ -144,4 +151,9 @@ def sql_dstd(expr: str, alias: str) -> str:
     s = f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
     s2 = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(30,6))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"SQRT(({s2} - {s} * {s} / {n}) / ({n} - 1.0)) AS {alias}"
+    # n < 2 -> NULL, mirroring STDDEV_SAMP (DuckDB's float 0/0 would
+    # otherwise yield NaN where ANSI Spark raises)
+    return (
+        f"CASE WHEN {n} > 1.0 THEN "
+        f"SQRT(({s2} - {s} * {s} / {n}) / ({n} - 1.0)) END AS {alias}"
+    )

@@ -122,3 +122,138 @@ def test_query_survives_adversarial_corpus(
 ):
     q = REGISTRY[name]
     compare(q.build(spark, adversarial_dir), adversarial_con, q.oracle)
+
+
+TPCH_QUERIES = [
+    "pricing_summary_quality_gated",
+    "daily_revenue_rollup",
+    "group_stats_report",
+    "join_inner_broadcast_dim",
+    "join_left_outer_keep_unmatched",
+    "join_multiway_star",
+    "join_semi_anti_membership",
+    "nation_market_share",
+    "local_supplier_volume",
+    "rfm_segmentation",
+    "feature_quantile_binning",
+    "window_sequence_keys",
+    "topk_leaderboards",
+    "window_rank_dense_ntile",
+    "update_status_flip",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch_dir(spark, tmp_path_factory):
+    """Plausible-adversarial TPC-H micro-corpus: a nation with no
+    customers, a customer with no orders, an order with no lineitems,
+    every order on the SAME date (total window ties), single-row groups,
+    negative balances, 100% and 0% discounts."""
+    base = tmp_path_factory.mktemp("regen_tpch")
+    ts = datetime.datetime(1996, 6, 1)
+
+    spark.createDataFrame(
+        [(i, f"R{i}") for i in range(5)], "r_regionkey LONG, r_name STRING"
+    ).coalesce(1).write.parquet(str(base / "region.parquet"))
+    # AMERICA present so nation_market_share's filter has a live branch
+    spark.sql(
+        "SELECT * FROM VALUES (0,'NATION_0',0),(1,'NATION_1',0),"
+        "(2,'NATION_3',1),(3,'EMPTY_NATION',2) AS "
+        "t(n_nationkey, n_name, n_regionkey)"
+    ).coalesce(1).write.parquet(str(base / "nation.parquet"))
+    spark.sql("SELECT 0 AS r_regionkey, 'AMERICA' AS r_name").unionAll(
+        spark.sql("SELECT 1, 'ASIA'")
+    ).unionAll(spark.sql("SELECT 2, 'EUROPE'")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(base / "region.parquet"))
+
+    cust = [
+        # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        (0, "Customer#000000000", 0, -999.99, "BUILDING"),  # negative bal
+        (1, "Customer#000000001", 0, 0.0, "BUILDING"),      # tie at zero
+        (2, "Customer#000000002", 1, 0.0, "AUTOMOBILE"),    # tie at zero
+        (3, "Customer#000000003", 2, 500.5, "MACHINERY"),   # no orders
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey LONG, c_name STRING, c_nationkey LONG, "
+        "c_acctbal DOUBLE, c_mktsegment STRING",
+    ).coalesce(1).write.parquet(str(base / "customer.parquet"))
+
+    spark.createDataFrame(
+        [(0, "Supplier#0", 2), (1, "Supplier#1", 1)],
+        "s_suppkey LONG, s_name STRING, s_nationkey LONG",
+    ).coalesce(1).write.parquet(str(base / "supplier.parquet"))
+
+    spark.createDataFrame(
+        [(0, "part0", "B", "PROMO", 1, 10.0), (1, "part1", "B", "SMALL", 2, 20.0)],
+        "p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE",
+    ).coalesce(1).write.parquet(str(base / "part.parquet"))
+
+    orders = [
+        # every order the SAME date: all window orderings need tiebreaks
+        (0, 0, "O", 100.0, ts, "1-URGENT"),
+        (1, 0, "F", 100.0, ts, "2-HIGH"),   # duplicate totalprice tie
+        (2, 1, "O", 50.0, ts, "3-MEDIUM"),
+        (3, 2, "P", 0.0, ts, "4-NOT SPECIFIED"),  # zero-value order
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+
+    li = [
+        # (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax,
+        #  returnflag, linestatus, shipdate, commitdate, receiptdate)
+        (0, 0, 0, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts, ts, ts),   # 0% disc
+        (0, 1, 1, 2, 2.0, 40.0, 1.0, 0.1, "R", "F", ts, ts, ts),   # 100% disc
+        (1, 0, 0, 1, 5.0, 50.0, 0.5, 0.2, "A", "F", ts, ts, ts),
+        # order 2 and 3 have NO lineitems (outer-join edge)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, "
+        "l_shipdate TIMESTAMP, l_commitdate TIMESTAMP, "
+        "l_receiptdate TIMESTAMP",
+    ).coalesce(1).write.parquet(str(base / "lineitem.parquet"))
+
+    # a minimal events table for the multi-table report (one event type
+    # with a single row: stddev of n=1 is NULL — both engines must agree)
+    spark.createDataFrame(
+        [
+            (0, ts, 0, "view", 1.5, '{"k": 1}'),
+            (1, ts, 0, "view", 2.5, '{"k": 2}'),
+            (2, ts, 1, "click", 9.0, '{"k": 3}'),
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).coalesce(1).write.parquet(str(base / "events.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch_con(adversarial_tpch_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{adversarial_tpch_dir}/{name}.parquet/*.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_relational_query_survives_adversarial_tpch(
+    name, spark, adversarial_tpch_dir, adversarial_tpch_con
+):
+    q = REGISTRY[name]
+    compare(q.build(spark, adversarial_tpch_dir), adversarial_tpch_con, q.oracle)
