@@ -42,6 +42,12 @@ QUERIES = [
     "curation_length_histogram",
     "sessionize_events",
     "session_window_agg",
+    "funnel_conversion",
+    "cohort_retention",
+    "timeseries_gapfill",
+    "anomaly_zscore_daily",
+    "medallion_silver_transform",
+    "medallion_feedback_silver",
     "embedding_int8_quantize",
     "embedding_random_projection",
     "json_variant_shred",
