@@ -46,6 +46,15 @@ def _streaming_ingest(args: argparse.Namespace) -> dict[str, int]:
     return {"ingested_total": spark.read.parquet(args.out).count()}
 
 
+def _curation(args: argparse.Namespace) -> dict[str, int]:
+    from bakery_big_data_spark.pipeline.curation import run_curation_pipeline
+    from bakery_big_data_spark.session import get_spark
+
+    spark = get_spark("job-curation")
+    layers = run_curation_pipeline(spark, args.sf_dir, args.out)
+    return {name: df.count() for name, df in layers.items()}
+
+
 def _maintenance(args: argparse.Namespace) -> dict[str, int]:
     """Nightly table maintenance (the reference schedules these as Airflow
     DAG tasks; Iceberg calls them rewrite_data_files / expire_snapshots):
@@ -89,6 +98,13 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
     s.add_argument("--out", required=True)
     s.add_argument("--checkpoint", required=True)
     s.set_defaults(fn=_streaming_ingest)
+
+    cu = sub.add_parser(
+        "curation", help="quality->dedup->decontaminate->split manifest"
+    )
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--out", required=True)
+    cu.set_defaults(fn=_curation)
 
     mt = sub.add_parser(
         "maintenance", help="compact/zorder tables + expire snapshots"

@@ -322,3 +322,82 @@ def medallion_dim_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.pipeline.medallion import gold_dim_user_scd2
 
     return gold_dim_user_scd2(silver_events(bronze_events(spark, sf_dir)))
+
+
+from bakery_big_data_spark.plans.dedup import _EXACT_PAIRS_SQL  # noqa: E402
+
+
+@register(
+    "curation_pipeline_manifest",
+    f"""
+    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    nbr AS (
+      SELECT id_a AS doc_id, id_b AS nb FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), canon AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id)) AS canonical_id
+      FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
+      GROUP BY d.doc_id
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 25 = 0
+    ), corpus AS (
+      SELECT doc_id, gs, len(gs) AS n_grams FROM grams WHERE doc_id % 25 <> 0
+    ), shared AS (
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
+      JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    ), contam AS (
+      SELECT corpus.doc_id,
+             CASE WHEN n_grams = 0 THEN 0.0
+                  ELSE CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams
+             END AS contamination_ratio
+      FROM corpus LEFT JOIN shared ON corpus.doc_id = shared.doc_id
+    ), base AS (
+      SELECT doc_id, lang, n_chars,
+             (n_chars >= 20 AND
+              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.30) AS passes_quality,
+             doc_id % 25 = 0 AS is_benchmark
+      FROM documents
+    )
+    SELECT b.doc_id, b.lang, b.n_chars, b.passes_quality, b.is_benchmark,
+           c.canonical_id,
+           b.doc_id = c.canonical_id AS is_canonical,
+           COALESCE(m.contamination_ratio, 0.0) AS contamination_ratio,
+           CASE
+             WHEN ((b.doc_id * 2654435761 + 97531) % 2147483647)
+                  / 2147483647.0 < 0.8 THEN 'train'
+             WHEN ((b.doc_id * 2654435761 + 97531) % 2147483647)
+                  / 2147483647.0 < 0.9 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           (b.passes_quality AND NOT b.is_benchmark
+            AND b.doc_id = c.canonical_id
+            AND COALESCE(m.contamination_ratio, 0.0) < 0.5) AS is_training
+    FROM base b
+    JOIN canon c ON b.doc_id = c.doc_id
+    LEFT JOIN contam m ON b.doc_id = m.doc_id
+    """,
+    doc="The LLM-data pipeline CHAINED end to end (pipeline/curation.py — "
+        "the curation counterpart of run_medallion): quality gate → "
+        "LSH-dedup canonicalization → benchmark decontamination → "
+        "key-derived split, emitted as a per-document manifest that keeps "
+        "EVERY doc with its flags (curation decisions must be auditable — "
+        "drops are recorded, not vanished) and the final is_training "
+        "verdict.  One shingle lineage (shared PlanCache) feeds both the "
+        "dedup and decontamination stages; the oracle restates the whole "
+        "chain in one SQL composition, so the driver hash certifies the "
+        "STAGE INTERACTIONS, not just each operator alone",
+)
+def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.pipeline.curation import curation_manifest
+
+    return curation_manifest(spark, sf_dir)

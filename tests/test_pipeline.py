@@ -107,3 +107,36 @@ def test_medallion_end_to_end(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(30,6)"))
     ).first()[0]
     assert s1 is not None
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """run_curation_pipeline commits an auditable manifest covering every
+    corpus doc plus a split-partitioned training corpus containing exactly
+    the is_training winners; idempotent re-run."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.pipeline.curation import run_curation_pipeline
+    from bakery_big_data_spark.sources.tables import load_table
+
+    base = str(tmp_path / "lake")
+    layers = run_curation_pipeline(spark, sf_dir, base)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    manifest = layers["curation_manifest"]
+    assert manifest.count() == n_docs  # every doc audited
+    training = layers["training_corpus"]
+    n_train = manifest.filter(F.col("is_training")).count()
+    assert 0 < n_train < n_docs
+    assert training.count() == n_train
+    # benchmark docs never train; non-canonicals never train
+    joined = training.join(manifest, "doc_id")
+    assert joined.filter(F.col("is_benchmark")).count() == 0
+    assert joined.filter(~F.col("is_canonical")).count() == 0
+    # split partitioning materialized on disk
+    import os
+
+    assert any(
+        d.startswith("split=") for d in os.listdir(f"{base}/training_corpus")
+    )
+    # idempotent
+    again = run_curation_pipeline(spark, sf_dir, base)
+    assert again["training_corpus"].count() == n_train

@@ -48,6 +48,7 @@ QUERIES = [
     "anomaly_zscore_daily",
     "medallion_silver_transform",
     "medallion_feedback_silver",
+    "curation_pipeline_manifest",
     "embedding_int8_quantize",
     "embedding_random_projection",
     "json_variant_shred",
