@@ -133,7 +133,10 @@ DRIVER_WINDOW: list[str] = [
     "streaming_custom_source_agg",
     # 100 TB write-side layout + LLM curation/multimodal representatives
     "bucketed_colocated_join",
-    "curation_contamination_check",
+    # the chained manifest CONTAINS the contamination stage (same shingle
+    # lineage + broadcast benchmark grams) plus the quality gate, dedup
+    # canonicalization, and split — strictly more driver coverage per slot
+    "curation_pipeline_manifest",
     "multimodal_image_features",
 ]
 
