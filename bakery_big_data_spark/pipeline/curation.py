@@ -159,7 +159,35 @@ def run_curation_pipeline(
     training.write.mode("overwrite").partitionBy("split").parquet(
         f"{base_path}/training_corpus"
     )
+
+    # final stage: pack the TRAIN split into ~fixed-token batches (the
+    # sharded running-offset layout of curation_pack_sequences, applied to
+    # the committed corpus instead of the raw one — packs never straddle
+    # splits, and shard count scales with the cluster)
+    from pyspark.sql import Window
+
+    corpus = spark.read.parquet(f"{base_path}/training_corpus")
+    toks = corpus.filter(F.col("split") == "train").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    packed.write.mode("overwrite").parquet(f"{base_path}/packed_train")
     return {
         "curation_manifest": spark.read.parquet(f"{base_path}/curation_manifest"),
         "training_corpus": spark.read.parquet(f"{base_path}/training_corpus"),
+        "packed_train": spark.read.parquet(f"{base_path}/packed_train"),
     }

@@ -137,6 +137,18 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert any(
         d.startswith("split=") for d in os.listdir(f"{base}/training_corpus")
     )
+    # packed batches cover exactly the train split, within token budget
+    packed = layers["packed_train"]
+    n_train_split = manifest.filter(
+        F.col("is_training") & (F.col("split") == "train")
+    ).count()
+    assert packed.count() == n_train_split
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    # a pack may overshoot by at most one document's tokens (first-fit)
+    max_doc = packed.agg(F.max("n_tokens")).first()[0]
+    assert per_pack.filter(F.col("tok") > 2048 + max_doc).count() == 0
     # idempotent
     again = run_curation_pipeline(spark, sf_dir, base)
     assert again["training_corpus"].count() == n_train
