@@ -181,9 +181,11 @@ def run_curation_pipeline(
         "doc_id",
         "shard",
         "n_tokens",
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048)
-        .cast("bigint")
-        .alias("pack_id"),
+        # integer `div` — float `/`+cast mis-buckets past 2^53 offsets
+        F.expr(
+            "coalesce(sum(n_tokens) over (partition by shard order by doc_id"
+            " rows between unbounded preceding and 1 preceding), 0) div 2048"
+        ).cast("bigint").alias("pack_id"),
     )
     packed.write.mode("overwrite").parquet(f"{base_path}/packed_train")
     return {

@@ -303,10 +303,10 @@ _PACK_SHARDS = 8
       FROM documents
     ), placed AS (
       SELECT shard, n_tokens,
-             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+               // {_PACK_BUDGET} AS BIGINT) AS pack_id
       FROM toks
     )
     SELECT shard, pack_id,
@@ -343,9 +343,14 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     placed = toks.select(
         "shard",
         "n_tokens",
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET)
-        .cast("bigint")
-        .alias("pack_id"),
+        # integer `div`: float `/`+cast silently mis-buckets once the
+        # cumulative token offset passes 2^53 (same rationale as the PPS
+        # stripes)
+        F.expr(
+            f"coalesce(sum(n_tokens) over (partition by shard order by doc_id"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {_PACK_BUDGET}"
+        ).cast("bigint").alias("pack_id"),
     )
     return placed.groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
