@@ -552,3 +552,90 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    f"""
+    WITH src AS (
+      SELECT event_id, ts, user_id, event_type
+      FROM events WHERE event_id < {_N}
+    ), l AS (
+      SELECT * FROM src WHERE event_type IN ('click', 'view')
+    ), r AS (
+      SELECT * FROM src WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id AS user_id,
+           l.event_id AS src_event_id,
+           l.ts AS src_ts,
+           r.event_id AS purchase_id,
+           r.ts AS purchase_ts
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """,
+    doc="Stream-stream LEFT OUTER interval join, STREAM-RUN — the hard "
+        "semantic corner: matches emit on arrival, but an unmatched left "
+        "row may only emit once BOTH watermarks pass its interval end "
+        "(otherwise the join would fabricate NULLs for merely-late "
+        "matches).  The replay therefore drains chronological halves one "
+        "micro-batch at a time and finishes with a far-future sentinel "
+        "batch on each side, forcing every pending left row's state to "
+        "expire; the landed table (sentinels excluded) must hash-match "
+        "the plain batch LEFT JOIN — certifying both the match path and "
+        "the state-expiry NULL path of outer stream-stream joins",
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.streaming.ingest import (
+        interval_left_join_streams,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_sslj")
+    src_l, src_r, out, ckpt = (
+        os.path.join(base, "src_l"),
+        os.path.join(base, "src_r"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src_l, sf_dir) or _needs_rebuild(src_r, sf_dir):
+        import time as _time
+
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        sentinel = ev.agg(
+            F.lit(999999).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        for src, flt in (
+            (src_l, F.col("event_type").isin("click", "view")),
+            (src_r, F.col("event_type") == "purchase"),
+        ):
+            side = ev.filter(flt)
+            _write_json_src(spark, sf_dir, src, side)
+            _time.sleep(0.05)
+            sentinel.select(
+                F.to_json(F.struct(*sentinel.columns), JSON_OPTIONS).alias(
+                    "value"
+                )
+            ).coalesce(1).write.mode("append").text(src)
+    joined = interval_left_join_streams(
+        read_json_stream(spark, src_l, max_files_per_trigger=1),
+        read_json_stream(spark, src_r, max_files_per_trigger=1),
+        attribution_window="2 hours",
+        watermark_delay="10 minutes",
+    )
+    q = start_append_sink(
+        joined, out, ckpt, available_now=True, query_name="sslj_replay"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "src_event_id", "src_ts", "purchase_id", "purchase_ts")
+    )

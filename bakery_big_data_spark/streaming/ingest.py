@@ -453,3 +453,33 @@ def start_snapshot_rollup_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_left_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hard semantic corner:
+    matched pairs emit as both sides arrive, but an UNMATCHED left row can
+    only emit once the state store is certain no match can still come,
+    i.e. when BOTH watermarks pass its interval end.  Without that
+    discipline an outer join would emit false NULLs for matches that are
+    merely late.  Downstream must therefore drive the watermark forward
+    (e.g. a sentinel batch in replays) before expecting the NULL rows."""
+    l, r = left.alias("l"), right.alias("r")
+    lw = l.withWatermark("ts", watermark_delay)
+    rw = r.withWatermark("ts", watermark_delay)
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return lw.join(rw, cond, "left_outer").select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("src_event_id"),
+        F.col("l.ts").alias("src_ts"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
