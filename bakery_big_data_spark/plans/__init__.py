@@ -81,9 +81,10 @@ DRIVER_WINDOW: list[str] = [
     "sessionize_events",
     # W4/W5 moving/cumulative frames rotate to local — the same frame
     # shapes run inside medallion_features_wide's trend windows (in-window)
-    # — freeing the slot for the stream-stream interval join, a runtime
-    # capability no other row exercises
-    "streaming_stream_stream_join",
+    # — freeing the slot for the stream-stream interval join.  The LEFT
+    # OUTER variant certifies strictly more: the match path AND the
+    # state-expiry NULL path (inner row stays locally oracle-checked)
+    "streaming_stream_stream_left_join",
     "window_rank_dense_ntile",
     # scalar functions (§2.8; array explode rides dedup shingling + text)
     "date_functions_calendar",
