@@ -182,3 +182,39 @@ def test_scalable_ntile_matches_builtin(spark, vals, k):
         for r in scalable_ntile(df, ["v", "rid"], k, num_partitions=3).collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),  # (group, weight)
+        min_size=1,
+        max_size=25,
+    ),
+)
+@SETTINGS
+def test_scalable_prefix_sum_matches_window_hypothesis(spark, rows):
+    """Arbitrary groups/weights: the range-decomposed prefix sum equals the
+    plain window cumsum at a fixed 3-partition decomposition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.keys import add_prefix_sum
+
+    data = [(i, g, w) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid LONG, g LONG, w LONG")
+    win = (
+        Window.partitionBy("g")
+        .orderBy("rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        (r.rid, r.cw)
+        for r in df.withColumn("cw", F.sum("w").over(win).cast("bigint")).collect()
+    }
+    got = {
+        (r.rid, r.cw)
+        for r in add_prefix_sum(
+            df, "g", ["rid"], "w", "cw", num_partitions=3
+        ).collect()
+    }
+    assert got == expected
