@@ -90,8 +90,11 @@ DRIVER_WINDOW: list[str] = [
     "date_functions_calendar",
     "string_math_functions",
     "json_payload_roundtrip",
-    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths
-    "merge_full_upsert",
+    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths —
+    # S10's MERGE is certified by the STREAM-RUN merge sink, which applies
+    # the same merge_upsert_when_newer operator per micro-batch and adds
+    # the runtime path (batch merge_full_upsert stays locally checked)
+    "streaming_merge_upsert_state",
     "update_status_flip",
     "scd2_versioning",
     "late_arrival_reconciliation",
