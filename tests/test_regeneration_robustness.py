@@ -147,6 +147,23 @@ TPCH_QUERIES = [
     "topk_leaderboards",
     "window_rank_dense_ntile",
     "update_status_flip",
+    "join_asof_latest_state",
+    "join_asof_tolerance",
+    "shipping_priority_topk",
+    "sql_scalar_subquery",
+    "sql_exists_subquery",
+    "sql_correlated_min_subquery",
+    "window_surrogate_keys",
+    "window_partitioned_sequence",
+    "pivot_status_matrix",
+    "rollup_aggregation",
+    "grouping_sets_matrix",
+    "set_intersect_except",
+    "unpivot_metrics",
+    "collect_sorted_lists",
+    "union_by_name_evolution",
+    "window_distribution_ranks",
+    "window_range_frame",
 ]
 
 
