@@ -59,9 +59,17 @@ def norm2_exact(a: Column) -> Column:
 
 def with_norm2(df: DataFrame, vec_col: str, out: str = "_norm2") -> DataFrame:
     """Materialize double-vector + squared norm once per row (avoids
-    re-evaluating the fold expression at every pair)."""
-    return df.withColumn(vec_col, to_double_vec(vec_col)).withColumn(
-        out, norm2_exact(F.col(vec_col))
+    re-evaluating the fold expression at every pair).
+
+    ZERO-NORM vectors are dropped: cosine is undefined for them, and the
+    division would raise under ANSI the first time a corpus carries a
+    failed-encode all-zero embedding (caught by the adversarial-
+    regeneration suite, round 5); every cosine oracle filters ``n2 > 0``
+    to match."""
+    return (
+        df.withColumn(vec_col, to_double_vec(vec_col))
+        .withColumn(out, norm2_exact(F.col(vec_col)))
+        .filter(F.col(out) > 0)
     )
 
 
@@ -115,18 +123,18 @@ def _block_pair_fn(threshold_margin: float):
     def fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         ba, bb = key
         left = pdf[pdf["_side"] == 0]
+        right = left if ba == bb else pdf[pdf["_side"] == 1]
+        # emptiness BEFORE np.stack — a block can be empty once zero-norm
+        # vectors are filtered upstream, and stack([]) raises
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids_a = left["vid"].to_numpy()
+        mat_a = np.stack(left["v"].to_numpy())
         if ba == bb:
-            ids_a = left["vid"].to_numpy()
-            mat_a = np.stack(left["v"].to_numpy())
             ids_b, mat_b = ids_a, mat_a
         else:
-            right = pdf[pdf["_side"] == 1]
-            ids_a = left["vid"].to_numpy()
-            mat_a = np.stack(left["v"].to_numpy())
             ids_b = right["vid"].to_numpy()
             mat_b = np.stack(right["v"].to_numpy())
-        if len(ids_a) == 0 or len(ids_b) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         na = np.sqrt((mat_a * mat_a).sum(axis=1))
         nb = np.sqrt((mat_b * mat_b).sum(axis=1))
         sims = (mat_a @ mat_b.T) / np.outer(na, nb)

@@ -53,7 +53,9 @@ _VEC_CTE = f"""
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), nrm AS (
-      SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
+      SELECT vec_id, v, n2 FROM (
+        SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
+      ) WHERE n2 > 0
     )
 """
 
@@ -128,7 +130,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_sig_sql(hyperplane_planes(6, 64, 3007), 'v')} AS s3
       FROM e
     ), nrm AS (
-      SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
+      SELECT vec_id, v, n2 FROM (
+        SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
+      ) WHERE n2 > 0
     ), scored AS (
       SELECT a.vec_id AS q_id, b.vec_id AS c_id,
              {_FOLD_DOT.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)
@@ -153,7 +157,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q.vec_id AS q_id,
            CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
            CAST(COALESCE(h.n, 0) AS DOUBLE) / 10 AS recall_at_10
-    FROM (SELECT vec_id FROM e WHERE vec_id < 5) q
+    FROM (SELECT vec_id FROM nrm WHERE vec_id < 5) q
     LEFT JOIN (
       SELECT bf.q_id, COUNT(*) AS n
       FROM bf JOIN ann USING (q_id, c_id) GROUP BY bf.q_id

@@ -52,6 +52,17 @@ QUERIES = [
     "embedding_int8_quantize",
     "embedding_random_projection",
     "json_variant_shred",
+    "text_language_id",
+    "text_quality_score",
+    "text_scrub_patterns",
+    "text_vocab_coverage",
+    "curation_chunk_documents",
+    "curation_mixture_upsample",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "embedding_label_centroids",
+    "similarity_topk_bruteforce",
+    "embedding_cosine_near_dup_pairs",
 ]
 
 
