@@ -194,7 +194,13 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = bf.join(ann, ["q_id", "c_id"]).groupBy("q_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    base = queries.select(F.col("vec_id").alias("q_id"))
+    from bakery_big_data_spark.operators.similarity import with_norm2
+
+    # zero-norm queries have no defined neighbors — keep the base set
+    # aligned with the norm-filtered scoring paths (and the oracle's nrm)
+    base = with_norm2(queries, "embedding").select(
+        F.col("vec_id").alias("q_id")
+    )
     return base.join(hits, "q_id", "left").select(
         "q_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),

@@ -63,6 +63,7 @@ QUERIES = [
     "embedding_label_centroids",
     "similarity_topk_bruteforce",
     "embedding_cosine_near_dup_pairs",
+    "similarity_ann_recall",
 ]
 
 
