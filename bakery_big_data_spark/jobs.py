@@ -79,7 +79,12 @@ def _maintenance(args: argparse.Namespace) -> dict[str, int]:
                 expire_snapshots(path, keep_last=args.keep_last)
             )
         elif any(f.endswith(".parquet") for f in os.listdir(path)):
-            optimize_table(spark, path, zorder_dims=zdims)
+            # Z-order only tables that actually carry the requested dims;
+            # others get plain compaction instead of failing mid-loop
+            # (after earlier tables were already rewritten).
+            cols = set(spark.read.parquet(path).schema.names)
+            table_zdims = zdims if zdims and set(zdims) <= cols else None
+            optimize_table(spark, path, zorder_dims=table_zdims)
             summary["tables_optimized"] += 1
     return summary
 

@@ -151,22 +151,23 @@ def scalable_ntile(
         df, order_by, key_col="_nt_rank", num_partitions=num_partitions
     )
     n_row = ranked.groupBy().agg(F.count(F.lit(1)).alias("_nt_n"))
-    r = F.col("_nt_rank")
-    n = F.col("_nt_n")
-    # exact BIGINT arithmetic throughout (`div`, never float `/`)
-    q = F.expr(f"_nt_n div {k}")
-    m = n % k
-    thresh = m * (q + 1)
-
-    def ceil_div(a: Column, b: Column) -> Column:
-        c = a + b - 1
-        return ((c - c % b) / b).cast("bigint")  # exact: c-c%b is a multiple
-
+    # Exact BIGINT arithmetic throughout: every division is the SQL `div`
+    # operator (integer division), never float `/` — quotients stay exact
+    # past 2^53 rows.  PySpark Columns have no `div` operator, so the
+    # closed form is one SQL expression over the joined columns.
+    # ceil_div(a, b) for positive a, b is (a + b - 1) div b.
+    q = f"(_nt_n div {k})"
+    m = f"(_nt_n % {k})"
+    thresh = f"({m} * ({q} + 1))"
     # the otherwise-branch is unreachable when q = 0 (n < k puts every row
-    # under thresh = n), but ANSI division still needs a non-zero literal
-    # denominator there — greatest(q, 1) keeps it inert
-    bucket = F.when(r <= thresh, ceil_div(r, q + 1)).otherwise(
-        m + ceil_div(r - thresh, F.greatest(q, F.lit(1).cast("bigint")))
+    # under thresh = n), but the denominator still must be non-zero there —
+    # greatest(q, 1) keeps it inert
+    safe_q = f"greatest({q}, 1L)"
+    bucket = F.expr(
+        f"CASE WHEN _nt_rank <= {thresh} "
+        f"THEN (_nt_rank + {q}) div ({q} + 1) "
+        f"ELSE {m} + ((_nt_rank - {thresh}) + {safe_q} - 1) div {safe_q} "
+        f"END"
     )
     return (
         ranked.join(F.broadcast(n_row))

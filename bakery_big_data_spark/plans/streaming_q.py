@@ -430,8 +430,13 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
             .writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
+            # per-batch-id overwrite directories keep checkpoint-replayed
+            # batches exactly-once (a plain append would double-write on
+            # retry — see start_append_sink)
             .foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(out)
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    os.path.join(out, f"batch_id={bid}")
+                )
             )
             .trigger(processingTime="0 seconds")
             .queryName("gen_drain")
@@ -442,6 +447,14 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.5)
         q.stop()
         q.awaitTermination()
+        if (got := _landed()) < _GEN_N:
+            # never leave a partial 'out' behind: _stale() is mtime-based
+            # and would treat it as fresh forever
+            _reset_scratch(base)
+            raise TimeoutError(
+                f"synthetic source drained only {got}/{_GEN_N} rows "
+                "within 120s"
+            )
     landed = spark.read.parquet(out)
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -224,6 +224,18 @@ def read_snapshot_as_of(
     return read_snapshot(spark, table_path, version=max(eligible))
 
 
+def table_exists(table_path: str) -> bool:
+    """True once at least one version has been committed at ``table_path``.
+
+    Distinguishes "table not created yet" (expected on a sink's first
+    batch) from genuine read errors — callers should branch on this
+    instead of swallowing exceptions around :func:`read_snapshot`, so a
+    transient or corrupt-manifest failure fails the batch (and the
+    checkpoint retries) rather than silently discarding accumulated state.
+    """
+    return bool(_load_manifest(table_path)["versions"])
+
+
 def last_commit_meta(table_path: str) -> dict | None:
     """The ``meta`` recorded with the current version's commit (None if the
     table does not exist yet or the commit carried no meta)."""

@@ -416,6 +416,7 @@ def start_snapshot_rollup_sink(
     from bakery_big_data_spark.sources.snapshots import (
         last_commit_meta,
         read_snapshot,
+        table_exists,
         write_snapshot,
     )
 
@@ -428,11 +429,16 @@ def start_snapshot_rollup_sink(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(30,6)")).alias("_vsum"),
         )
-        try:
+        # Branch on explicit table existence, never a bare except: a
+        # transient/corrupt-manifest read error must fail the batch (the
+        # checkpoint retries) — substituting an empty frame would commit a
+        # delta-only table as the new current version, silently discarding
+        # the accumulated rollup.
+        if table_exists(table_path):
             current = read_snapshot(spark, table_path).select(
                 key_col, "n_events", F.col("value_sum").cast("decimal(30,6)").alias("_vsum")
             )
-        except Exception:
+        else:
             current = delta.limit(0)
         merged = (
             current.unionByName(delta)

@@ -109,19 +109,37 @@ def idle_session_flush(
         else:
             start_us = end_us = -1
             n, v = 0, 0.0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if start_us < 0:
-                    start_us, end_us, n, v = ts_us, ts_us, 1, float(val)
-                elif ts_us - end_us <= gap_us:
-                    end_us, n, v = ts_us, n + 1, v + float(val)
-                else:
-                    yield emit(start_us, end_us, n, v)
-                    start_us, end_us, n, v = ts_us, ts_us, 1, float(val)
-        state.update((start_us, end_us, n, v))
-        state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+        # Concatenate the whole micro-batch for this key before sorting:
+        # Arrow hands the group over in ~10k-row chunks, and sorting each
+        # chunk independently would see events out of event-time order
+        # whenever a group spans chunks.
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for ts, val in zip(batch["ts"], batch["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if start_us < 0:
+                start_us, end_us, n, v = ts_us, ts_us, 1, float(val)
+            elif ts_us - end_us <= gap_us:
+                end_us, n, v = ts_us, n + 1, v + float(val)
+            else:
+                yield emit(start_us, end_us, n, v)
+                start_us, end_us, n, v = ts_us, ts_us, 1, float(val)
+        # The file source may coalesce several replay files into one
+        # micro-batch, so the batch's own max event time — hence next
+        # batch's watermark — can already be past this session's flush
+        # time.  Registering a timeout at or before the watermark throws
+        # INVALID_TIMEOUT_TIMESTAMP and kills the query; instead emit the
+        # definitively-closed session inline (any event that could still
+        # extend it is behind the watermark and would be dropped anyway),
+        # and clamp surviving timeouts to watermark + 1.
+        flush_ms = (end_us + gap_us) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if flush_ms <= wm_ms:
+            if state.exists:
+                state.remove()
+            yield emit(start_us, end_us, n, v)
+        else:
+            state.update((start_us, end_us, n, v))
+            state.setTimeoutTimestamp(max(flush_ms, wm_ms + 1))
 
     return (
         events.withWatermark("ts", watermark_delay)

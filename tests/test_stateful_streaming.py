@@ -72,10 +72,22 @@ def test_state_accumulates_across_restarts(spark, sf_dir):
     assert l == b
 
 
-def test_idle_session_flush_matches_batch_sessionization(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize("max_files", [1, None])
+def test_idle_session_flush_matches_batch_sessionization(
+    spark, sf_dir, max_files
+):
     """The event-time-timeout sessionizer must flush exactly the sessions
     a batch lag/gap sessionization derives, once a sentinel event advances
-    the watermark past every real session's end + gap."""
+    the watermark past every real session's end + gap.
+
+    max_files=1 replays one chronological file per micro-batch;
+    max_files=None lets the file source coalesce ALL files (including the
+    sentinel) into a single batch — the load condition that used to
+    register a timeout behind the watermark and crash the query with
+    INVALID_TIMEOUT_TIMESTAMP."""
     from bakery_big_data_spark.streaming.stateful import idle_session_flush
 
     os.makedirs(SCRATCH, exist_ok=True)
@@ -132,7 +144,7 @@ def test_idle_session_flush_matches_batch_sessionization(spark, sf_dir):
         )
 
     stream = idle_session_flush(
-        read_json_stream(spark, src, max_files_per_trigger=1),
+        read_json_stream(spark, src, max_files_per_trigger=max_files),
         watermark_delay="10 minutes",
         gap_minutes=30,
     )
