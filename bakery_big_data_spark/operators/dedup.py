@@ -536,6 +536,25 @@ _SIMHASH_BANDS: list[tuple[str, int, int]] = [
     ("lo", 20, 11),
 ]
 
+#: Finer 10-band layout (5 per half) for signatures whose useful near-dup
+#: threshold is higher — e.g. perceptual image hashes, where the standard
+#: match cut on a 64-bit dHash is Hamming ≈ 10.  Pigeonhole: recall is
+#: guaranteed through Hamming ≤ 9; the narrower 6/7-bit bands trade bucket
+#: granularity (64–128 buckets per band) for the wider threshold — the
+#: same dial as MinHash's (bands, rows_per_band).
+_PHASH_BANDS: list[tuple[str, int, int]] = [
+    ("hi", 0, 6),
+    ("hi", 6, 6),
+    ("hi", 12, 6),
+    ("hi", 18, 6),
+    ("hi", 24, 7),
+    ("lo", 0, 6),
+    ("lo", 6, 6),
+    ("lo", 12, 6),
+    ("lo", 18, 6),
+    ("lo", 24, 7),
+]
+
 
 def simhash_banded_pairs(
     sigs: DataFrame,
@@ -543,6 +562,7 @@ def simhash_banded_pairs(
     max_hamming: int = 5,
     hi_col: str = "simhash_hi",
     lo_col: str = "simhash_lo",
+    bands: list[tuple[str, int, int]] | None = None,
 ) -> DataFrame:
     """Near-dup pairs at ``Hamming ≤ max_hamming`` via band-bucket equi-join.
 
@@ -557,13 +577,14 @@ def simhash_banded_pairs(
     threshold — same trade the MinHash ``(bands, rows_per_band)`` pair
     exposes.
     """
-    if max_hamming > len(_SIMHASH_BANDS) - 1:
+    layout = bands if bands is not None else _SIMHASH_BANDS
+    if max_hamming > len(layout) - 1:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the {len(_SIMHASH_BANDS)}-band "
+            f"max_hamming={max_hamming} exceeds the {len(layout)}-band "
             "pigeonhole guarantee (<= bands-1)"
         )
     half = {"hi": F.col(hi_col), "lo": F.col(lo_col)}
-    bands = F.array(
+    band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
@@ -571,11 +592,14 @@ def simhash_banded_pairs(
                 .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("val"),
             )
-            for i, (h, off, w) in enumerate(_SIMHASH_BANDS)
+            for i, (h, off, w) in enumerate(layout)
         ]
     )
     e = sigs.select(
-        F.col(id_col), F.col(hi_col), F.col(lo_col), F.explode(bands).alias("b")
+        F.col(id_col),
+        F.col(hi_col),
+        F.col(lo_col),
+        F.explode(band_arr).alias("b"),
     )
     a, b = e.alias("a"), e.alias("b")
     hamming = (

@@ -38,6 +38,8 @@ FRAMES_DDL = "media_id LONG, frame_idx INT, frame_len INT, frame_checksum LONG"
 
 RMS_DDL = "media_id LONG, window_idx INT, rms DOUBLE"
 
+PHASH_DDL = "media_id LONG, phash_hi LONG, phash_lo LONG"
+
 
 def decode_image_real(payload: bytes):
     """Real image decode — unavailable here by design (no codec libs)."""
@@ -123,6 +125,55 @@ def image_features(media: DataFrame, grid_width: int = 16) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         extract, FEATURES_DDL
     )
+
+
+def perceptual_hash(media: DataFrame, n_chunks: int = 63) -> DataFrame:
+    """dHash-style perceptual fingerprint over the decoded sample stream:
+    downsample the payload into ``n_chunks`` equal spans, emit one gradient
+    bit per adjacent span pair (``mean(span_k) > mean(span_k+1)``, compared
+    as the exact integer cross product ``sum_k·len_k+1 > sum_k+1·len_k``),
+    packed into two 31-bit BIGINT halves — the same ``(id, hi, lo)``
+    signature shape the SimHash family's banded-Hamming join consumes
+    (:func:`bakery_big_data_spark.operators.dedup.simhash_banded_pairs`).
+
+    On real images this is the classic resize-9×8 → adjacent-pixel-gradient
+    dHash (robust to re-encoding and brightness shifts, since only the
+    gradient SIGN survives); here the decode is the deterministic byte
+    stand-in, so every bit is restatable in ANSI SQL and the DuckDB oracle
+    certifies the fingerprint math end to end.  Map-only Arrow batches —
+    fingerprinting adds no shuffle at any corpus size.
+    """
+    n_bits = n_chunks - 1
+    if n_bits != 62:
+        raise ValueError("the packed-halves layout expects 63 chunks (62 bits)")
+
+    def ph(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        ks = np.arange(n_chunks + 1, dtype=np.int64)
+        out_cols = ["media_id", "phash_hi", "phash_lo"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _, _ = fake_decode_bytes(bytes(payload))
+                n = arr.size
+                b = (ks * n) // n_chunks
+                csum = np.concatenate(
+                    ([0], np.cumsum(arr, dtype=np.int64))
+                )
+                cs = csum[b[1:]] - csum[b[:-1]]
+                cl = b[1:] - b[:-1]
+                # zero-length spans (payload shorter than n_chunks) sum to
+                # 0 with length 0, making both cross products 0 — bit 0,
+                # matching the oracle's NULL-comparison semantics
+                bits = cs[:-1] * cl[1:] > cs[1:] * cl[:-1]
+                lo = int(sum(1 << k for k in range(31) if bits[k]))
+                hi = int(sum(1 << k for k in range(31) if bits[k + 31]))
+                rows.append((int(mid), hi, lo))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return media.select("media_id", "payload").mapInPandas(ph, PHASH_DDL)
 
 
 def frame_sample(

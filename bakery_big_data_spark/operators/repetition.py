@@ -1,0 +1,226 @@
+"""Gopher/C4-style repetition & boilerplate quality metrics — map-only.
+
+Pretraining corpora are filtered on REPETITION (duplicate lines, dominant
+n-grams) and BOILERPLATE (bullet/ellipsis lines, symbol density) before any
+expensive processing — the Gopher rules (Rae et al. 2021, table A1) and the
+C4 heuristics (Raffel et al. 2020 §2.2).  The reference corpus has no such
+stage (its quality layer is row-rule scoring, ``bronze_to_silver.py:23-33``);
+this module adds the text-native counterpart the LLM-data pipeline needs.
+
+Everything here is built-in higher-order array expressions — per-document
+``O(len·log len)`` (one ``array_sort``), fully map-parallel, ZERO shuffle.
+The per-document n-gram histogram comes from a sort + run-length pass over
+the gram array instead of the textbook ``explode → groupBy(doc, gram)``,
+which at 100 TB would shuffle the entire token stream; here repetition
+scoring adds no exchange at all and composes with any scan.
+
+Metric conventions (each deterministic and restatable in ANSI SQL, so the
+DuckDB oracle certifies them bit-for-bit):
+
+- ``dup_line_frac``     — line occurrences beyond the first / total lines.
+- ``top_{n}gram_char_frac`` — max over n-grams of (count × chars of the
+  space-joined gram) / total chars: the character share of the single most
+  dominant n-gram (max taken over the products, so ties are unambiguous).
+- ``dup_5gram_char_frac``   — Σ over duplicated 5-grams of
+  (count − 1) × chars / total chars.
+- ``symbol_word_ratio``     — ('#' occurrences + '...' occurrences) / words.
+- ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting with a
+  bullet marker / ending in an ellipsis, over total lines.
+- ``alpha_word_frac``       — words containing at least one letter / words.
+
+Thresholds are the published Gopher values where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher table-A1 thresholds (the subset this operator computes).
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "max_dup_line_frac": 0.3,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_dup_5gram_char_frac": 0.15,
+}
+
+
+def _ngrams(ws: Column, n: int) -> Column:
+    """Space-joined token n-grams; empty array when the doc is shorter
+    than ``n`` (Spark's ``sequence(1, 0)`` DESCENDS, so the short-doc case
+    must short-circuit before the sequence is built)."""
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " "))
+
+
+def _runs(s: Column) -> Column:
+    """Run-length encoding of a SORTED array: ``array<struct<g,c>>`` with
+    one entry per distinct value and its occurrence count — the per-row
+    histogram that replaces ``explode → groupBy``.  ``element_at`` is
+    1-based and index 0 throws, so the i-1 probe is clamped (the ``i = 1``
+    disjunct already owns that branch; Spark SQL OR does not guarantee
+    short-circuit evaluation)."""
+    n = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1))
+        | (
+            F.element_at(s, i)
+            != F.element_at(s, F.greatest(i - 1, F.lit(1)))
+        ),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    runs = F.zip_with(
+        starts,
+        ends,
+        lambda a, b: F.struct(
+            F.element_at(s, a).alias("g"), (b - a).alias("c")
+        ),
+    )
+    return F.when(n >= 1, runs).otherwise(
+        F.array().cast("array<struct<g:string,c:int>>")
+    )
+
+
+def _top_char_share(runs: Column, total_chars: Column) -> Column:
+    """max(count × gram chars) / total chars, 0.0 for gram-less docs."""
+    best = F.array_max(
+        F.transform(runs, lambda r: (r["c"] * F.length(r["g"])).cast("bigint"))
+    )
+    return F.coalesce(best, F.lit(0).cast("bigint")).cast(
+        "double"
+    ) / total_chars
+
+
+def _dup_char_sum(runs: Column) -> Column:
+    """Σ (count − 1) × gram chars over duplicated grams — BIGINT exact."""
+    return F.aggregate(
+        runs,
+        F.lit(0).cast("bigint"),
+        lambda acc, r: acc
+        + F.when(r["c"] > 1, ((r["c"] - 1) * F.length(r["g"])).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def _metric_exprs(text: Column) -> dict[str, Column]:
+    """All metrics as unaliased expressions over ``text`` — shared by the
+    per-document feature frame and the single-Column pipeline gate."""
+    ws = F.split(text, " ")
+    lines = F.split(text, "\n")
+    total_chars = F.length(text)
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+
+    mean_word_len = (
+        F.aggregate(
+            ws,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.length(w).cast("bigint"),
+        ).cast("double")
+        / n_words
+    )
+    dup_line_frac = (
+        _dup_count(F.array_sort(lines)).cast("double") / n_lines
+    )
+    top2 = _top_char_share(_runs(F.array_sort(_ngrams(ws, 2))), total_chars)
+    top3 = _top_char_share(_runs(F.array_sort(_ngrams(ws, 3))), total_chars)
+    dup5 = (
+        _dup_char_sum(_runs(F.array_sort(_ngrams(ws, 5)))).cast("double")
+        / total_chars
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ")
+                | l.startswith("* ")
+                | l.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "dup_line_frac": dup_line_frac,
+        "top_2gram_char_frac": top2,
+        "top_3gram_char_frac": top3,
+        "dup_5gram_char_frac": dup5,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+    }
+
+
+def passes_gopher(text: Column) -> Column:
+    """The Gopher-filter verdict as ONE Column expression — usable inline
+    in any scan (e.g. as the curation pipeline's repetition gate) with no
+    join; Catalyst's common-subexpression elimination shares the token and
+    line arrays across the metric conjuncts."""
+    m = _metric_exprs(text)
+    th = GOPHER_THRESHOLDS
+    return (
+        m["n_words"].between(th["min_words"], th["max_words"])
+        & m["mean_word_len"].between(
+            th["min_mean_word_len"], th["max_mean_word_len"]
+        )
+        & (m["symbol_word_ratio"] < th["max_symbol_word_ratio"])
+        & (m["bullet_line_frac"] < th["max_bullet_line_frac"])
+        & (m["ellipsis_line_frac"] < th["max_ellipsis_line_frac"])
+        & (m["alpha_word_frac"] >= th["min_alpha_word_frac"])
+        & (m["dup_line_frac"] <= th["max_dup_line_frac"])
+        & (m["top_2gram_char_frac"] <= th["max_top_2gram_char_frac"])
+        & (m["top_3gram_char_frac"] <= th["max_top_3gram_char_frac"])
+        & (m["dup_5gram_char_frac"] <= th["max_dup_5gram_char_frac"])
+    )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-document repetition/boilerplate metrics + the ``passes_gopher``
+    verdict.  Map-only: every metric is a higher-order expression over the
+    row's own token/line arrays — no exchange appears in the plan."""
+    text = F.col(text_col)
+    m = _metric_exprs(text)
+    return df.select(
+        *(id_cols or [c for c in df.columns if c != text_col]),
+        *(expr.alias(name) for name, expr in m.items()),
+        passes_gopher(text).alias("passes_gopher"),
+    )
+
+
+def _dup_count(sorted_arr: Column) -> Column:
+    """Occurrences beyond the first across all values of a sorted array:
+    size − number of runs (each run contributes exactly one 'first')."""
+    n = F.size(sorted_arr)
+    distinct_n = F.size(F.array_distinct(sorted_arr))
+    return (n - distinct_n).cast("bigint")

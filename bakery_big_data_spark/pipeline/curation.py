@@ -42,6 +42,7 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation manifest: every doc with its gate flags,
     duplicate-cluster canonical, contamination ratio, split, and the final
     ``is_training`` verdict."""
+    from bakery_big_data_spark.operators.repetition import passes_gopher
     from bakery_big_data_spark.plans.base import t
     from bakery_big_data_spark.plans.dedup import _lsh_pairs, _shingled
 
@@ -55,6 +56,10 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_chars") >= MIN_CHARS) & (ttr >= MIN_TTR)).alias(
             "passes_quality"
         ),
+        # Gopher repetition/boilerplate gate (operators/repetition.py) —
+        # map-only Column expression, so it rides the same scan as the
+        # cheap quality gate with no extra stage
+        passes_gopher(F.col("text")).alias("passes_repetition"),
         (F.col("doc_id") % 25 == 0).alias("is_benchmark"),
     )
 
@@ -119,6 +124,7 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_chars",
             "passes_quality",
+            "passes_repetition",
             "is_benchmark",
             "canonical_id",
             (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
@@ -133,6 +139,7 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest.withColumn(
         "is_training",
         F.col("passes_quality")
+        & F.col("passes_repetition")
         & ~F.col("is_benchmark")
         & F.col("is_canonical")
         & (F.col("contamination_ratio") < CONTAMINATION_MAX),

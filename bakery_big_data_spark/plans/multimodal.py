@@ -96,3 +96,102 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_rms(_media(spark, sf_dir), window=100)
+
+
+#: Shared SQL: the dHash signature restated over the ASCII payload — 63
+#: downsampled spans, 62 adjacent-span gradient bits (exact integer cross
+#: products), packed as two 31-bit BIGINT halves.
+_PHASH_SIG_SQL = """
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                            c -> unicode(c)) AS bs
+      FROM documents
+    ), s AS (
+      SELECT doc_id, bs, len(bs) AS n FROM b
+    ), ch AS (
+      SELECT doc_id,
+        list_transform(range(0, 63),
+          k -> list_sum(bs[(k * n) // 63 + 1 : ((k + 1) * n) // 63])) AS cs,
+        list_transform(range(0, 63),
+          k -> ((k + 1) * n) // 63 - (k * n) // 63) AS cl
+      FROM s
+    ), sig AS (
+      SELECT doc_id AS media_id,
+        CAST(list_sum(list_transform(range(0, 31), k ->
+          CASE WHEN cs[k + 32] * cl[k + 33] > cs[k + 33] * cl[k + 32]
+          THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS phash_hi,
+        CAST(list_sum(list_transform(range(0, 31), k ->
+          CASE WHEN cs[k + 1] * cl[k + 2] > cs[k + 2] * cl[k + 1]
+          THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS phash_lo
+      FROM ch
+    )
+"""
+
+
+def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.multimodal import perceptual_hash
+    from bakery_big_data_spark.plans.dedup import _SIG_CACHE
+
+    return _SIG_CACHE.get_or_build(
+        spark,
+        (sf_dir, "phash"),
+        lambda: perceptual_hash(_media(spark, sf_dir)).persist(),
+    )
+
+
+@register(
+    "multimodal_phash_fingerprint",
+    _PHASH_SIG_SQL
+    + """
+    SELECT media_id, phash_hi, phash_lo FROM sig
+    """,
+    doc="Perceptual dHash fingerprint per media asset "
+        "(operators/multimodal.py::perceptual_hash): fake-decoded sample "
+        "stream -> 63 downsampled spans -> 62 adjacent-span gradient-sign "
+        "bits (exact integer cross products, no float means) -> two 31-bit "
+        "BIGINT halves.  The real-image counterpart is resize-9x8 dHash; "
+        "the decode stub keeps every bit ANSI-SQL-restatable, so the "
+        "oracle certifies the full Arrow mapInPandas fingerprint path "
+        "row by row.  Map-only, zero shuffle",
+)
+def multimodal_phash_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _phash_sigs(spark, sf_dir)
+
+
+@register(
+    "multimodal_phash_pairs",
+    _PHASH_SIG_SQL
+    + """
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+              + bit_count(xor(a.phash_lo, b.phash_lo)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+        + bit_count(xor(a.phash_lo, b.phash_lo)) <= 9
+    """,
+    doc="Perceptual near-duplicate image pairs: the dHash signatures of "
+        "multimodal_phash_fingerprint joined through the SimHash family's "
+        "banded-Hamming bucket equi-join (operators/dedup.py::"
+        "simhash_banded_pairs) on a finer 10-band layout — pigeonhole "
+        "guarantees 100% recall at Hamming <= 9 (the standard perceptual "
+        "match cut), never all-pairs; work scales with sum(bucket^2).  The "
+        "oracle IS the all-pairs join, so the driver hash proves banding "
+        "lost nothing on top of certifying the fingerprint math",
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.dedup import (
+        _PHASH_BANDS,
+        simhash_banded_pairs,
+    )
+
+    return simhash_banded_pairs(
+        _phash_sigs(spark, sf_dir),
+        "media_id",
+        max_hamming=9,
+        hi_col="phash_hi",
+        lo_col="phash_lo",
+        bands=_PHASH_BANDS,
+    )

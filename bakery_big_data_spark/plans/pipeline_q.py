@@ -367,8 +367,63 @@ from bakery_big_data_spark.plans.dedup import _EXACT_PAIRS_SQL  # noqa: E402
                 / len(string_split(text, ' ')) >= 0.30) AS passes_quality,
              doc_id % 25 = 0 AS is_benchmark
       FROM documents
+    ), rep_base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws,
+             string_split(text, chr(10)) AS lines, len(text) AS tc
+      FROM documents
+    ), rep_t2 AS (
+      SELECT doc_id, MAX(c * len(g)) AS top2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 1, 0)),
+                   i -> ws[i] || ' ' || ws[i + 1])) AS g
+          FROM rep_base) GROUP BY 1, 2) GROUP BY 1
+    ), rep_t3 AS (
+      SELECT doc_id, MAX(c * len(g)) AS top3 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 0)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+          FROM rep_base) GROUP BY 1, 2) GROUP BY 1
+    ), rep_d5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN (c - 1) * len(g) ELSE 0 END) AS dup5
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 4, 0)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM rep_base) GROUP BY 1, 2) GROUP BY 1
+    ), rep AS (
+      SELECT rb.doc_id,
+             (len(rb.ws) BETWEEN 50 AND 100000
+              AND CAST(list_sum(list_transform(rb.ws, w -> len(w)))
+                       AS DOUBLE) / len(rb.ws) BETWEEN 3.0 AND 10.0
+              AND CAST((len(rb.text) - len(replace(rb.text, '#', '')))
+                       + (len(rb.text) - len(replace(rb.text, '...', '')))
+                         // 3 AS DOUBLE) / len(rb.ws) < 0.1
+              AND CAST(len(list_filter(rb.lines,
+                     l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))
+                   AS DOUBLE) / len(rb.lines) < 0.9
+              AND CAST(len(list_filter(rb.lines, l -> l LIKE '%...'))
+                   AS DOUBLE) / len(rb.lines) < 0.3
+              AND CAST(len(list_filter(rb.ws,
+                     w -> regexp_matches(w, '[a-zA-Z]')))
+                   AS DOUBLE) / len(rb.ws) >= 0.8
+              AND CAST(len(rb.lines) - len(list_distinct(rb.lines))
+                   AS DOUBLE) / len(rb.lines) <= 0.3
+              AND CAST(COALESCE(t2.top2, 0) AS DOUBLE) / rb.tc <= 0.20
+              AND CAST(COALESCE(t3.top3, 0) AS DOUBLE) / rb.tc <= 0.18
+              AND CAST(COALESCE(d5.dup5, 0) AS DOUBLE) / rb.tc <= 0.15)
+               AS passes_repetition
+      FROM rep_base rb
+      LEFT JOIN rep_t2 t2 ON rb.doc_id = t2.doc_id
+      LEFT JOIN rep_t3 t3 ON rb.doc_id = t3.doc_id
+      LEFT JOIN rep_d5 d5 ON rb.doc_id = d5.doc_id
     )
-    SELECT b.doc_id, b.lang, b.n_chars, b.passes_quality, b.is_benchmark,
+    SELECT b.doc_id, b.lang, b.n_chars, b.passes_quality,
+           r.passes_repetition, b.is_benchmark,
            c.canonical_id,
            b.doc_id = c.canonical_id AS is_canonical,
            COALESCE(m.contamination_ratio, 0.0) AS contamination_ratio,
@@ -379,15 +434,18 @@ from bakery_big_data_spark.plans.dedup import _EXACT_PAIRS_SQL  # noqa: E402
                   / 2147483647.0 < 0.9 THEN 'val'
              ELSE 'test'
            END AS split,
-           (b.passes_quality AND NOT b.is_benchmark
+           (b.passes_quality AND r.passes_repetition AND NOT b.is_benchmark
             AND b.doc_id = c.canonical_id
             AND COALESCE(m.contamination_ratio, 0.0) < 0.5) AS is_training
     FROM base b
     JOIN canon c ON b.doc_id = c.doc_id
+    JOIN rep r ON b.doc_id = r.doc_id
     LEFT JOIN contam m ON b.doc_id = m.doc_id
     """,
     doc="The LLM-data pipeline CHAINED end to end (pipeline/curation.py — "
         "the curation counterpart of run_medallion): quality gate → "
+        "Gopher repetition/boilerplate gate (operators/repetition.py, "
+        "map-only run-length n-gram histograms riding the same scan) → "
         "LSH-dedup canonicalization → benchmark decontamination → "
         "key-derived split, emitted as a per-document manifest that keeps "
         "EVERY doc with its flags (curation decisions must be auditable — "

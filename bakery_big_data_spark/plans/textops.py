@@ -587,3 +587,98 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+
+
+@register(
+    "text_repetition_filters",
+    """
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws,
+             string_split(text, chr(10)) AS lines, len(text) AS tc
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 1, 0)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM base
+    ), t2 AS (
+      SELECT doc_id, MAX(c * len(g)) AS top2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+    ), g3 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+      FROM base
+    ), t3 AS (
+      SELECT doc_id, MAX(c * len(g)) AS top3 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+    ), g5 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 4, 0)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3] || ' ' || ws[i+4])) AS g
+      FROM base
+    ), d5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN (c - 1) * len(g) ELSE 0 END) AS dup5
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
+    ), m AS (
+      SELECT doc_id, tc,
+             len(ws) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+               / len(ws) AS mean_word_len,
+             CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / len(lines) AS dup_line_frac,
+             CAST((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) // 3
+                  AS DOUBLE) / len(ws) AS symbol_word_ratio,
+             CAST(len(list_filter(lines,
+                    l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))
+                  AS DOUBLE) / len(lines) AS bullet_line_frac,
+             CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+               / len(lines) AS ellipsis_line_frac,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS DOUBLE) / len(ws) AS alpha_word_frac
+      FROM base
+    )
+    SELECT m.doc_id, m.n_words, m.mean_word_len, m.dup_line_frac,
+           CAST(COALESCE(t2.top2, 0) AS DOUBLE) / m.tc AS top_2gram_char_frac,
+           CAST(COALESCE(t3.top3, 0) AS DOUBLE) / m.tc AS top_3gram_char_frac,
+           CAST(COALESCE(d5.dup5, 0) AS DOUBLE) / m.tc AS dup_5gram_char_frac,
+           m.symbol_word_ratio, m.bullet_line_frac, m.ellipsis_line_frac,
+           m.alpha_word_frac,
+           (m.n_words BETWEEN 50 AND 100000
+            AND m.mean_word_len BETWEEN 3.0 AND 10.0
+            AND m.symbol_word_ratio < 0.1
+            AND m.bullet_line_frac < 0.9
+            AND m.ellipsis_line_frac < 0.3
+            AND m.alpha_word_frac >= 0.8
+            AND m.dup_line_frac <= 0.3
+            AND CAST(COALESCE(t2.top2, 0) AS DOUBLE) / m.tc <= 0.20
+            AND CAST(COALESCE(t3.top3, 0) AS DOUBLE) / m.tc <= 0.18
+            AND CAST(COALESCE(d5.dup5, 0) AS DOUBLE) / m.tc <= 0.15)
+             AS passes_gopher
+    FROM m
+    LEFT JOIN t2 ON m.doc_id = t2.doc_id
+    LEFT JOIN t3 ON m.doc_id = t3.doc_id
+    LEFT JOIN d5 ON m.doc_id = d5.doc_id
+    """,
+    doc="Gopher/C4 repetition + boilerplate filters (Rae et al. 2021 table "
+        "A1; Raffel et al. 2020 §2.2): duplicate-line fraction, dominant "
+        "2/3-gram character share, duplicated 5-gram character share, "
+        "symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic "
+        "word fraction, and the conjunction verdict.  The per-document "
+        "n-gram histogram is a SORT + RUN-LENGTH pass over the row's own "
+        "gram array (operators/repetition.py) — map-only, zero shuffle — "
+        "where the textbook explode→groupBy(doc,gram) would shuffle the "
+        "whole token stream at 100 TB.  The oracle recomputes every metric "
+        "via the explode route, so the hash ALSO certifies that the "
+        "run-length histogram equals the groupBy histogram",
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.repetition import (
+        repetition_features,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_features(d, id_cols=["doc_id"])
