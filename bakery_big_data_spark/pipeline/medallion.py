@@ -571,3 +571,191 @@ def run_medallion(
         "fact_user_daily": spark.read.parquet(f"{base_path}/gold_fact_user_daily"),
         "ml_user_features": spark.read.parquet(f"{base_path}/ml_user_features"),
     }
+
+
+def run_medallion_incremental(
+    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+) -> dict[str, DataFrame]:
+    """The 100 TB DAILY pattern: process only the NEW day-chunk, never the
+    history.  ``run_medallion`` recomputes all layers from scratch; this
+    runner replays the same corpus as ``n_chunks`` chronological arrivals
+    and maintains every table incrementally:
+
+    - **silver / silver_feedback Δ** — the map-only transforms run on the
+      new chunk's rows only; dynamic partition overwrite commits just the
+      new day partitions.
+    - **facts Δ** — every fact row depends only on its own day, so the
+      chunk's facts are computed from the Δ silver alone and land as
+      day-partition overwrites (re-running a day stays idempotent).
+    - **dim state via Δ-aggregation** — one auxiliary state table at
+      ``(event_type, user_id)`` grain (counts, decimal value sums, date
+      bounds) is merged per chunk: ``old ∪ Δ → re-aggregate``.  Sums, counts,
+      mins and maxes are associative, so the merged state equals the
+      full-history aggregate EXACTLY (decimal sums — no float drift);
+      ``dim_user`` and ``dim_type_stats`` (including its COUNT(DISTINCT
+      user_id), the classic non-associative aggregate) are then derived
+      from state, never from a history rescan.  Committed through the
+      snapshot manifest (atomic swap, time-travelable); in production the
+      rewrite becomes a key-bucketed MERGE, but the maintained quantity is
+      identical.
+    - **SCD2 on changed keys** — each chunk stages profiles ONLY for users
+      touched in the chunk (derived from the merged state, so the band
+      reflects full history) and runs :func:`scd2_apply`; untouched users'
+      versions pass through.  Chunked arrival legitimately records MORE
+      version history than the one-shot run, so the cross-run invariant is
+      the OPEN snapshot: every user's ``is_current`` (band, first_seen)
+      must equal the full run's staged profile.
+
+    The per-chunk driver work is one bounded ``collect`` of distinct DATES
+    (calendar metadata, O(days), never data rows).  Parity with the
+    from-scratch run is hash-certified by ``medallion_incremental_parity``.
+    """
+    from bakery_big_data_spark.operators.mutation import scd2_apply
+    from bakery_big_data_spark.sources.snapshots import (
+        read_snapshot,
+        table_exists,
+        write_snapshot,
+    )
+
+    bronze_all = bronze_events(spark, sf_dir)
+    dates = sorted(
+        r[0]
+        for r in bronze_all.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    state_path = f"{base_path}/type_user_state"
+    scd2_path = f"{base_path}/gold_dim_user_scd2"
+
+    for ci in range(n_chunks):
+        chunk = dates[ci * len(dates) // n_chunks : (ci + 1) * len(dates) // n_chunks]
+        if not chunk:
+            continue
+        lo, hi = chunk[0], chunk[-1]
+
+        bronze_d = bronze_all.filter(F.to_date("ts").between(lo, hi))
+        silver_d = silver_events(bronze_d)
+        overwrite_partitions(
+            silver_d, f"{base_path}/silver_events", ["event_date"]
+        )
+        silver_d = spark.read.parquet(f"{base_path}/silver_events").filter(
+            F.col("event_date").between(lo, hi)
+        )
+        fb_d = silver_feedback(bronze_feedback(spark, sf_dir)).filter(
+            F.col("feedback_date").between(lo, hi)
+        )
+        overwrite_partitions(
+            fb_d.withColumn("event_date", F.col("feedback_date")),
+            f"{base_path}/silver_feedback",
+            ["event_date"],
+        )
+
+        overwrite_partitions(
+            gold_fact_daily(silver_d),
+            f"{base_path}/gold_fact_daily",
+            ["event_date"],
+        )
+        overwrite_partitions(
+            gold_fact_feedback_daily(fb_d),
+            f"{base_path}/gold_fact_feedback_daily",
+            ["event_date"],
+        )
+        overwrite_partitions(
+            gold_fact_user_daily(silver_d),
+            f"{base_path}/gold_fact_user_daily",
+            ["event_date"],
+        )
+
+        delta_state = silver_d.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("value_sum"),
+            F.min("event_date").alias("min_date"),
+            F.max("event_date").alias("max_date"),
+        )
+        if table_exists(state_path):
+            prev = read_snapshot(spark, state_path).withColumn(
+                "value_sum", F.col("value_sum").cast("decimal(38,6)")
+            )
+            merged = (
+                prev.unionByName(
+                    delta_state.withColumn(
+                        "value_sum", F.col("value_sum").cast("decimal(38,6)")
+                    )
+                )
+                .groupBy("event_type", "user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_sum").cast("decimal(38,6)").alias("value_sum"),
+                    F.min("min_date").alias("min_date"),
+                    F.max("max_date").alias("max_date"),
+                )
+            )
+        else:
+            merged = delta_state.withColumn(
+                "value_sum", F.col("value_sum").cast("decimal(38,6)")
+            )
+        write_snapshot(merged, state_path, meta={"chunk": ci})
+
+        # SCD2: staged profiles come from merged state (full-history band),
+        # restricted to the chunk's touched users — changed keys only.
+        state = read_snapshot(spark, state_path)
+        profile = state.groupBy("user_id").agg(
+            F.floor(F.sum("value_sum") / F.sum("n_events") / 10)
+            .cast("int")
+            .alias("value_band"),
+            F.min("min_date").alias("first_seen_date"),
+        )
+        staged = profile.join(silver_d.select("user_id").distinct(), "user_id")
+        if not table_exists(scd2_path):
+            current = staged.select(
+                F.col("user_id").cast("bigint").alias("surrogate_key"),
+                "user_id",
+                "value_band",
+                "first_seen_date",
+                F.lit("2024-01-01").cast("date").alias("start_date"),
+                F.lit(None).cast("date").alias("end_date"),
+                F.lit(True).alias("is_current"),
+            )
+        else:
+            current = scd2_apply(
+                read_snapshot(spark, scd2_path),
+                staged,
+                business_key="user_id",
+                tracked=["value_band", "first_seen_date"],
+                effective_date=str(lo),
+                key_base=None,
+            )
+        write_snapshot(current, scd2_path, meta={"chunk": ci})
+
+    # dims derived from maintained state — no history rescan
+    state = read_snapshot(spark, state_path)
+    dim_user = state.groupBy("user_id").agg(
+        F.min("min_date").alias("first_seen_date"),
+        F.max("max_date").alias("last_seen_date"),
+        F.count(F.lit(1)).alias("n_event_types"),
+    )
+    dim_user.write.mode("overwrite").parquet(f"{base_path}/gold_dim_user")
+    type_stats = state.groupBy("event_type").agg(
+        (F.sum("value_sum").cast("double") / F.sum("n_events")).alias(
+            "avg_value_type"
+        ),
+        F.count(F.lit(1)).alias("n_users_type"),
+    )
+    type_stats.write.mode("overwrite").parquet(
+        f"{base_path}/gold_dim_type_stats"
+    )
+
+    return {
+        "silver": spark.read.parquet(f"{base_path}/silver_events"),
+        "silver_feedback": spark.read.parquet(f"{base_path}/silver_feedback"),
+        "fact_daily": spark.read.parquet(f"{base_path}/gold_fact_daily"),
+        "fact_feedback_daily": spark.read.parquet(
+            f"{base_path}/gold_fact_feedback_daily"
+        ),
+        "fact_user_daily": spark.read.parquet(
+            f"{base_path}/gold_fact_user_daily"
+        ),
+        "dim_user": spark.read.parquet(f"{base_path}/gold_dim_user"),
+        "dim_type_stats": spark.read.parquet(
+            f"{base_path}/gold_dim_type_stats"
+        ),
+        "dim_user_scd2": read_snapshot(spark, scd2_path),
+    }

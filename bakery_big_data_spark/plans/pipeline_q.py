@@ -459,3 +459,199 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.pipeline.curation import curation_manifest
 
     return curation_manifest(spark, sf_dir)
+
+
+@register(
+    "medallion_incremental_parity",
+    f"""
+    WITH silver AS ({_SILVER_SQL}), fb AS ({_FB_SILVER_SQL}),
+    fact AS (
+      SELECT event_date, event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+             SUM(CASE WHEN time_of_day = 'off_hours' THEN 1 ELSE 0 END)
+               AS n_off_hours
+      FROM silver GROUP BY 1, 2
+    ), fbf AS (
+      SELECT feedback_date, COUNT(*) AS n_feedback,
+             CAST(SUM(rating) AS DOUBLE) / COUNT(*) AS avg_rating,
+             SUM(CASE WHEN verified_purchase THEN 1 ELSE 0 END) AS n_verified
+      FROM fb GROUP BY 1
+    ), uf AS (
+      SELECT event_date, user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM silver GROUP BY 1, 2
+    ), du AS (
+      SELECT user_id, MIN(event_date) AS first_seen,
+             MAX(event_date) AS last_seen,
+             COUNT(DISTINCT event_type) AS n_event_types
+      FROM silver GROUP BY 1
+    ), tstats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value_type,
+             COUNT(DISTINCT user_id) AS n_users_type
+      FROM silver GROUP BY 1
+    ), prof AS (
+      SELECT user_id,
+             CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*) / 10)
+                  AS INT) AS value_band,
+             MIN(event_date) AS first_seen
+      FROM silver GROUP BY 1
+    )
+    SELECT 'fact_daily' AS layer,
+           CAST(event_date AS VARCHAR) || '|' || event_type AS key,
+           'n_events' AS metric, CAST(n_events AS DOUBLE) AS value FROM fact
+    UNION ALL SELECT 'fact_daily', CAST(event_date AS VARCHAR) || '|' || event_type,
+           'total_value', total_value FROM fact
+    UNION ALL SELECT 'fact_daily', CAST(event_date AS VARCHAR) || '|' || event_type,
+           'n_off_hours', CAST(n_off_hours AS DOUBLE) FROM fact
+    UNION ALL SELECT 'fact_feedback_daily', CAST(feedback_date AS VARCHAR),
+           'n_feedback', CAST(n_feedback AS DOUBLE) FROM fbf
+    UNION ALL SELECT 'fact_feedback_daily', CAST(feedback_date AS VARCHAR),
+           'avg_rating', avg_rating FROM fbf
+    UNION ALL SELECT 'fact_feedback_daily', CAST(feedback_date AS VARCHAR),
+           'n_verified', CAST(n_verified AS DOUBLE) FROM fbf
+    UNION ALL SELECT 'fact_user_daily',
+           CAST(event_date AS VARCHAR) || '|' || CAST(user_id AS VARCHAR),
+           'n_events', CAST(n_events AS DOUBLE) FROM uf
+    UNION ALL SELECT 'fact_user_daily',
+           CAST(event_date AS VARCHAR) || '|' || CAST(user_id AS VARCHAR),
+           'total_value', total_value FROM uf
+    UNION ALL SELECT 'fact_user_daily',
+           CAST(event_date AS VARCHAR) || '|' || CAST(user_id AS VARCHAR),
+           'n_types', CAST(n_types AS DOUBLE) FROM uf
+    UNION ALL SELECT 'dim_user', CAST(user_id AS VARCHAR), 'first_seen_days',
+           CAST(first_seen - DATE '1970-01-01' AS DOUBLE) FROM du
+    UNION ALL SELECT 'dim_user', CAST(user_id AS VARCHAR), 'last_seen_days',
+           CAST(last_seen - DATE '1970-01-01' AS DOUBLE) FROM du
+    UNION ALL SELECT 'dim_user', CAST(user_id AS VARCHAR), 'n_event_types',
+           CAST(n_event_types AS DOUBLE) FROM du
+    UNION ALL SELECT 'dim_type_stats', event_type, 'avg_value_type',
+           avg_value_type FROM tstats
+    UNION ALL SELECT 'dim_type_stats', event_type, 'n_users_type',
+           CAST(n_users_type AS DOUBLE) FROM tstats
+    UNION ALL SELECT 'scd2_current', CAST(user_id AS VARCHAR), 'value_band',
+           CAST(value_band AS DOUBLE) FROM prof
+    UNION ALL SELECT 'scd2_current', CAST(user_id AS VARCHAR),
+           'first_seen_days',
+           CAST(first_seen - DATE '1970-01-01' AS DOUBLE) FROM prof
+    """,
+    doc="INCREMENTAL medallion == FULL medallion, certified by hash: "
+        "pipeline/medallion.py::run_medallion_incremental replays the "
+        "corpus as 4 chronological day-chunk arrivals — silver/fact Δ by "
+        "dynamic partition overwrite, dims by Δ-merged (event_type, "
+        "user_id) state (associative decimal sums, so COUNT(DISTINCT) and "
+        "banded averages derive exactly from state), SCD2 applied per "
+        "chunk to touched keys only — then every maintained table is "
+        "unpivoted into one (layer, key, metric, value) frame.  The "
+        "oracle computes the same frame FROM-SCRATCH over the raw events "
+        "(full-run semantics), so the driver hash proves "
+        "incremental_run(chunks 1..N) == full_run for three facts, two "
+        "derived dims, and the SCD2 open snapshot (band + first_seen — "
+        "chunked arrival legitimately records more version HISTORY; the "
+        "open snapshot is the cross-run invariant)",
+)
+def medallion_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.pipeline.medallion import (
+        run_medallion_incremental,
+    )
+    from bakery_big_data_spark.sources.snapshots import read_snapshot
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/root/repo/.scratch/medallion_incr/{tag}"
+    marker = f"{base}/_done"
+    import bakery_big_data_spark.pipeline.medallion as medmod
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        try:
+            src_mtime = max(
+                os.path.getmtime(medmod.__file__),
+                os.path.getmtime(os.path.join(sf_dir, "events.parquet")),
+            )
+            return src_mtime >= os.path.getmtime(marker)
+        except OSError:
+            return True
+
+    if _stale():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        run_medallion_incremental(spark, sf_dir, base, n_chunks=4)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    def tall(df: DataFrame, layer: str, key, metrics: dict) -> DataFrame:
+        frames = []
+        for metric, expr in metrics.items():
+            frames.append(
+                df.select(
+                    F.lit(layer).alias("layer"),
+                    key.alias("key"),
+                    F.lit(metric).alias("metric"),
+                    expr.cast("double").alias("value"),
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionAll(fr)
+        return out
+
+    epoch = F.lit("1970-01-01").cast("date")
+    fact = spark.read.parquet(f"{base}/gold_fact_daily")
+    fbf = spark.read.parquet(f"{base}/gold_fact_feedback_daily")
+    uf = spark.read.parquet(f"{base}/gold_fact_user_daily")
+    du = spark.read.parquet(f"{base}/gold_dim_user")
+    ts = spark.read.parquet(f"{base}/gold_dim_type_stats")
+    scd2 = read_snapshot(spark, f"{base}/gold_dim_user_scd2").filter(
+        F.col("is_current")
+    )
+
+    date_type_key = F.concat(
+        F.col("event_date").cast("string"), F.lit("|"), F.col("event_type")
+    )
+    date_user_key = F.concat(
+        F.col("event_date").cast("string"),
+        F.lit("|"),
+        F.col("user_id").cast("string"),
+    )
+    parts = [
+        tall(fact, "fact_daily", date_type_key, {
+            "n_events": F.col("n_events"),
+            "total_value": F.col("total_value"),
+            "n_off_hours": F.col("n_off_hours"),
+        }),
+        tall(fbf, "fact_feedback_daily", F.col("event_date").cast("string"), {
+            "n_feedback": F.col("n_feedback"),
+            "avg_rating": F.col("avg_rating"),
+            "n_verified": F.col("n_verified"),
+        }),
+        tall(uf, "fact_user_daily", date_user_key, {
+            "n_events": F.col("n_events"),
+            "total_value": F.col("total_value"),
+            "n_types": F.col("n_types"),
+        }),
+        tall(du, "dim_user", F.col("user_id").cast("string"), {
+            "first_seen_days": F.datediff(F.col("first_seen_date"), epoch),
+            "last_seen_days": F.datediff(F.col("last_seen_date"), epoch),
+            "n_event_types": F.col("n_event_types"),
+        }),
+        tall(ts, "dim_type_stats", F.col("event_type"), {
+            "avg_value_type": F.col("avg_value_type"),
+            "n_users_type": F.col("n_users_type"),
+        }),
+        tall(scd2, "scd2_current", F.col("user_id").cast("string"), {
+            "value_band": F.col("value_band"),
+            "first_seen_days": F.datediff(F.col("first_seen_date"), epoch),
+        }),
+    ]
+    out = parts[0]
+    for fr in parts[1:]:
+        out = out.unionAll(fr)
+    return out
