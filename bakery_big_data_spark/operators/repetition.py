@@ -116,11 +116,32 @@ def _dup_char_sum(runs: Column) -> Column:
     )
 
 
-def _metric_exprs(text: Column) -> dict[str, Column]:
-    """All metrics as unaliased expressions over ``text`` — shared by the
-    per-document feature frame and the single-Column pipeline gate."""
+def _array_exprs(text: Column) -> dict[str, Column]:
+    """The token/line/sorted-gram arrays every metric reads, to be
+    MATERIALIZED as bound columns before any run-length pass runs.
+
+    This staging is load-bearing, not cosmetic: ``_runs`` probes its array
+    with ``element_at`` inside interpreted higher-order lambdas, and an
+    interpreted ``element_at`` re-evaluates its child expression on every
+    probe — an inlined ``array_sort(ngrams(...))`` child turns the O(n)
+    run-length pass into O(n²) full re-tokenizations (measured 34.5 s →
+    1.0 s for 5 000 docs when bound).  A bound column is evaluated once
+    per row and probed by reference."""
     ws = F.split(text, " ")
-    lines = F.split(text, "\n")
+    return {
+        "_rg_ws": ws,
+        "_rg_lines": F.split(text, "\n"),
+        "_rg_s2": F.array_sort(_ngrams(ws, 2)),
+        "_rg_s3": F.array_sort(_ngrams(ws, 3)),
+        "_rg_s5": F.array_sort(_ngrams(ws, 5)),
+    }
+
+
+def _metric_exprs(text: Column) -> dict[str, Column]:
+    """All metrics as expressions over ``text`` plus the bound array
+    columns of :func:`_array_exprs` (which the caller must have staged)."""
+    ws = F.col("_rg_ws")
+    lines = F.col("_rg_lines")
     total_chars = F.length(text)
     n_words = F.size(ws)
     n_lines = F.size(lines)
@@ -133,14 +154,11 @@ def _metric_exprs(text: Column) -> dict[str, Column]:
         ).cast("double")
         / n_words
     )
-    dup_line_frac = (
-        _dup_count(F.array_sort(lines)).cast("double") / n_lines
-    )
-    top2 = _top_char_share(_runs(F.array_sort(_ngrams(ws, 2))), total_chars)
-    top3 = _top_char_share(_runs(F.array_sort(_ngrams(ws, 3))), total_chars)
+    dup_line_frac = _dup_count(lines).cast("double") / n_lines
+    top2 = _top_char_share(_runs(F.col("_rg_s2")), total_chars)
+    top3 = _top_char_share(_runs(F.col("_rg_s3")), total_chars)
     dup5 = (
-        _dup_char_sum(_runs(F.array_sort(_ngrams(ws, 5)))).cast("double")
-        / total_chars
+        _dup_char_sum(_runs(F.col("_rg_s5"))).cast("double") / total_chars
     )
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
     n_ellipsis = (
@@ -180,26 +198,30 @@ def _metric_exprs(text: Column) -> dict[str, Column]:
     }
 
 
-def passes_gopher(text: Column) -> Column:
-    """The Gopher-filter verdict as ONE Column expression — usable inline
-    in any scan (e.g. as the curation pipeline's repetition gate) with no
-    join; Catalyst's common-subexpression elimination shares the token and
-    line arrays across the metric conjuncts."""
-    m = _metric_exprs(text)
+def _verdict(col) -> Column:
+    """The Gopher conjunction over ALREADY-MATERIALIZED metric columns.
+
+    ``col`` maps a metric name to its bound Column.  The conjunction must
+    never be built over the raw metric EXPRESSIONS: each conjunct would
+    clone the full higher-order tree (sort + run-length folds), and the
+    10-conjunct verdict would evaluate every metric twice and blow the
+    expression tree up ~10× — the interpreted-eval cliff the ANN-recall
+    query hit in round 5.  Bound columns keep each metric computed once.
+    """
     th = GOPHER_THRESHOLDS
     return (
-        m["n_words"].between(th["min_words"], th["max_words"])
-        & m["mean_word_len"].between(
+        col("n_words").between(th["min_words"], th["max_words"])
+        & col("mean_word_len").between(
             th["min_mean_word_len"], th["max_mean_word_len"]
         )
-        & (m["symbol_word_ratio"] < th["max_symbol_word_ratio"])
-        & (m["bullet_line_frac"] < th["max_bullet_line_frac"])
-        & (m["ellipsis_line_frac"] < th["max_ellipsis_line_frac"])
-        & (m["alpha_word_frac"] >= th["min_alpha_word_frac"])
-        & (m["dup_line_frac"] <= th["max_dup_line_frac"])
-        & (m["top_2gram_char_frac"] <= th["max_top_2gram_char_frac"])
-        & (m["top_3gram_char_frac"] <= th["max_top_3gram_char_frac"])
-        & (m["dup_5gram_char_frac"] <= th["max_dup_5gram_char_frac"])
+        & (col("symbol_word_ratio") < th["max_symbol_word_ratio"])
+        & (col("bullet_line_frac") < th["max_bullet_line_frac"])
+        & (col("ellipsis_line_frac") < th["max_ellipsis_line_frac"])
+        & (col("alpha_word_frac") >= th["min_alpha_word_frac"])
+        & (col("dup_line_frac") <= th["max_dup_line_frac"])
+        & (col("top_2gram_char_frac") <= th["max_top_2gram_char_frac"])
+        & (col("top_3gram_char_frac") <= th["max_top_3gram_char_frac"])
+        & (col("dup_5gram_char_frac") <= th["max_dup_5gram_char_frac"])
     )
 
 
@@ -208,13 +230,40 @@ def repetition_features(
 ) -> DataFrame:
     """Per-document repetition/boilerplate metrics + the ``passes_gopher``
     verdict.  Map-only: every metric is a higher-order expression over the
-    row's own token/line arrays — no exchange appears in the plan."""
-    text = F.col(text_col)
-    m = _metric_exprs(text)
-    return df.select(
+    row's own token/line arrays — no exchange appears in the plan.  The
+    metrics are materialized as a projection FIRST and the verdict reads
+    the bound columns, so each metric tree is evaluated exactly once."""
+    arrays = _array_exprs(F.col(text_col))
+    staged = df.select(
+        *(id_cols or [c for c in df.columns if c != text_col]),
+        F.col(text_col),
+        *(expr.alias(name) for name, expr in arrays.items()),
+    )
+    m = _metric_exprs(F.col(text_col))
+    metrics = staged.select(
         *(id_cols or [c for c in df.columns if c != text_col]),
         *(expr.alias(name) for name, expr in m.items()),
-        passes_gopher(text).alias("passes_gopher"),
+    )
+    return metrics.withColumn("passes_gopher", _verdict(F.col))
+
+
+def with_passes_gopher(
+    df: DataFrame, text_col: str = "text", out_col: str = "passes_gopher"
+) -> DataFrame:
+    """Attach only the verdict column, all original columns preserved —
+    the curation-pipeline gate shape.  Metrics are materialized under
+    temporary names and dropped, for the same evaluate-once reason."""
+    arrays = _array_exprs(F.col(text_col))
+    staged = df.select(
+        "*", *(expr.alias(name) for name, expr in arrays.items())
+    )
+    m = _metric_exprs(F.col(text_col))
+    tmp = staged.select(
+        "*", *(expr.alias(f"_rgm_{name}") for name, expr in m.items())
+    )
+    out = tmp.withColumn(out_col, _verdict(lambda n: F.col(f"_rgm_{n}")))
+    return out.drop(
+        *arrays.keys(), *[f"_rgm_{name}" for name in m]
     )
 
 

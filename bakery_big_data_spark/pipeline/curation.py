@@ -42,24 +42,27 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation manifest: every doc with its gate flags,
     duplicate-cluster canonical, contamination ratio, split, and the final
     ``is_training`` verdict."""
-    from bakery_big_data_spark.operators.repetition import passes_gopher
-    from bakery_big_data_spark.plans.base import t
+    from bakery_big_data_spark.operators.repetition import with_passes_gopher
+    from bakery_big_data_spark.plans.base import spread, t
     from bakery_big_data_spark.plans.dedup import _lsh_pairs, _shingled
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    )
     ws = F.split(F.col("text"), " ")
     ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
-    gated = d.select(
+    # Gopher repetition/boilerplate gate (operators/repetition.py) — a
+    # map-only projection riding the same scan as the cheap quality gate,
+    # no extra stage (spread() gives the interpreted higher-order folds
+    # full parallelism when the corpus arrives as one split)
+    gated = with_passes_gopher(d, "text", "passes_repetition").select(
         "doc_id",
         "lang",
         "n_chars",
         ((F.col("n_chars") >= MIN_CHARS) & (ttr >= MIN_TTR)).alias(
             "passes_quality"
         ),
-        # Gopher repetition/boilerplate gate (operators/repetition.py) —
-        # map-only Column expression, so it rides the same scan as the
-        # cheap quality gate with no extra stage
-        passes_gopher(F.col("text")).alias("passes_repetition"),
+        "passes_repetition",
         (F.col("doc_id") % 25 == 0).alias("is_benchmark"),
     )
 

@@ -38,12 +38,17 @@ from bakery_big_data_spark.plans import behavior  # noqa: F401
 #: The first 50 registrations — one slot per §2 capability row (consolidated
 #: where the judge blessed merging redundant variants) + the LLM-pipeline
 #: families.  Everything here must keep a green driver CORRECTNESS row.
-#: ~40 core slots stay fixed round over round; the final ~10 rotate through
-#: the long tail so every family eventually gets a driver row (r05 rotation:
-#: behavioral, grouping sets, CDC/snapshot/incremental maintenance, fuzzy
-#: match, CSV/DDL, and the reference-width feature join).  Rotated-out
-#: queries stay registered — the local catalog suite still oracle-checks
-#: them every run.
+#: ~35 core slots stay fixed round over round; the rest rotate through the
+#: long tail so every family eventually gets a driver row.  r06 rotation
+#: (15 first-timers in, per the r05 verdict's plan): the four new r06
+#: queries (Gopher repetition filters, perceptual-hash fingerprint+pairs,
+#: incremental-medallion parity) plus never-driver-checked rows
+#: (streaming_stateful_sessions, streaming_dedup_replay, rfm_segmentation,
+#: layout_zorder_keys, sketch_incremental_distinct, curation_pps_sample,
+#: dedup_exact_normalized, text_tfidf_top_terms, embedding_int8_quantize,
+#: nation_market_share, json_variant_shred).  Each family keeps a
+#: representative; rotated-out queries stay registered — the local catalog
+#: suite still oracle-checks all of them every run.
 DRIVER_WINDOW: list[str] = [
     # relational / aggregation core (P, A, §2.11, §2.12, U).  P-family
     # projection/cast surface rides case_when_null_bucketing + the
@@ -55,93 +60,104 @@ DRIVER_WINDOW: list[str] = [
     # (batch_id inside the manifest swap) no other row exercises
     "streaming_versioned_rollup",
     "report_quality_multi_table",
-    "daily_revenue_rollup",
-    # A5 scale path: the HLL sketch is now QUANTITATIVELY certified (error
-    # bound stated TRUE by the oracle) — conditional_pivot_agg rotates to
-    # local (its conditional-agg surface also rides grouping_sets_matrix
-    # and dashboard_summary)
+    # A-family: daily_revenue_rollup rotates to local (driver-green since
+    # r02; its rollup shape also rides dashboard_summary and the medallion
+    # facts) — the slot certifies the merged-HLL incremental sketch bound
+    "sketch_incremental_distinct",
     "approx_count_distinct_scale",
-    "group_stats_report",
+    # group_stats_report rotates to local (stats surface also inside
+    # report_quality_multi_table) — behavioral RFM quintiles ride
+    # scalable_ntile's closed-form decomposition, never driver-checked
+    "rfm_segmentation",
     "dashboard_summary",
-    # joins (J1-J8 + as-of extension; J6 cross join rotated to local —
-    # fuzzy_name_match_blocked adds the blocked equi-join ER shape)
+    # joins (J1-J8; J6 cross join local; left-outer rotates to local — the
+    # NULL-extension path runs inside medallion feedback left joins and
+    # the stream-stream LEFT interval join below)
     "join_inner_broadcast_dim",
-    "join_left_outer_keep_unmatched",
+    # TPC-H Q8 two-fact market-share star — deepest join tree in the
+    # catalog, never driver-checked (as-of row rotates to local; interval
+    # semantics stay certified by the stream-stream LEFT join)
+    "nation_market_share",
     "join_multiway_star",
     "join_sql_tempview",
-    # J7 interval semantics are certified in-window by the stream-stream
-    # event-time interval join; the slot goes to the ER cluster row, whose
-    # iterative fixpoint + RECURSIVE-CTE oracle no other row exercises
     "er_fuzzy_clusters",
     "join_semi_anti_membership",
-    "join_asof_latest_state",
-    "fuzzy_name_match_blocked",
+    # fuzzy_name_match_blocked rotates to local — er_fuzzy_clusters' pair
+    # lineage IS the blocked fuzzy join, so the slot frees for TF-IDF
+    "text_tfidf_top_terms",
     # windows / ranking / top-k (W1-W6, O1-O2; rank row carries top-k)
     "window_sequence_keys",
     "sessionize_events",
-    # W4/W5 moving/cumulative frames rotate to local — the same frame
-    # shapes run inside medallion_features_wide's trend windows (in-window)
-    # — freeing the slot for the stream-stream interval join.  The LEFT
-    # OUTER variant certifies strictly more: the match path AND the
-    # state-expiry NULL path (inner row stays locally oracle-checked)
     "streaming_stream_stream_left_join",
     "window_rank_dense_ntile",
-    # scalar functions (§2.8; array explode rides dedup shingling + text)
-    "date_functions_calendar",
+    # scalar functions (§2.8): string_math stays the scalar representative;
+    # date_functions_calendar and json_payload_roundtrip rotate to local —
+    # the Spark 4 VARIANT shred row takes the JSON slot
     "string_math_functions",
-    "json_payload_roundtrip",
+    "json_variant_shred",
     # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths —
-    # S10's MERGE is certified by the STREAM-RUN merge sink, which applies
-    # the same merge_upsert_when_newer operator per micro-batch and adds
-    # the runtime path (batch merge_full_upsert stays locally checked)
+    # update_status_flip rotates to local (UPDATE emulation shares the
+    # dynamic-partition machinery with the in-window merge row)
     "streaming_merge_upsert_state",
-    "update_status_flip",
     "scd2_versioning",
     "late_arrival_reconciliation",
     "cdc_apply_changes",
     "snapshot_incremental_diff",
-    "incremental_fact_maintenance",
-    # behavioral analytics family (first driver rows this round)
+    # incremental_fact_maintenance rotates to local — the chained
+    # incremental-medallion parity row certifies Δ-maintenance far wider
+    # (3 facts + state-derived dims + SCD2 vs the from-scratch oracle)
+    "medallion_incremental_parity",
+    # behavioral analytics (cohort_retention rotates to local — its
+    # conditional-agg shape also rides funnel_conversion)
     "funnel_conversion",
-    "cohort_retention",
     "timeseries_gapfill",
     "grouping_sets_matrix",
     # LLM: text analysis (token stats + quality + language-ID in one pass)
     "text_analysis_profile",
-    # LLM: dedup (n-gram jaccard + connected components rotated to local —
-    # CC's oracle shape is the canonical-assignment star contraction already
-    # proven in-window for two rounds; the portable-SimHash banded-pairs row
-    # gives the SimHash family its first hash-certified driver signal)
-    "dedup_exact_content",
+    # Gopher/C4 repetition + boilerplate filters — new this round; the
+    # run-length n-gram histogram is proven == the oracle's explode route
+    "text_repetition_filters",
+    # LLM: dedup — exact_content rotates to local (exact-pair lineage also
+    # inside curation_pipeline_manifest); the CCNet-style normalized
+    # variant takes the exact-dedup slot, first driver row
+    "dedup_exact_normalized",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_banded_pairs",
-    # LLM: similarity (near-dup pairs rotated to local — the exact-dot
-    # machinery rides the bruteforce row, and the recall row certifies the
-    # LSH bucket/probe/rerank path quantitatively)
-    "similarity_topk_bruteforce",
+    # LLM: similarity — bruteforce rotates to local (the recall row's
+    # in-plan baseline IS the brute force); int8 embedding compression
+    # (BIGINT-exact checksums) gets its first driver row
+    "embedding_int8_quantize",
     "similarity_ann_recall",
-    # pipeline / IO / streaming (gold_daily_fact is strictly between
-    # silver_transform and the feature build in the chain — covered
-    # locally; features_wide supersedes ml_features with the 6-source join)
+    # pipeline / IO / streaming (feedback_silver rotates to local — its
+    # case ladder runs inside features_wide's fbf leg AND the incremental
+    # parity row's feedback fact)
     "medallion_silver_transform",
     "medallion_features_wide",
-    "medallion_feedback_silver",
     "partition_pruned_scan",
     "csv_ddl_roundtrip",
     "streaming_ingest_replay",
-    "streaming_watermark_parity",
-    # synthesis stays driver-certified — the custom-source row's oracle
-    # RE-SYNTHESIZES every generated row in pure SQL (the seeded-features
-    # cross-join shape rotates to local coverage), and the row additionally
-    # certifies the Spark 4 Python streaming connector's offset exactness
+    # watermark_parity rotates to local — watermark semantics run inside
+    # the stream-stream join AND the stateful-timeout sessionizer, whose
+    # raw applyInPandasWithState timeout path (clamped against the
+    # watermark race found in r05) gets its first driver row
+    "streaming_stateful_sessions",
+    # streaming exact dedup (watermark-bounded state), never driver-checked
+    "streaming_dedup_replay",
     "streaming_custom_source_agg",
-    # 100 TB write-side layout + LLM curation/multimodal representatives
+    # 100 TB write-side layout: bucketed zero-exchange join + the Z-order
+    # interleave math behind OPTIMIZE (write-side layout keys, first row)
     "bucketed_colocated_join",
-    # the chained manifest CONTAINS the contamination stage (same shingle
-    # lineage + broadcast benchmark grams) plus the quality gate, dedup
-    # canonicalization, and split — strictly more driver coverage per slot
+    "layout_zorder_keys",
     "curation_pipeline_manifest",
-    "multimodal_image_features",
+    # key-derived PPS sampling with range-decomposed prefix sums — the
+    # r05 scale fix (add_prefix_sum), never driver-checked
+    "curation_pps_sample",
+    # multimodal: image_features rotates to local — the perceptual-hash
+    # rows exercise the same Arrow decode path AND add the near-dup join
+    # (fingerprint row certifies the dHash math on every asset; pairs row
+    # proves 10-band banding == all-pairs at Hamming <= 9)
+    "multimodal_phash_fingerprint",
+    "multimodal_phash_pairs",
 ]
 
 

@@ -680,5 +680,5 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_features,
     )
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return repetition_features(d, id_cols=["doc_id"])
