@@ -96,13 +96,17 @@ def _runs(s: Column) -> Column:
 
 
 def _top_char_share(runs: Column, total_chars: Column) -> Column:
-    """max(count × gram chars) / total chars, 0.0 for gram-less docs."""
+    """max(count × gram chars) / total chars, 0.0 for gram-less docs.
+
+    ``try_divide`` because an EMPTY document has zero characters: ANSI
+    ``/`` would kill the job, while NULL matches DuckDB's x/0 → NULL, so
+    the oracle hash stays aligned on degenerate corpora."""
     best = F.array_max(
         F.transform(runs, lambda r: (r["c"] * F.length(r["g"])).cast("bigint"))
     )
-    return F.coalesce(best, F.lit(0).cast("bigint")).cast(
-        "double"
-    ) / total_chars
+    return F.try_divide(
+        F.coalesce(best, F.lit(0).cast("bigint")).cast("double"), total_chars
+    )
 
 
 def _dup_char_sum(runs: Column) -> Column:
@@ -157,8 +161,8 @@ def _metric_exprs(text: Column) -> dict[str, Column]:
     dup_line_frac = _dup_count(lines).cast("double") / n_lines
     top2 = _top_char_share(_runs(F.col("_rg_s2")), total_chars)
     top3 = _top_char_share(_runs(F.col("_rg_s3")), total_chars)
-    dup5 = (
-        _dup_char_sum(_runs(F.col("_rg_s5"))).cast("double") / total_chars
+    dup5 = F.try_divide(
+        _dup_char_sum(_runs(F.col("_rg_s5"))).cast("double"), total_chars
     )
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
     n_ellipsis = (

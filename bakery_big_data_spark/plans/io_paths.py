@@ -172,7 +172,13 @@ def _csv_scratch_path(spark: SparkSession, sf_dir: str) -> str:
     if stale:
         import shutil
 
-        shutil.rmtree(_CSV_DIR, ignore_errors=True)
+        # Build in a session-private temp dir and swap via rename, so a
+        # CONCURRENT session (e.g. bench at sf0.1 while the test suite
+        # runs at sf0.01) never observes a half-written directory and two
+        # writers never collide on PATH_ALREADY_EXISTS; the rename loser
+        # discards its copy and uses the winner's.
+        tmp = f"{_CSV_DIR}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         (
             t(spark, sf_dir, "customer")
             .filter(F.col("c_custkey") <= 2000)
@@ -183,10 +189,15 @@ def _csv_scratch_path(spark: SparkSession, sf_dir: str) -> str:
             )
             .coalesce(1)
             .write.option("header", True)
-            .csv(_CSV_DIR)
+            .csv(tmp)
         )
-        with open(marker, "w") as fh:
+        with open(os.path.join(tmp, "_tag.txt"), "w") as fh:
             fh.write(tag)
+        shutil.rmtree(_CSV_DIR, ignore_errors=True)
+        try:
+            os.rename(tmp, _CSV_DIR)
+        except OSError:  # lost the race — a concurrent session just won
+            shutil.rmtree(tmp, ignore_errors=True)
     return _CSV_DIR
 
 

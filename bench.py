@@ -83,7 +83,10 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     # Emit highest-value queries first and stop at the stdout size budget.
-    priority = [*DRIVER_WINDOW, *[n for n in sorted(timings) if n not in set(DRIVER_WINDOW)]]
+    priority = [
+        *[n for n in DRIVER_WINDOW if n in timings],  # errored rows absent
+        *[n for n in sorted(timings) if n not in set(DRIVER_WINDOW)],
+    ]
     payload = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 4),

@@ -48,7 +48,11 @@ QUERIES = [
     "anomaly_zscore_daily",
     "medallion_silver_transform",
     "medallion_feedback_silver",
+    "medallion_incremental_parity",
     "curation_pipeline_manifest",
+    "text_repetition_filters",
+    "multimodal_phash_fingerprint",
+    "multimodal_phash_pairs",
     "embedding_int8_quantize",
     "embedding_random_projection",
     "json_variant_shred",
