@@ -612,6 +612,7 @@ def run_medallion_incremental(
     """
     from bakery_big_data_spark.operators.mutation import scd2_apply
     from bakery_big_data_spark.sources.snapshots import (
+        last_commit_meta,
         read_snapshot,
         table_exists,
         write_snapshot,
@@ -664,38 +665,53 @@ def run_medallion_incremental(
             ["event_date"],
         )
 
-        delta_state = silver_d.groupBy("event_type", "user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).alias("value_sum"),
-            F.min("event_date").alias("min_date"),
-            F.max("event_date").alias("max_date"),
-        )
-        if table_exists(state_path):
-            prev = read_snapshot(spark, state_path).withColumn(
-                "value_sum", F.col("value_sum").cast("decimal(38,6)")
+        # Exactly-once state maintenance under retries: the applied chunk
+        # id rides INSIDE each snapshot commit (same transactional pattern
+        # as the streaming versioned-rollup sink), so re-running a chunk
+        # after a crash never merges its delta twice.  The partition
+        # overwrites above are naturally idempotent; each stateful table
+        # carries its OWN guard, so a crash between the state commit and
+        # the SCD2 commit replays only the missing one.
+        applied = last_commit_meta(state_path)
+        if applied is None or applied.get("chunk", -1) < ci:
+            delta_state = silver_d.groupBy("event_type", "user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,6)")).alias("value_sum"),
+                F.min("event_date").alias("min_date"),
+                F.max("event_date").alias("max_date"),
             )
-            merged = (
-                prev.unionByName(
-                    delta_state.withColumn(
-                        "value_sum", F.col("value_sum").cast("decimal(38,6)")
+            if table_exists(state_path):
+                prev = read_snapshot(spark, state_path).withColumn(
+                    "value_sum", F.col("value_sum").cast("decimal(38,6)")
+                )
+                merged = (
+                    prev.unionByName(
+                        delta_state.withColumn(
+                            "value_sum",
+                            F.col("value_sum").cast("decimal(38,6)"),
+                        )
+                    )
+                    .groupBy("event_type", "user_id")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("value_sum")
+                        .cast("decimal(38,6)")
+                        .alias("value_sum"),
+                        F.min("min_date").alias("min_date"),
+                        F.max("max_date").alias("max_date"),
                     )
                 )
-                .groupBy("event_type", "user_id")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("value_sum").cast("decimal(38,6)").alias("value_sum"),
-                    F.min("min_date").alias("min_date"),
-                    F.max("max_date").alias("max_date"),
+            else:
+                merged = delta_state.withColumn(
+                    "value_sum", F.col("value_sum").cast("decimal(38,6)")
                 )
-            )
-        else:
-            merged = delta_state.withColumn(
-                "value_sum", F.col("value_sum").cast("decimal(38,6)")
-            )
-        write_snapshot(merged, state_path, meta={"chunk": ci})
+            write_snapshot(merged, state_path, meta={"chunk": ci})
 
         # SCD2: staged profiles come from merged state (full-history band),
         # restricted to the chunk's touched users — changed keys only.
+        applied = last_commit_meta(scd2_path)
+        if applied is not None and applied.get("chunk", -1) >= ci:
+            continue
         state = read_snapshot(spark, state_path)
         profile = state.groupBy("user_id").agg(
             F.floor(F.sum("value_sum") / F.sum("n_events") / 10)

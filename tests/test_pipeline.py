@@ -152,3 +152,37 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # idempotent
     again = run_curation_pipeline(spark, sf_dir, base)
     assert again["training_corpus"].count() == n_train
+
+
+def test_incremental_medallion_replay_is_idempotent(spark, sf_dir):
+    """Re-running the incremental runner over an already-processed corpus
+    (the crash-recovery shape: every chunk replays) must change NOTHING —
+    partition overwrites rewrite identical data, and the applied-chunk
+    guards must skip the state merge and SCD2 apply instead of
+    double-counting deltas or stamping spurious versions."""
+    from bakery_big_data_spark.pipeline.medallion import (
+        run_medallion_incremental,
+    )
+    from bakery_big_data_spark.sources.snapshots import _load_manifest
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+    run_medallion_incremental(spark, sf_dir, base, n_chunks=3)
+
+    def snapshot_counts():
+        state_versions = _load_manifest(f"{base}/type_user_state")["versions"]
+        scd2_versions = _load_manifest(f"{base}/gold_dim_user_scd2")["versions"]
+        fact = spark.read.parquet(f"{base}/gold_fact_daily")
+        dim = spark.read.parquet(f"{base}/gold_dim_user")
+        return (
+            list(state_versions),
+            list(scd2_versions),
+            fact.count(),
+            fact.agg(F.sum("n_events")).collect()[0][0],
+            {(r.user_id, r.n_event_types) for r in dim.collect()},
+        )
+
+    before = snapshot_counts()
+    run_medallion_incremental(spark, sf_dir, base, n_chunks=3)  # full replay
+    after = snapshot_counts()
+    assert before == after
