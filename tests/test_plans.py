@@ -179,3 +179,24 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         )
     o = t(spark, sf_dir, "orders").filter(sel).select("o_orderkey")
     assert n_bloom == li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
+def test_repetition_filters_is_map_only(spark, sf_dir):
+    """The Gopher metrics must add NO exchange beyond spread()'s one
+    round-robin fan-out of the single-split corpus — repetition scoring is
+    a projection, and any groupBy-shaped histogram sneaking back in would
+    shuffle the whole token stream at 100 TB."""
+    plan = _plan(spark, sf_dir, "text_repetition_filters")
+    assert plan.count("Exchange") == 1, plan
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_phash_pairs_is_banded_equi_join(spark, sf_dir):
+    """Perceptual near-dup pairs must come from the band-bucket EQUI-join:
+    a hash join keyed on (band, val) — never a cartesian/nested-loop pair
+    enumeration — with the Hamming cut applied as a join condition."""
+    plan = _plan(spark, sf_dir, "multimodal_phash_pairs")
+    assert "HashJoin" in plan  # broadcast at test size, shuffled at scale
+    assert "band" in plan and "val" in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan  # exact Hamming filter rides the join
