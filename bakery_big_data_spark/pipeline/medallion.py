@@ -577,9 +577,13 @@ def run_medallion_incremental(
     spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
 ) -> dict[str, DataFrame]:
     """The 100 TB DAILY pattern: process only the NEW day-chunk, never the
-    history.  ``run_medallion`` recomputes all layers from scratch; this
-    runner replays the same corpus as ``n_chunks`` chronological arrivals
-    and maintains every table incrementally:
+    history — the semantics the reference gets from its 2-hourly Airflow
+    batch (``orchestration/bakery_batch_etl.py:25`` schedule) driving
+    Iceberg ``MERGE INTO`` jobs (``processing/jobs/bronze_to_silver.py:79``
+    / ``:152``), re-expressed on parquet with partition overwrite +
+    snapshot-manifest state.  ``run_medallion`` recomputes all layers from
+    scratch; this runner replays the same corpus as ``n_chunks``
+    chronological arrivals and maintains every table incrementally:
 
     - **silver / silver_feedback Δ** — the map-only transforms run on the
       new chunk's rows only; dynamic partition overwrite commits just the
