@@ -542,3 +542,176 @@ def rademacher_planes(num_comps: int, dim: int, seed: int = 11) -> list[list[int
         [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
         for _ in range(num_comps)
     ]
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    num_planes: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    num_tables: int = 12,
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Semantic near-duplicate pairs at ``cosine ≥ threshold`` with
+    LSH-bucketed candidates — the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540: embedding-space dedup inside coarse partitions)
+    with the hyperplane tables standing in for the k-means partitions, so
+    every bit of the partitioning is seeded and ANSI-SQL-restatable (the
+    trained IVF quantizer is not).
+
+    Candidates: a pair surfaces iff its signatures collide exactly in ANY
+    of the L seeded tables (MinHash-banding geometry: narrow bands, many
+    tables — miss rate decays geometrically in L), optionally widened by
+    Hamming-``probe_hamming`` XOR probes.  The no-probe default (L=12 ×
+    4 planes) ships each vector through the bucket shuffle 12 times vs
+    ~90 for an equivalent-recall probing config — Arrow volume, not the
+    matmul, is the phase-1 cost.  Work is Σ bucket² per table, never
+    all-pairs.  Measured pair recall vs the exact all-pairs truth: 13/14
+    at sf0.01, 135/144 at sf0.1 — certified quantitatively by
+    ``dedup_semantic_recall``.  At larger corpora raise ``num_planes``
+    (bucket granularity must track corpus size) and ``num_tables`` /
+    ``probe_hamming`` to buy the recall back — the standard LSH dial.
+    """
+    tables = [
+        hyperplane_planes(num_planes, dim, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    masks = _probe_masks(num_planes, probe_hamming)
+    base = (
+        with_norm2(corpus, vec_col, "_n2")
+        .filter(F.col("_n2") > 0)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("_v"),
+            "_n2",
+            *[
+                hyperplane_signature(vec_col, p).alias(f"_s{t}")
+                for t, p in enumerate(tables)
+            ],
+        )
+    )
+    # Two-phase scoring, the near_dup_pairs blocked-matmul design with
+    # LSH buckets replacing id-hash blocks.  Phase 1: every vector lands
+    # once per (table, own-bucket) as an INDEX row and once per (table,
+    # probe-bucket) as a PROBE row; ONE shuffle groups each bucket, and a
+    # numpy matmul scores probe × index inside the group with a margined
+    # threshold (strict superset — float64 matmul error ~1e-13 vs margin
+    # 1e-6).  An interpreted 64-dim fold per candidate would be ~100×
+    # slower, and a pair-level vector join would re-shuffle |candidates| ×
+    # vector-width.  Phase 2 re-scores the few distinct survivors with the
+    # order-exact JVM fold at the true threshold, so the output bits match
+    # the oracle exactly.
+    margin = threshold - 1e-6
+    # ONE explode carries both roles (separate probe/index branches would
+    # evaluate every signature fold per row twice): each row emits its own
+    # bucket per table as the INDEX side, plus (only with probing) the
+    # non-zero XOR masks as PROBE entries.
+    entries = [
+        F.struct(
+            F.lit(t).alias("t"), F.col(f"_s{t}").alias("s"), F.lit(1).alias("side")
+        )
+        for t in range(len(tables))
+    ] + [
+        F.struct(
+            F.lit(t).alias("t"),
+            F.col(f"_s{t}").bitwiseXOR(F.lit(m)).alias("s"),
+            F.lit(0).alias("side"),
+        )
+        for t in range(len(tables))
+        for m in masks
+        if m != 0
+    ]
+    bucket_rows = base.select(
+        "vid",
+        F.col("_v").alias("v"),
+        F.explode(F.array(*entries)).alias("b"),
+    ).select("vid", "v", "b.t", "b.s", F.col("b.side").alias("_side"))
+
+    def bucket_fn(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        index = pdf[pdf["_side"] == 1]
+        if len(index) == 0:
+            return empty
+        ids_i = index["vid"].to_numpy()
+        mat_i = np.stack(index["v"].to_numpy()).astype(np.float64)
+        ni = np.sqrt((mat_i * mat_i).sum(axis=1))
+        outs = []
+
+        def emit(ids_a, mat_a, na):
+            sims = (mat_a @ mat_i.T) / np.outer(na, ni)
+            ii, jj = np.nonzero(sims >= margin)
+            a, b = ids_a[ii], ids_i[jj]
+            keep = a != b
+            lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+            outs.append(pd.DataFrame({"id_a": lo, "id_b": hi}))
+
+        emit(ids_i, mat_i, ni)  # own-bucket collisions (index × index)
+        probe = pdf[pdf["_side"] == 0]
+        if len(probe):  # widened radius (probe × index)
+            ids_p = probe["vid"].to_numpy()
+            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float64)
+            emit(ids_p, mat_p, np.sqrt((mat_p * mat_p).sum(axis=1)))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    survivors = (
+        bucket_rows.groupBy("t", "s")
+        .applyInPandas(bucket_fn, "id_a LONG, id_b LONG")
+        .distinct()
+    )
+    a = base.select(F.col("vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_n2").alias("_na"))
+    b = base.select(F.col("vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n2").alias("_nb"))
+    cosine = dot_exact(F.col("_va"), F.col("_vb")) / F.sqrt(
+        F.col("_na") * F.col("_nb")
+    )
+    return (
+        survivors.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Per-vector semantic-dedup verdict: LSH-candidate pairs → exact
+    cosine gate → min-id star contraction (the same canonicalization shape
+    the exact-dedup family and the curation manifest use; full transitive
+    closure is the connected-components operator).  EVERY corpus id is
+    kept in the output with its canonical and ``is_kept`` — dedup
+    decisions must be auditable, zero-norm vectors canonicalize to
+    themselves."""
+    pairs = semantic_dedup_pairs(
+        corpus, id_col, vec_col, threshold, **lsh_kwargs
+    )
+    # explode, not a two-branch union: a union evaluates the whole LSH +
+    # two-phase-cosine pipeline once per branch
+    nbrs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("vid"), F.col("id_b").alias("nb")),
+                F.struct(F.col("id_b").alias("vid"), F.col("id_a").alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.vid", "e.nb")
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(nbrs, F.col("vec_id") == F.col("vid"), "left")
+        .groupBy("vec_id")
+        .agg(
+            F.least(
+                F.col("vec_id"), F.coalesce(F.min("nb"), F.col("vec_id"))
+            ).alias("canonical_id")
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("canonical_id"))
+    )

@@ -98,3 +98,24 @@ def test_hyperplane_bucketing_prunes(spark, sf_dir):
     biggest = stats.agg(F.max("count")).first()[0]
     assert n_buckets > 16  # signatures actually spread over the key space
     assert biggest < n / 2  # no degenerate mega-bucket
+
+
+def test_semantic_dedup_catches_planted_duplicates(spark):
+    """Identical vectors collide in EVERY LSH table (cosine 1.0), so the
+    star contraction must canonicalize them to the min id regardless of
+    banding luck; a far-away vector must keep itself."""
+    from bakery_big_data_spark.operators.similarity import semantic_dedup
+
+    base = [float((j * 7 + 3) % 11) - 5.0 for j in range(64)]
+    other = [float((j * 13 + 1) % 17) - 8.0 for j in range(64)]
+    rows = [(1, base), (2, base), (5, [x * 2.0 for x in base]), (9, other)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        r.vec_id: (r.canonical_id, r.is_kept)
+        for r in semantic_dedup(df, "vec_id", "embedding", 0.99).collect()
+    }
+    # 1, 2 identical; 5 is a positive scaling (cosine exactly 1.0)
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[5] == (1, False)
+    assert got[9] == (9, True)
