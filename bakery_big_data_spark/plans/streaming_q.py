@@ -567,6 +567,41 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interval_join_sources(
+    spark: SparkSession, sf_dir: str, base: str, src_l: str, src_r: str
+) -> None:
+    """Materialize the two interval-join replay sides (touchpoints /
+    purchases) as chronological JSON sources, each finished with a
+    far-future sentinel batch so every watermark passes every real row's
+    interval end and all pending outer-join state expires."""
+    if not (_needs_rebuild(src_l, sf_dir) or _needs_rebuild(src_r, sf_dir)):
+        return
+    import time as _time
+
+    _reset_scratch(base)
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+    sentinel = ev.agg(
+        F.lit(999999).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    for src, flt in (
+        (src_l, F.col("event_type").isin("click", "view")),
+        (src_r, F.col("event_type") == "purchase"),
+    ):
+        side = ev.filter(flt)
+        _write_json_src(spark, sf_dir, src, side)
+        _time.sleep(0.05)
+        sentinel.select(
+            F.to_json(F.struct(*sentinel.columns), JSON_OPTIONS).alias(
+                "value"
+            )
+        ).coalesce(1).write.mode("append").text(src)
+
+
 @register(
     "streaming_stream_stream_left_join",
     f"""
@@ -612,31 +647,7 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         os.path.join(base, "out"),
         os.path.join(base, "ckpt"),
     )
-    if _needs_rebuild(src_l, sf_dir) or _needs_rebuild(src_r, sf_dir):
-        import time as _time
-
-        _reset_scratch(base)
-        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
-        sentinel = ev.agg(
-            F.lit(999999).cast("long").alias("event_id"),
-            (F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("{}").alias("props"),
-        )
-        for src, flt in (
-            (src_l, F.col("event_type").isin("click", "view")),
-            (src_r, F.col("event_type") == "purchase"),
-        ):
-            side = ev.filter(flt)
-            _write_json_src(spark, sf_dir, src, side)
-            _time.sleep(0.05)
-            sentinel.select(
-                F.to_json(F.struct(*sentinel.columns), JSON_OPTIONS).alias(
-                    "value"
-                )
-            ).coalesce(1).write.mode("append").text(src)
+    _interval_join_sources(spark, sf_dir, base, src_l, src_r)
     joined = interval_left_join_streams(
         read_json_stream(spark, src_l, max_files_per_trigger=1),
         read_json_stream(spark, src_r, max_files_per_trigger=1),
@@ -712,4 +723,70 @@ def streaming_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "streaming_stream_stream_full_join",
+    f"""
+    WITH src AS (
+      SELECT event_id, ts, user_id, event_type
+      FROM events WHERE event_id < {_N}
+    ), l AS (
+      SELECT * FROM src WHERE event_type IN ('click', 'view')
+    ), r AS (
+      SELECT * FROM src WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           l.event_id AS src_event_id,
+           l.ts AS src_ts,
+           r.event_id AS purchase_id,
+           r.ts AS purchase_ts
+    FROM l FULL JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """,
+    doc="Stream-stream FULL OUTER interval join, STREAM-RUN — completes "
+        "the stream-join matrix (inner and LEFT already certified): BOTH "
+        "outer corners emit exactly once when both watermarks pass the "
+        "row's interval end — touchpoints with no conversion in the "
+        "window (NULL right) AND conversions with no preceding touchpoint "
+        "(NULL left, the orphan-conversion audit).  Same chronological "
+        "replay + per-side far-future sentinel discipline as the LEFT "
+        "row; the landed table (sentinels excluded on the coalesced key) "
+        "must hash-match the plain batch FULL JOIN",
+)
+def streaming_stream_stream_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.streaming.ingest import (
+        interval_full_join_streams,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_ssfj")
+    src_l, src_r, out, ckpt = (
+        os.path.join(base, "src_l"),
+        os.path.join(base, "src_r"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    _interval_join_sources(spark, sf_dir, base, src_l, src_r)
+    joined = interval_full_join_streams(
+        read_json_stream(spark, src_l, max_files_per_trigger=1),
+        read_json_stream(spark, src_r, max_files_per_trigger=1),
+        attribution_window="2 hours",
+        watermark_delay="10 minutes",
+    )
+    q = start_append_sink(
+        joined, out, ckpt, available_now=True, query_name="ssfj_replay"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id", "src_event_id", "src_ts", "purchase_id", "purchase_ts"
+        )
     )

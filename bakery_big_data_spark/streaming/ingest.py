@@ -489,3 +489,34 @@ def interval_left_join_streams(
         F.col("r.event_id").alias("purchase_id"),
         F.col("r.ts").alias("purchase_ts"),
     )
+
+
+def interval_full_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both outer corners at
+    once: unmatched LEFT rows (no conversion inside the window) and
+    unmatched RIGHT rows (a conversion with no preceding touchpoint) each
+    emit exactly once, when both watermarks pass the row's interval end.
+    The range condition bounds state on BOTH sides (right rows can only
+    match left rows at most ``attribution_window`` older), which is what
+    lets Spark expire either side's state; the output key coalesces the
+    two sides' user ids since either may be NULL."""
+    l, r = left.alias("l"), right.alias("r")
+    lw = l.withWatermark("ts", watermark_delay)
+    rw = r.withWatermark("ts", watermark_delay)
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return lw.join(rw, cond, "full_outer").select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.col("l.event_id").alias("src_event_id"),
+        F.col("l.ts").alias("src_ts"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
