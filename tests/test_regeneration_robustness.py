@@ -68,6 +68,8 @@ QUERIES = [
     "similarity_topk_bruteforce",
     "embedding_cosine_near_dup_pairs",
     "similarity_ann_recall",
+    "dedup_semantic_embedding",
+    "dedup_semantic_recall",
 ]
 
 
