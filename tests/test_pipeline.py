@@ -186,3 +186,49 @@ def test_incremental_medallion_replay_is_idempotent(spark, sf_dir):
     run_medallion_incremental(spark, sf_dir, base, n_chunks=3)  # full replay
     after = snapshot_counts()
     assert before == after
+
+
+def test_incremental_medallion_chunking_invariance(spark, sf_dir):
+    """The maintained state must not depend on HOW history was chunked:
+    2-chunk and 4-chunk replays of the same corpus must agree on every
+    derived table, and the SCD2 dimension must keep exactly one open
+    version per user whose profile equals the full-history profile."""
+    from bakery_big_data_spark.pipeline.medallion import (
+        run_medallion_incremental,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    outs = {}
+    for n_chunks in (2, 4):
+        base = tempfile.mkdtemp(dir=SCRATCH)
+        outs[n_chunks] = run_medallion_incremental(
+            spark, sf_dir, base, n_chunks=n_chunks
+        )
+
+    def facts(layers):
+        return {
+            (str(r.event_date), r.event_type, r.n_events, r.total_value)
+            for r in layers["fact_daily"].collect()
+        }
+
+    def dim(layers):
+        return {
+            (r.user_id, str(r.first_seen_date), str(r.last_seen_date), r.n_event_types)
+            for r in layers["dim_user"].collect()
+        }
+
+    def scd2_open(layers):
+        cur = layers["dim_user_scd2"].filter(F.col("is_current"))
+        return {
+            (r.user_id, r.value_band, str(r.first_seen_date))
+            for r in cur.collect()
+        }
+
+    assert facts(outs[2]) == facts(outs[4])
+    assert dim(outs[2]) == dim(outs[4])
+    assert scd2_open(outs[2]) == scd2_open(outs[4])
+    # exactly one open version per user, regardless of chunking
+    for layers in outs.values():
+        cur = layers["dim_user_scd2"].filter(F.col("is_current"))
+        n_users = cur.select("user_id").distinct().count()
+        assert cur.count() == n_users
