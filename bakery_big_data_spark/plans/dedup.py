@@ -75,7 +75,9 @@ _PAIRS_CACHE = PlanCache(max_entries=2)
 #: the band-array projection would otherwise inline the vote fold into
 #: every band expression per side (the same CollapseProject blowup the ANN
 #: signature tables hit in round 5 — ~12× the fold cost).
-_SIG_CACHE = PlanCache(max_entries=2)
+# shared by the simhash, phash, and cross-doc-span families — hold one
+# artifact per family without LRU thrash during a full catalog sweep
+_SIG_CACHE = PlanCache(max_entries=4)
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,4 +336,115 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
         .select("canonical_id", "n_members", "content_key")
+    )
+
+
+@register(
+    "dedup_cross_doc_spans",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), base AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             greatest(len(ws) - 4, 0) AS n_spans
+      FROM docs
+    ), occ AS (
+      SELECT doc_id, i AS pos,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                   || ws[i+3] || ' ' || ws[i+4] AS g
+      FROM base, UNNEST(generate_series(1, n - 4)) AS u(i)
+    ), cnt AS (
+      SELECT g, COUNT(*) AS c FROM occ GROUP BY g
+    ), dup AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN cnt ON o.g = cnt.g
+      WHERE cnt.c > 1
+    ), dupstats AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans FROM dup GROUP BY doc_id
+    ), cov AS (
+      SELECT doc_id, COUNT(DISTINCT tok) AS covered_tokens
+      FROM (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS tok
+            FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / b.n
+             AS dup_token_frac
+    FROM base b
+    LEFT JOIN dupstats d ON b.doc_id = d.doc_id
+    LEFT JOIN cov c ON b.doc_id = c.doc_id
+    """,
+    doc="C4-style CROSS-DOCUMENT span dedup statistics (Raffel et al. "
+        "2020 §2.2 deduplicates any three-sentence span occurring more "
+        "than once in the corpus; here the span unit is the 5-token "
+        "window): every span position whose VALUE occurs >1 time "
+        "corpus-wide (within-doc repeats included) is flagged, and each "
+        "document reports its duplicated-span count plus the fraction of "
+        "its tokens covered by the UNION of flagged windows (interval "
+        "union via explode-distinct — overlapping windows never "
+        "double-count).  Sub-document granularity distinguishes this "
+        "from whole-doc dedup AND from the within-doc repetition "
+        "filters.  Plan: one posexplode -> span hash-agg (map-side "
+        "combinable; at 100 TB ship xxhash64(span) as the group key so "
+        "the shuffle carries 8-byte keys, not text) -> membership join "
+        "back -> per-doc coverage agg",
+)
+def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = d.select(
+        "doc_id",
+        n.alias("n"),
+        F.greatest(n - 4, F.lit(0)).alias("n_spans"),
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"), F.array_join(F.slice(ws, i, 5), " ").alias("g")
+            ),
+        ).alias("_spans"),
+    )
+    occ = _SIG_CACHE.get_or_build(
+        spark,
+        (sf_dir, "cross_doc_occ"),
+        lambda: base.select("doc_id", F.explode("_spans").alias("s"))
+        .select("doc_id", "s.pos", "s.g")
+        .persist(),
+    )
+    cnt = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    dup = occ.join(cnt.filter(F.col("c") > 1).select("g"), "g")
+    dupstats = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("covered_tokens"))
+    )
+    return (
+        base.drop("_spans")
+        .join(dupstats, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.col("n")
+            ).alias("dup_token_frac"),
+        )
     )

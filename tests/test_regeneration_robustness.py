@@ -69,6 +69,7 @@ QUERIES = [
     "embedding_cosine_near_dup_pairs",
     "similarity_ann_recall",
     "dedup_semantic_embedding",
+    "dedup_cross_doc_spans",
     "dedup_semantic_recall",
 ]
 
