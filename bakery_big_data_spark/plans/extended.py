@@ -676,3 +676,72 @@ def er_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "c_custkey", F.col("canonical_id").cast("bigint").alias("cluster_id")
     )
+
+
+@register(
+    "quantile_exact_scalable",
+    """
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice,
+                                         l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ), targets AS (
+      -- q cast to DOUBLE: DuckDB's unnest([0.5, ...]) is DECIMAL and
+      -- would serialize '0.50' against Spark's double '0.5'
+      SELECT CAST(q AS DOUBLE) AS q, CAST(CEIL(q * n) AS BIGINT) AS target, n
+      FROM (SELECT DISTINCT n, unnest([0.5, 0.9, 0.99]) AS q FROM ranked)
+    )
+    SELECT t.q AS quantile,
+           CAST(r.l_extendedprice AS DOUBLE) AS value,
+           t.target AS rank, t.n AS n_rows
+    FROM targets t JOIN ranked r ON r.rk = t.target
+    """,
+    doc="EXACT global quantiles at 100 TB scale — the distributed path "
+        "percentile_quantiles' docstring defers to, made real: the global "
+        "rank comes from add_surrogate_key's range-partition decomposition "
+        "(fully parallel, no single-task global window) over a total "
+        "order, targets are rank = ceil(q*n) from the lazy 1-row count, "
+        "and the answer rows are selected by an equi-join on rank.  "
+        "Contract: discrete (type-1) quantile, value at the ceil(q*n)-th "
+        "smallest — stated identically in the oracle's ROW_NUMBER "
+        "restatement, so the hash certifies the decomposition is "
+        "rank-exact, not merely approximately right",
+)
+def quantile_exact_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.keys import add_surrogate_key
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = add_surrogate_key(
+        li,
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        key_col="rk",
+    )
+    # count from the raw scan, not from `ranked` — the latter would run
+    # the whole range-decomposition machinery a second time just to count
+    n_row = li.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        n_row.select(
+            F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+                "quantile"
+            ),
+            "n",
+        )
+        .select(
+            "quantile",
+            F.ceil(F.col("quantile") * F.col("n")).cast("bigint").alias("rank"),
+            "n",
+        )
+    )
+    return (
+        ranked.join(F.broadcast(targets), F.col("rk") == F.col("rank"))
+        .select(
+            "quantile",
+            F.col("l_extendedprice").cast("double").alias("value"),
+            "rank",
+            F.col("n").alias("n_rows"),
+        )
+    )
