@@ -79,11 +79,22 @@ def _maintenance(args: argparse.Namespace) -> dict[str, int]:
                 expire_snapshots(path, keep_last=args.keep_last)
             )
         elif any(f.endswith(".parquet") for f in os.listdir(path)):
-            # Z-order only tables that actually carry the requested dims;
-            # others get plain compaction instead of failing mid-loop
-            # (after earlier tables were already rewritten).
-            cols = set(spark.read.parquet(path).schema.names)
-            table_zdims = zdims if zdims and set(zdims) <= cols else None
+            # Z-order only tables that carry the requested dims as
+            # INTEGRAL columns (the Morton key is bit interleaving — a
+            # double dim would fail analysis); others get plain
+            # compaction instead of failing mid-loop (after earlier
+            # tables were already rewritten).
+            integral = {"byte", "short", "int", "integer", "bigint", "long"}
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in spark.read.parquet(path).schema.fields
+            }
+            table_zdims = (
+                zdims
+                if zdims
+                and all(types.get(d, "") in integral for d in zdims)
+                else None
+            )
             optimize_table(spark, path, zorder_dims=table_zdims)
             summary["tables_optimized"] += 1
     return summary

@@ -52,3 +52,45 @@ def test_maintenance_job(spark, sf_dir, tmp_path):
     assert out["versions_expired"] == 2
     assert spark.read.parquet(str(lake / "frag")).count() == ev.count()
     assert read_snapshot(spark, str(lake / "gold")).count() == ev.count()
+
+
+def test_maintenance_zorder_falls_back_on_missing_dims(spark, sf_dir, tmp_path):
+    """--zorder dims apply only to tables carrying those columns with
+    INTEGRAL types (the Morton key is bit interleaving); tables missing a
+    dim — or carrying it as a double — must get plain compaction instead
+    of failing the sweep mid-loop (after earlier tables were rewritten)."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.jobs import main
+    from bakery_big_data_spark.sources.tables import load_table
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    with_dims = ev.select("event_id", "user_id", "value")  # both dims BIGINT
+    missing_dim = ev.select("event_id", "value")           # no user_id
+    double_dim = ev.select("event_id", F.col("value").alias("user_id"))
+    for name, df in (
+        ("zt", with_dims),
+        ("plain", missing_dim),
+        ("dbl", double_dim),
+    ):
+        for i in range(3):
+            df.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(lake / name))
+
+    out = main(
+        [
+            "maintenance",
+            "--lake",
+            str(lake),
+            "--keep-last",
+            "1",
+            "--zorder",
+            "event_id,user_id",
+        ]
+    )
+    assert out["tables_optimized"] == 3  # all survive the sweep
+    for name in ("zt", "plain", "dbl"):
+        assert spark.read.parquet(str(lake / name)).count() == ev.count()
