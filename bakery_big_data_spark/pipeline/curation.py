@@ -203,3 +203,277 @@ def run_curation_pipeline(
         "training_corpus": spark.read.parquet(f"{base_path}/training_corpus"),
         "packed_train": spark.read.parquet(f"{base_path}/packed_train"),
     }
+
+
+def run_curation_incremental(
+    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Incremental-view-maintenance for the curation chain: the corpus
+    arrives as ``n_chunks`` doc-id-range batches and every stage's state
+    is maintained by Δ-work only — the 100 TB daily-crawl pattern, where
+    re-shingling yesterday's petabytes per arrival is not an option.
+
+    Maintained state (all committed through the atomic snapshot manifest
+    with per-table applied-chunk guards, so crash replays are exactly-once
+    — same discipline as ``run_medallion_incremental``):
+
+    - ``doc_state`` — per-doc arrival-time columns (quality + repetition
+      gates, benchmark flag, DISTINCT trigram shingles) plus the running
+      contamination counters ``(n_grams, n_shared)``;
+    - ``band_state`` — each doc's 16 MinHash band hashes (the LSH index);
+    - ``bench_grams`` — the distinct benchmark gram-hash set seen so far;
+    - ``pairs_state`` — verified near-dup pairs accumulated.
+
+    Δ-work per chunk: new docs shingle/gate once (map-only); candidate
+    pairs come from joining ONLY the new docs' bands against the full band
+    index (band collisions are pairwise, so new-vs-all ∪ new-vs-new over
+    all chunks reproduces the full run's candidate set EXACTLY); exact
+    Jaccard verifies only the new candidates; contamination counters
+    update by two Δ-joins — new docs vs the full bench set, old docs vs
+    only the NEVER-SEEN bench grams (so a benchmark doc arriving late
+    retro-contaminates earlier docs, exactly as the full run scores them).
+    State carries distinct shingle STRINGS for bit-exact Jaccard parity
+    with the from-scratch run; at extreme scale the verify proxy would be
+    the MinHash signature already in ``band_state``.
+
+    Returns the final manifest, which ``curation_incremental_parity``
+    hash-certifies against the SAME DuckDB oracle as the full-run
+    ``curation_pipeline_manifest`` — incremental == full, stage
+    interactions included.
+    """
+    from bakery_big_data_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signature,
+        verify_pairs,
+        word_shingles,
+    )
+    from bakery_big_data_spark.operators.repetition import with_passes_gopher
+    from bakery_big_data_spark.plans.base import spread, t
+    from bakery_big_data_spark.sources.snapshots import (
+        last_commit_meta,
+        read_snapshot,
+        table_exists,
+        write_snapshot,
+    )
+
+    docs_all = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    lo_hi = docs_all.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    lo_all, hi_all = int(lo_hi[0]), int(lo_hi[1])
+    span = hi_all - lo_all + 1
+    bounds = [lo_all + span * i // n_chunks for i in range(n_chunks + 1)]
+
+    ds_path = f"{base_path}/doc_state"
+    band_path = f"{base_path}/band_state"
+    bench_path = f"{base_path}/bench_grams"
+    pairs_path = f"{base_path}/pairs_state"
+
+    def _applied(path: str, ci: int) -> bool:
+        meta = last_commit_meta(path)
+        return meta is not None and meta.get("chunk", -1) >= ci
+
+    for ci in range(n_chunks):
+        clo, chi = bounds[ci], bounds[ci + 1] - 1
+        if chi < clo or all(
+            _applied(p, ci)
+            for p in (ds_path, band_path, bench_path, pairs_path)
+        ):
+            continue
+        delta = spread(docs_all.filter(F.col("doc_id").between(clo, chi)))
+        ws = F.split(F.col("text"), " ")
+        ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+        feat = with_passes_gopher(delta, "text", "passes_repetition").select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("n_chars") >= MIN_CHARS) & (ttr >= MIN_TTR)).alias(
+                "passes_quality"
+            ),
+            "passes_repetition",
+            (F.col("doc_id") % 25 == 0).alias("is_benchmark"),
+            word_shingles("text", n=3).alias("shingles"),
+        )
+
+        # --- benchmark gram set: old ∪ never-seen-new -------------------
+        new_bench = (
+            feat.filter(F.col("is_benchmark"))
+            .select(F.explode("shingles").alias("g"))
+            .select(F.xxhash64("g").alias("gh"))
+            .distinct()
+        )
+        if table_exists(bench_path):
+            old_bench = read_snapshot(spark, bench_path)
+            new_only = new_bench.join(old_bench, "gh", "left_anti")
+        else:
+            old_bench = None
+            new_only = new_bench
+        if not _applied(bench_path, ci):
+            full_bench = (
+                old_bench.unionByName(new_only)
+                if old_bench is not None
+                else new_only
+            )
+            write_snapshot(full_bench, bench_path, meta={"chunk": ci})
+        full_bench = read_snapshot(spark, bench_path)
+
+        # --- doc state: new docs scored vs the full bench set, old docs
+        # retro-updated vs only the never-seen grams ---------------------
+        if not _applied(ds_path, ci):
+            dg = feat.select(
+                "doc_id", F.explode_outer("shingles").alias("g")
+            ).select(
+                "doc_id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("gh")
+            )
+            shared0 = (
+                dg.join(full_bench, "gh")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_n_shared0"))
+            )
+            new_state = (
+                feat.join(shared0, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "lang",
+                    "n_chars",
+                    "passes_quality",
+                    "passes_repetition",
+                    "is_benchmark",
+                    "shingles",
+                    F.size("shingles").cast("bigint").alias("n_grams"),
+                    F.coalesce(F.col("_n_shared0"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_shared"),
+                )
+            )
+            if table_exists(ds_path):
+                old = read_snapshot(spark, ds_path)
+                og = old.select(
+                    "doc_id", F.explode("shingles").alias("g")
+                ).select("doc_id", F.xxhash64("g").alias("gh"))
+                add = (
+                    og.join(new_only, "gh")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("_add"))
+                )
+                old = (
+                    old.join(add, "doc_id", "left")
+                    .withColumn(
+                        "n_shared",
+                        F.col("n_shared")
+                        + F.coalesce(F.col("_add"), F.lit(0)),
+                    )
+                    .drop("_add")
+                )
+                merged = old.unionByName(new_state)
+            else:
+                merged = new_state
+            write_snapshot(merged, ds_path, meta={"chunk": ci})
+        doc_state = read_snapshot(spark, ds_path)
+
+        # --- LSH index + Δ candidate pairs ------------------------------
+        sigd = feat.filter(F.size("shingles") > 0).select(
+            "doc_id",
+            minhash_signature(F.col("shingles"), num_hashes=32).alias("_sig"),
+        )
+        dbands = sigd.select(
+            "doc_id",
+            F.posexplode(lsh_band_hashes(F.col("_sig"), 16, 2)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+        if not _applied(band_path, ci):
+            all_bands = (
+                read_snapshot(spark, band_path).unionByName(dbands)
+                if table_exists(band_path)
+                else dbands
+            )
+            write_snapshot(all_bands, band_path, meta={"chunk": ci})
+        all_bands = read_snapshot(spark, band_path)
+
+        if not _applied(pairs_path, ci):
+            n, o = dbands.alias("n"), all_bands.alias("o")
+            cand = (
+                n.join(
+                    o,
+                    (F.col("n.band_idx") == F.col("o.band_idx"))
+                    & (F.col("n.band_hash") == F.col("o.band_hash"))
+                    & (F.col("n.doc_id") != F.col("o.doc_id")),
+                )
+                .select(
+                    F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
+                    F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias(
+                        "id_b"
+                    ),
+                )
+                .distinct()
+            )
+            verified = verify_pairs(
+                cand,
+                doc_state.select("doc_id", "shingles"),
+                "doc_id",
+                "shingles",
+                threshold=0.5,
+            ).select("id_a", "id_b")
+            pairs = (
+                read_snapshot(spark, pairs_path)
+                .unionByName(verified)
+                .distinct()
+                if table_exists(pairs_path)
+                else verified.distinct()
+            )
+            write_snapshot(pairs, pairs_path, meta={"chunk": ci})
+
+    # --- final manifest, derived from state only ------------------------
+    state = read_snapshot(spark, ds_path)
+    pairs = read_snapshot(spark, pairs_path)
+    nbrs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("doc_id"), F.col("id_b").alias("nb")),
+                F.struct(F.col("id_b").alias("doc_id"), F.col("id_a").alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.nb")
+    canon = (
+        state.select("doc_id")
+        .join(nbrs, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.least(
+                F.col("doc_id"), F.coalesce(F.min("nb"), F.col("doc_id"))
+            ).alias("canonical_id")
+        )
+    )
+    u = (
+        (F.col("doc_id").cast("bigint") * _SPLIT_A + F.lit(_SPLIT_C)) % _LCG_M
+    ) / F.lit(float(_LCG_M))
+    contamination = (
+        F.when(F.col("is_benchmark") | (F.col("n_grams") == 0), F.lit(0.0))
+        .otherwise(F.col("n_shared").cast("double") / F.col("n_grams"))
+    )
+    manifest = (
+        state.join(canon, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "passes_quality",
+            "passes_repetition",
+            "is_benchmark",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+            contamination.alias("contamination_ratio"),
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+    )
+    return manifest.withColumn(
+        "is_training",
+        F.col("passes_quality")
+        & F.col("passes_repetition")
+        & ~F.col("is_benchmark")
+        & (F.col("doc_id") == F.col("canonical_id"))
+        & (F.col("contamination_ratio") < CONTAMINATION_MAX),
+    )

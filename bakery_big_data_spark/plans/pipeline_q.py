@@ -327,9 +327,7 @@ def medallion_dim_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bakery_big_data_spark.plans.dedup import _EXACT_PAIRS_SQL  # noqa: E402
 
 
-@register(
-    "curation_pipeline_manifest",
-    f"""
+_CURATION_MANIFEST_SQL =     f"""
     WITH pairs AS ({_EXACT_PAIRS_SQL}),
     nbr AS (
       SELECT id_a AS doc_id, id_b AS nb FROM pairs
@@ -441,7 +439,12 @@ from bakery_big_data_spark.plans.dedup import _EXACT_PAIRS_SQL  # noqa: E402
     JOIN canon c ON b.doc_id = c.doc_id
     JOIN rep r ON b.doc_id = r.doc_id
     LEFT JOIN contam m ON b.doc_id = m.doc_id
-    """,
+    """
+
+
+@register(
+    "curation_pipeline_manifest",
+    _CURATION_MANIFEST_SQL,
     doc="The LLM-data pipeline CHAINED end to end (pipeline/curation.py — "
         "the curation counterpart of run_medallion): quality gate → "
         "Gopher repetition/boilerplate gate (operators/repetition.py, "
@@ -655,3 +658,58 @@ def medallion_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in parts[1:]:
         out = out.unionAll(fr)
     return out
+
+
+@register(
+    "curation_incremental_parity",
+    _CURATION_MANIFEST_SQL,
+    doc="INCREMENTAL curation == FULL curation, certified by hash: "
+        "pipeline/curation.py::run_curation_incremental replays the corpus "
+        "as 4 doc-id-range arrivals and maintains every stage's state by "
+        "Δ-work only — new docs shingle/gate once, candidate pairs join "
+        "only the NEW docs' MinHash bands against the accumulated band "
+        "index (band collisions are pairwise, so the full run's candidate "
+        "set is reproduced exactly), exact Jaccard verifies only new "
+        "candidates, and contamination counters update via two Δ-joins "
+        "(new docs vs the full benchmark gram set, OLD docs vs only the "
+        "never-seen grams — a late-arriving benchmark doc "
+        "retro-contaminates earlier docs exactly as the full run scores "
+        "them).  The oracle is the SAME from-scratch SQL composition the "
+        "full-run manifest row uses, so the driver hash proves "
+        "incremental_run(chunks 1..N) == full_run across quality, "
+        "repetition, dedup-canonicalization, decontamination, split, and "
+        "the is_training verdict",
+)
+def curation_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import bakery_big_data_spark.pipeline.curation as curmod
+    from bakery_big_data_spark.pipeline.curation import (
+        run_curation_incremental,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/root/repo/.scratch/curation_incr/{tag}"
+    marker = f"{base}/_done"
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        try:
+            src_mtime = max(
+                os.path.getmtime(curmod.__file__),
+                os.path.getmtime(os.path.join(sf_dir, "documents.parquet")),
+            )
+            return src_mtime >= os.path.getmtime(marker)
+        except OSError:
+            return True
+
+    if _stale():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        manifest = run_curation_incremental(spark, sf_dir, base, n_chunks=4)
+        manifest.write.mode("overwrite").parquet(f"{base}/manifest")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(f"{base}/manifest")

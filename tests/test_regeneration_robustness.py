@@ -50,6 +50,7 @@ QUERIES = [
     "medallion_feedback_silver",
     "medallion_incremental_parity",
     "curation_pipeline_manifest",
+    "curation_incremental_parity",
     "text_repetition_filters",
     "multimodal_phash_fingerprint",
     "multimodal_phash_pairs",
