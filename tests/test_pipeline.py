@@ -232,3 +232,31 @@ def test_incremental_medallion_chunking_invariance(spark, sf_dir):
         cur = layers["dim_user_scd2"].filter(F.col("is_current"))
         n_users = cur.select("user_id").distinct().count()
         assert cur.count() == n_users
+
+
+def test_incremental_curation_replay_is_idempotent(spark, sf_dir):
+    """Replaying the incremental curation runner over already-processed
+    chunks must not double-merge any state (contamination counters and
+    pair sets are the dangerous ones) or stamp new snapshot versions."""
+    from bakery_big_data_spark.pipeline.curation import (
+        run_curation_incremental,
+    )
+    from bakery_big_data_spark.sources.snapshots import _load_manifest
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+
+    def fingerprint(m):
+        rows = {
+            (r.doc_id, r.canonical_id, r.contamination_ratio, r.is_training)
+            for r in m.collect()
+        }
+        versions = {
+            t: list(_load_manifest(f"{base}/{t}")["versions"])
+            for t in ("doc_state", "band_state", "bench_grams", "pairs_state")
+        }
+        return rows, versions
+
+    first = fingerprint(run_curation_incremental(spark, sf_dir, base, 3))
+    second = fingerprint(run_curation_incremental(spark, sf_dir, base, 3))
+    assert first == second
