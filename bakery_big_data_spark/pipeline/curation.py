@@ -8,14 +8,21 @@ DataFrame builders and one committing runner:
 
 1. **quality gate** — minimum length + lexical diversity (the cheap
    filters run FIRST so every later stage sees fewer rows);
-2. **dedup canonicalization** — LSH-verified near-dup pairs → min-id star
+2. **repetition gate** — the Gopher/C4 boilerplate filters
+   (operators/repetition.py) as a map-only projection on the same scan;
+3. **dedup canonicalization** — LSH-verified near-dup pairs → min-id star
    contraction; only cluster canonicals survive (non-canonicals carry
    their canonical_id in the manifest for lineage);
-3. **decontamination** — word-trigram overlap vs the benchmark slice
+4. **decontamination** — word-trigram overlap vs the benchmark slice
    (doc_id % 25 == 0 here); benchmark docs themselves never become
    training docs;
-4. **split assignment** — the key-derived LCG uniform (layout- and
+5. **split assignment** — the key-derived LCG uniform (layout- and
    engine-independent; F.rand would reshuffle splits across re-runs).
+
+:func:`run_curation_incremental` maintains the same chain under batched
+corpus ARRIVALS with Δ-work only (snapshot-committed doc/band/bench-gram/
+pair state, per-table applied-chunk guards) — hash-certified equal to the
+from-scratch run by ``curation_incremental_parity``.
 
 The manifest keeps EVERY corpus doc with its flags — curation decisions
 must be auditable, so drops are recorded, not silently vanished.  At
