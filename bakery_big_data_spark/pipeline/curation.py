@@ -303,6 +303,14 @@ def run_curation_incremental(
         )
 
         # --- benchmark gram set: old ∪ never-seen-new -------------------
+        # COMMIT ORDER IS LOAD-BEARING: doc_state commits BEFORE
+        # bench_grams.  new_only (the never-seen grams that drive the
+        # retro-update of old docs) is derived from the bench state of the
+        # PREVIOUS chunk, so if bench_grams had already advanced when a
+        # crashed chunk replays, new_only would come out empty and the
+        # retro-scores would be silently lost.  With doc-then-bench order,
+        # a replayed chunk either recomputes both from the old bench state
+        # or skips both.
         new_bench = (
             feat.filter(F.col("is_benchmark"))
             .select(F.explode("shingles").alias("g"))
@@ -312,17 +320,10 @@ def run_curation_incremental(
         if table_exists(bench_path):
             old_bench = read_snapshot(spark, bench_path)
             new_only = new_bench.join(old_bench, "gh", "left_anti")
+            full_bench = old_bench.unionByName(new_only)
         else:
-            old_bench = None
             new_only = new_bench
-        if not _applied(bench_path, ci):
-            full_bench = (
-                old_bench.unionByName(new_only)
-                if old_bench is not None
-                else new_only
-            )
-            write_snapshot(full_bench, bench_path, meta={"chunk": ci})
-        full_bench = read_snapshot(spark, bench_path)
+            full_bench = new_bench
 
         # --- doc state: new docs scored vs the full bench set, old docs
         # retro-updated vs only the never-seen grams ---------------------
@@ -377,6 +378,8 @@ def run_curation_incremental(
                 merged = new_state
             write_snapshot(merged, ds_path, meta={"chunk": ci})
         doc_state = read_snapshot(spark, ds_path)
+        if not _applied(bench_path, ci):
+            write_snapshot(full_bench, bench_path, meta={"chunk": ci})
 
         # --- LSH index + Δ candidate pairs ------------------------------
         sigd = feat.filter(F.size("shingles") > 0).select(

@@ -260,3 +260,47 @@ def test_incremental_curation_replay_is_idempotent(spark, sf_dir):
     first = fingerprint(run_curation_incremental(spark, sf_dir, base, 3))
     second = fingerprint(run_curation_incremental(spark, sf_dir, base, 3))
     assert first == second
+
+
+def test_incremental_curation_survives_mid_chunk_crash(spark, sf_dir):
+    """Crash between the doc_state commit and the bench_grams commit of a
+    chunk (the designed replay window: doc commits first), then replay:
+    the rerun must converge to exactly the full-run manifest — in
+    particular the retro-contamination scores derived from never-seen
+    benchmark grams must not be lost."""
+    from bakery_big_data_spark.pipeline import curation as curmod
+    from bakery_big_data_spark.pipeline.curation import (
+        curation_manifest,
+        run_curation_incremental,
+    )
+    from bakery_big_data_spark.sources import snapshots as snapmod
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+
+    real_write = snapmod.write_snapshot
+    state = {"armed": True}
+
+    def crashing_write(df, table_path, meta=None):
+        if state["armed"] and table_path.endswith("/bench_grams"):
+            state["armed"] = False  # crash exactly once, on the 1st chunk
+            raise RuntimeError("injected crash before bench commit")
+        return real_write(df, table_path, meta=meta)
+
+    snapmod.write_snapshot = crashing_write
+    try:
+        try:
+            run_curation_incremental(spark, sf_dir, base, n_chunks=2)
+            raise AssertionError("injected crash did not fire")
+        except RuntimeError as exc:
+            assert "injected" in str(exc)
+    finally:
+        snapmod.write_snapshot = real_write
+
+    got = run_curation_incremental(spark, sf_dir, base, n_chunks=2)  # replay
+    want = curation_manifest(spark, sf_dir)
+    key = lambda df: {  # noqa: E731
+        (r.doc_id, r.canonical_id, round(r.contamination_ratio, 12), r.is_training)
+        for r in df.collect()
+    }
+    assert key(got) == key(want)
