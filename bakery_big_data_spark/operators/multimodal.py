@@ -127,9 +127,9 @@ def image_features(media: DataFrame, grid_width: int = 16) -> DataFrame:
     )
 
 
-def perceptual_hash(media: DataFrame, n_chunks: int = 63) -> DataFrame:
+def perceptual_hash(media: DataFrame) -> DataFrame:
     """dHash-style perceptual fingerprint over the decoded sample stream:
-    downsample the payload into ``n_chunks`` equal spans, emit one gradient
+    downsample the payload into 63 equal spans, emit one gradient
     bit per adjacent span pair (``mean(span_k) > mean(span_k+1)``, compared
     as the exact integer cross product ``sum_k·len_k+1 > sum_k+1·len_k``),
     packed into two 31-bit BIGINT halves — the same ``(id, hi, lo)``
@@ -143,9 +143,10 @@ def perceptual_hash(media: DataFrame, n_chunks: int = 63) -> DataFrame:
     certifies the fingerprint math end to end.  Map-only Arrow batches —
     fingerprinting adds no shuffle at any corpus size.
     """
-    n_bits = n_chunks - 1
-    if n_bits != 62:
-        raise ValueError("the packed-halves layout expects 63 chunks (62 bits)")
+    # 63 chunks -> 62 gradient bits, packed as two 31-bit BIGINT halves;
+    # the chunk count is fixed because the hi/lo packing below and the
+    # banded-Hamming consumers assume exactly 31 bits per half.
+    n_chunks = 63
 
     def ph(batches: Iterator) -> Iterator:
         import numpy as np

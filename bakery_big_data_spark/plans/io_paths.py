@@ -149,20 +149,27 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CSV_DIR = "/root/repo/.scratch/csv_ddl/customer_sample_csv"
+def _csv_dir(tag: str) -> str:
+    # sf-tagged so concurrent sessions at different scale factors (bench
+    # at sf0.1 while the test suite runs at sf0.001) never share a
+    # directory — the rename race can then only ever install a copy of
+    # the SAME data
+    return f"/root/repo/.scratch/csv_ddl/customer_sample_csv_{tag}"
 
 
 def _csv_scratch_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize a CSV copy of a customer slice at a FIXED path (the
-    static oracle SQL embeds it), keyed on source mtime + scale-factor tag:
-    a driver testdata regeneration or an sf switch rewrites the CSV before
-    either engine reads it.  Values are stringified deterministically
-    (acctbal pre-cast to DECIMAL(15,2)) so the text round-trips exactly in
-    both engines; headers use dotted names ('cust.key', 'acct.bal') to
-    exercise quoted-identifier handling on read."""
-    marker = os.path.join(_CSV_DIR, "_tag.txt")
-    src = os.path.join(sf_dir, "customer.parquet")
+    """Materialize a CSV copy of a customer slice at an sf-tagged path,
+    keyed on source mtime: a driver testdata regeneration rewrites the CSV
+    before either engine reads it.  Values are stringified
+    deterministically (acctbal pre-cast to DECIMAL(15,2); the generator
+    emits exact 2-decimal values at every sf, so the cast is exact) and
+    the round trip is certified against the SOURCE table by the oracle —
+    headers use dotted names ('cust.key', 'acct.bal') to exercise
+    quoted-identifier handling on read."""
     tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = _csv_dir(tag)
+    marker = os.path.join(out_dir, "_tag.txt")
+    src = os.path.join(sf_dir, "customer.parquet")
     stale = True
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -173,11 +180,11 @@ def _csv_scratch_path(spark: SparkSession, sf_dir: str) -> str:
         import shutil
 
         # Build in a session-private temp dir and swap via rename, so a
-        # CONCURRENT session (e.g. bench at sf0.1 while the test suite
-        # runs at sf0.01) never observes a half-written directory and two
-        # writers never collide on PATH_ALREADY_EXISTS; the rename loser
-        # discards its copy and uses the winner's.
-        tmp = f"{_CSV_DIR}.tmp-{os.getpid()}"
+        # CONCURRENT session at the SAME scale factor never observes a
+        # half-written directory and two writers never collide on
+        # PATH_ALREADY_EXISTS; the rename loser discards its copy and
+        # uses the winner's (identical data — the path is sf-tagged).
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         (
             t(spark, sf_dir, "customer")
@@ -193,36 +200,39 @@ def _csv_scratch_path(spark: SparkSession, sf_dir: str) -> str:
         )
         with open(os.path.join(tmp, "_tag.txt"), "w") as fh:
             fh.write(tag)
-        shutil.rmtree(_CSV_DIR, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
         try:
-            os.rename(tmp, _CSV_DIR)
+            os.rename(tmp, out_dir)
         except OSError:  # lost the race — a concurrent session just won
             shutil.rmtree(tmp, ignore_errors=True)
-    return _CSV_DIR
+    return out_dir
 
 
 @register(
     "csv_ddl_roundtrip",
-    f"""
-    SELECT segment,
+    """
+    SELECT c_mktsegment AS segment,
            COUNT(*) AS n_customers,
-           CAST(SUM("acct.bal") AS DOUBLE) AS total_balance,
-           CAST(MAX("cust.key") AS BIGINT) AS max_key
-    FROM read_csv('{_CSV_DIR}/*.csv', header=true,
-                  columns={{'cust.key': 'BIGINT',
-                           'segment': 'VARCHAR',
-                           'acct.bal': 'DECIMAL(15,2)'}})
-    GROUP BY segment
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE)
+             AS total_balance,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    WHERE c_custkey <= 2000
+    GROUP BY c_mktsegment
     """,
     doc="S4+S12+S13 in one driver row: a CSV scratch written by the engine "
         "is read back with an EXPLICIT schema (no inference — dotted "
         "headers 'cust.key'/'acct.bal' exercise backtick quoting, decimal "
-        "casts keep the text round-trip exact), CTAS'd into a catalog "
+        "casts keep the text round-trip exact: the generator emits exact "
+        "2-decimal acctbal at every sf), CTAS'd into a catalog "
         "database (CREATE DATABASE + CREATE TABLE AS SELECT, reference "
         "init_iceberg_tables.py:29 namespaces / "
         "bakery_csv_etl_pipeline.py:260-262 CTAS), and aggregated from the "
-        "catalog table.  The oracle reads the same CSV via read_csv with "
-        "the same explicit column types",
+        "catalog table.  The oracle recomputes the aggregate from the "
+        "SOURCE customer table, so the hash certifies the whole "
+        "write-CSV -> read-CSV -> CTAS -> aggregate round trip end to "
+        "end (and the sf-tagged scratch path means concurrent sessions "
+        "at different scale factors never share a directory)",
 )
 def csv_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (
@@ -245,22 +255,25 @@ def csv_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     csv = spark.read.schema(schema).option("header", True).csv(path)
 
+    # sf-tagged table name: concurrent sessions at different scale factors
+    # get distinct managed-table locations, same as the CSV scratch
+    tbl = "customer_roundtrip_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    ).replace(".", "_")
     create_database(spark, "csv_ddl", "/root/repo/.scratch/csv_ddl/db")
-    spark.sql("DROP TABLE IF EXISTS csv_ddl.customer_roundtrip")
+    spark.sql(f"DROP TABLE IF EXISTS csv_ddl.{tbl}")
     # a previous SESSION's managed-table files survive its in-memory
     # catalog; clear the location or CTAS fails LOCATION_ALREADY_EXISTS
     import shutil
 
-    shutil.rmtree(
-        "/root/repo/.scratch/csv_ddl/db/customer_roundtrip", ignore_errors=True
-    )
+    shutil.rmtree(f"/root/repo/.scratch/csv_ddl/db/{tbl}", ignore_errors=True)
     csv.createOrReplaceTempView("_csv_src")
     spark.sql(
-        "CREATE TABLE csv_ddl.customer_roundtrip USING parquet AS "
+        f"CREATE TABLE csv_ddl.{tbl} USING parquet AS "
         "SELECT `cust.key` AS cust_key, segment, `acct.bal` AS acct_bal "
         "FROM _csv_src"
     )
-    return spark.table("csv_ddl.customer_roundtrip").groupBy("segment").agg(
+    return spark.table(f"csv_ddl.{tbl}").groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("acct_bal").cast("double").alias("total_balance"),
         F.max("cust_key").cast("bigint").alias("max_key"),

@@ -24,6 +24,29 @@ from bakery_big_data_spark.pipeline.medallion import (
 )
 from bakery_big_data_spark.plans.base import register
 
+
+def _package_src_mtime() -> float:
+    """Max mtime over every .py in the package — the staleness key for
+    materialized incremental-runner scratch.  The runners compose many
+    operator modules (mutation, snapshots, dedup, keys, ...), so keying
+    on the runner module alone would let an operator edit be 'certified'
+    against stale scratch output; walking the package dir (~40 files)
+    closes that hole for the cost of one os.walk."""
+    import os
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, fn)))
+                except OSError:
+                    pass
+    return newest
+
 _SILVER_SQL = f"""
     WITH bronze AS (
       SELECT *,
@@ -569,14 +592,13 @@ def medallion_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     base = f"/root/repo/.scratch/medallion_incr/{tag}"
     marker = f"{base}/_done"
-    import bakery_big_data_spark.pipeline.medallion as medmod
 
     def _stale() -> bool:
         if not os.path.exists(marker):
             return True
         try:
             src_mtime = max(
-                os.path.getmtime(medmod.__file__),
+                _package_src_mtime(),
                 os.path.getmtime(os.path.join(sf_dir, "events.parquet")),
             )
             return src_mtime >= os.path.getmtime(marker)
@@ -684,7 +706,6 @@ def curation_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    import bakery_big_data_spark.pipeline.curation as curmod
     from bakery_big_data_spark.pipeline.curation import (
         run_curation_incremental,
     )
@@ -698,7 +719,7 @@ def curation_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             return True
         try:
             src_mtime = max(
-                os.path.getmtime(curmod.__file__),
+                _package_src_mtime(),
                 os.path.getmtime(os.path.join(sf_dir, "documents.parquet")),
             )
             return src_mtime >= os.path.getmtime(marker)

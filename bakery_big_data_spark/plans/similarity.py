@@ -620,9 +620,10 @@ _SEMDEDUP_PAIRS_SQL = f"""
     """,
     doc="SemDeDup-shaped SEMANTIC dedup over the embedding column (Abbas "
         "et al. 2023): near-dup pairs at cosine >= 0.45 from multi-table "
-        "multi-probe hyperplane-LSH candidates (L=4 x 6 seeded planes, "
-        "Hamming-2 probe — the ann_topk operating point; work is "
-        "sum(bucket x probes), never all-pairs) -> exact order-exact "
+        "hyperplane-LSH candidates (L=12 tables x 4 seeded planes, "
+        "exact-bucket — probe_hamming=0, the semantic_dedup_pairs "
+        "default; work is sum(bucket^2) per table, never all-pairs) -> "
+        "exact order-exact "
         "cosine gate -> min-id star contraction; every vector keeps an "
         "auditable (canonical_id, is_kept) row, zero-norm vectors "
         "canonicalize to themselves.  The oracle re-derives all four "
@@ -658,7 +659,7 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every TRUE near-dup pair (exact all-pairs cosine >= 0.45 — the "
         "labeled verifier, blocked-matmul Arrow path) flagged with whether "
         "the LSH-bucketed candidate generation caught it.  Measured "
-        "caught/true = 14/14 at sf0.01, 141/144 at sf0.1 — the oracle "
+        "caught/true = 13/14 at sf0.01, 135/144 at sf0.1 — the oracle "
         "hash-certifies the per-pair flags, so the recall figure is "
         "STATED TRUE cross-engine rather than asserted (same pattern as "
         "similarity_ann_recall)",

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from bakery_big_data_spark.pipeline.medallion import run_medallion
@@ -262,13 +263,21 @@ def test_incremental_curation_replay_is_idempotent(spark, sf_dir):
     assert first == second
 
 
-def test_incremental_curation_survives_mid_chunk_crash(spark, sf_dir):
-    """Crash between the doc_state commit and the bench_grams commit of a
-    chunk (the designed replay window: doc commits first), then replay:
-    the rerun must converge to exactly the full-run manifest — in
-    particular the retro-contamination scores derived from never-seen
-    benchmark grams must not be lost."""
-    from bakery_big_data_spark.pipeline import curation as curmod
+@pytest.mark.parametrize(
+    "crash_table",
+    ["doc_state", "bench_grams", "band_state", "pairs_state"],
+)
+def test_incremental_curation_survives_mid_chunk_crash(
+    spark, sf_dir, crash_table
+):
+    """Crash at EACH of the four state commits of a chunk (commit order:
+    doc_state -> bench_grams -> band_state -> pairs_state), then replay:
+    the rerun must converge to exactly the full-run manifest in every
+    window.  The bench_grams point is the historically dangerous one (a
+    crash there replays with doc committed but bench not — the
+    retro-contamination scores derived from never-seen benchmark grams
+    must not be lost); the other three cover the partially-applied-chunk
+    windows after it."""
     from bakery_big_data_spark.pipeline.curation import (
         curation_manifest,
         run_curation_incremental,
@@ -282,9 +291,9 @@ def test_incremental_curation_survives_mid_chunk_crash(spark, sf_dir):
     state = {"armed": True}
 
     def crashing_write(df, table_path, meta=None):
-        if state["armed"] and table_path.endswith("/bench_grams"):
+        if state["armed"] and table_path.endswith(f"/{crash_table}"):
             state["armed"] = False  # crash exactly once, on the 1st chunk
-            raise RuntimeError("injected crash before bench commit")
+            raise RuntimeError(f"injected crash at {crash_table} commit")
         return real_write(df, table_path, meta=meta)
 
     snapmod.write_snapshot = crashing_write

@@ -191,6 +191,60 @@ def test_repetition_filters_is_map_only(spark, sf_dir):
     assert "RoundRobinPartitioning" in plan
 
 
+def _iter_logical_nodes(jnode):
+    yield jnode
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _iter_logical_nodes(ch.apply(i))
+
+
+# Node classes that bound the cardinality flowing into a global window:
+# everything above an Aggregate is O(groups); above a GlobalLimit, O(k).
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit"}
+# Leaves that are bounded by construction (literal rows / 1-row relations).
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation"}
+# Queries allowed to violate the rule — must carry a docstring justifying
+# why their global window input is bounded some other way.  Empty today;
+# additions need a review.
+GLOBAL_WINDOW_ALLOWED: set[str] = set()
+
+
+def _bounded_subtree(jnode) -> bool:
+    cls = jnode.getClass().getSimpleName()
+    if cls in _BOUNDING_NODES:
+        return True
+    ch = jnode.children()
+    if ch.size() == 0:
+        return cls in _BOUNDED_LEAVES
+    return all(
+        _bounded_subtree(ch.apply(i)) for i in range(ch.size())
+    )
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_global_window_over_base_table(name, spark, sf_dir):
+    """No unpartitioned WindowExec over an unbounded input: a global
+    Window.orderBy over a fact table serializes the whole table through
+    ONE task at 100 TB.  Every window with an empty partition spec must
+    sit above an Aggregate (O(groups) rows) or a GlobalLimit (O(k)) on
+    every path to a base-table scan — the convention the range-decomposed
+    key/prefix-sum operators (operators/keys.py) exist to preserve."""
+    df = REGISTRY[name].build(spark, sf_dir)
+    lp = df._jdf.queryExecution().optimizedPlan()
+    for n in _iter_logical_nodes(lp):
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        ):
+            if name in GLOBAL_WINDOW_ALLOWED:
+                continue
+            child = n.children().apply(0)
+            assert _bounded_subtree(child), (
+                f"{name}: unpartitioned Window over an unbounded input — "
+                "decompose via operators/keys.py or partition the window"
+            )
+
+
 def test_phash_pairs_is_banded_equi_join(spark, sf_dir):
     """Perceptual near-dup pairs must come from the band-bucket EQUI-join:
     a hash join keyed on (band, val) — never a cartesian/nested-loop pair

@@ -157,6 +157,47 @@ def test_scalable_ntile_small_n_and_convergence_guard(spark, sf_dir):
         connected_components(nodes, chain, "node", max_iter=2)
 
 
+def test_scalable_ntile_bucket_invariants_stress(spark, sf_dir):
+    """Regression for the range-boundary race (r07): add_surrogate_key's
+    counts branch and local-rank branch each used to instantiate their own
+    RangePartitioner — independently SAMPLED split points — so when
+    exchange reuse didn't deduplicate them the offsets belonged to a
+    different partitioning than the row_numbers (observed as NTILE(5)
+    emitting bucket 6).  The operator now persists the ranged frame, so a
+    single partitioner feeds both branches.  Assert the closed-form
+    invariants that the race violated, on a real-sized frame, repeatedly:
+    every bucket in 1..k, bucket sizes differing by at most 1 with larger
+    buckets first, sizes summing to n."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.keys import scalable_ntile
+    from bakery_big_data_spark.sources.tables import load_table
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    k = 5
+    for _ in range(3):
+        sizes = {
+            r.ntile: r.n
+            for r in scalable_ntile(
+                per_cust, [F.col("freq").desc(), F.col("o_custkey")], k, "ntile"
+            )
+            .groupBy("ntile")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(sizes.values())
+        assert set(sizes) <= set(range(1, k + 1)), sizes
+        q, m = divmod(n, k)
+        expected = {
+            b: (q + 1 if b <= m else q) for b in range(1, k + 1) if q or b <= m
+        }
+        assert sizes == expected, (sizes, expected)
+
+
 @given(
     vals=st.lists(st.integers(0, 50), min_size=1, max_size=30),
     k=st.integers(1, 7),
