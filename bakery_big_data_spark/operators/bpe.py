@@ -1,0 +1,156 @@
+"""BPE vocabulary induction — iterative most-frequent-pair merges.
+
+Sennrich et al. 2016 (arXiv:1508.07909) byte-pair-encoding vocabulary
+learning, the missing piece above the catalog's BPE-ish pretokenizer
+(:data:`bakery_big_data_spark.plans.textops._BPE_ISH_RE`): starting from
+the corpus WORD-FREQUENCY table (the classic formulation — merges operate
+on aggregated word shapes, never on the raw token stream), repeat ``k``
+times:
+
+1. count adjacent symbol pairs, weighted by word frequency (every
+   adjacent occurrence counts, matching the reference implementation's
+   ``get_stats``);
+2. pick the globally most frequent pair, ties broken lexicographically on
+   ``(left, right)`` so the merge sequence is a pure function of the
+   corpus;
+3. merge that pair greedily left-to-right inside every word.
+
+Scale shape (100 TB): the ONLY corpus-scale work is the initial word
+count — one map-side-combinable shuffle that compacts the corpus to its
+vocabulary (|distinct words| << corpus).  Every round after that is
+O(vocab): a pair aggregation over the compacted frame (map-side
+combinable), a TakeOrdered(1) for the argmax, and a map-only fold that
+rewrites each word's symbol array.  The argmax is a lazy 1-row broadcast
+cross onto the vocab frame — no driver round trip; the whole k-round
+merge table materializes in one action.
+
+The greedy left-to-right merge is a single ``F.aggregate`` fold over the
+symbol array: append the next symbol unless the accumulator's last
+element equals ``left`` and the next symbol equals ``right``, in which
+case replace the last element with ``left||right``.  A fold pass is
+exactly the non-overlapping left-to-right replacement the reference
+implementation performs with its regex substitution ("aaa" + (a,a) ->
+["aa","a"], never ["a","aa"] or ["aaa"]).
+
+Reference parity: the reference engine has no vocabulary induction; this
+is part of the training-data-pipeline extension family (SURVEY.md §6).
+
+Lineage control: each round consumes the previous round's frame TWICE
+(pair counts + merge rewrite), so the logical plan doubles per round —
+``persist`` alone short-circuits execution but Catalyst still analyzes
+the full 2^k-node tree (observed: OOM stringifying the plan at k=8).
+Each round is therefore ``localCheckpoint``-ed: k bounded vocab-sized
+materializations, the same driver-loop class as
+``operators/dedup.py::connected_components`` (iterative algorithm with
+bounded rounds, no data round-trip to the driver).  On a multi-executor
+cluster, executor loss invalidates localCheckpoint blocks — a production
+run of a long merge schedule would use a reliable checkpoint dir
+(``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) at the
+cost of writing the vocab frame to storage per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _adjacent_sym_pairs(syms: Column) -> Column:
+    """Adjacent (l, r) pairs of a symbol array; empty for 1-symbol words
+    (guarding Spark's descending ``sequence(1, 0)``)."""
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("l"),
+            F.element_at(syms, i + 1).alias("r"),
+        ),
+    )
+
+
+def merge_pair_fold(syms: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) inside
+    a symbol array, as one JVM-side fold — no UDF, no explode/re-group."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == left) & (s == right),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_frequency_table(corpus: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace word counts with each word split into its character
+    symbols — the compacted frame all merge rounds operate on."""
+    return (
+        corpus.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+    )
+
+
+def bpe_merge_table(
+    corpus: DataFrame, text_col: str, num_merges: int = 8
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns the ordered merge table
+    ``(merge_round, left_sym, right_sym, merged_sym, pair_count)``.
+
+    ``num_merges`` must not exceed the number of achievable merges (a
+    round with zero remaining pairs would produce an empty argmax and
+    silently drop the vocab on the cross join); at 8 merges over any
+    real corpus this is not reachable.
+    """
+    cur = word_frequency_table(corpus, text_col).localCheckpoint()
+    bests: list[DataFrame] = []
+    for r in range(1, num_merges + 1):
+        pairs = (
+            cur.select(
+                F.explode(_adjacent_sym_pairs(F.col("syms"))).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        # persist (not checkpoint): best's plan is SHALLOW — one agg over
+        # the checkpointed vocab frame — so pinning the 1-row result is
+        # enough; lineage stays O(1) because cur below is checkpointed
+        best = (
+            pairs.orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .persist()
+        )
+        bests.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged_sym"),
+                "pair_count",
+            )
+        )
+        bb = F.broadcast(
+            best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
+        )
+        cur = (
+            cur.crossJoin(bb)
+            .select(
+                merge_pair_fold(
+                    F.col("syms"), F.col("_bl"), F.col("_br")
+                ).alias("syms"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -61,9 +61,11 @@ EVENT_RULES_SQL = (
 )
 
 
-def bronze_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bronze: raw events + ingestion-time bifurcation + status (T7)."""
-    ev = load_table(spark, sf_dir, "events")
+def bronze_from_raw(ev: DataFrame) -> DataFrame:
+    """Bronze derivation over RAW event rows (ingestion-time bifurcation +
+    status, T7) — shared by the batch reader (:func:`bronze_events`) and
+    the streaming micro-batch path (:func:`run_medallion_stream_fed`),
+    which receives the same raw schema from the JSON decode."""
     hours_us = (F.col("event_id") % 50) * F.lit(3600000000).cast("bigint")
     return ev.select(
         "event_id",
@@ -78,6 +80,11 @@ def bronze_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("processed")
         .alias("processing_status"),
     )
+
+
+def bronze_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze: raw events + ingestion-time bifurcation + status (T7)."""
+    return bronze_from_raw(load_table(spark, sf_dir, "events"))
 
 
 def silver_events(bronze: DataFrame, gate: int = 50) -> DataFrame:
@@ -614,6 +621,41 @@ def run_medallion_incremental(
     (calendar metadata, O(days), never data rows).  Parity with the
     from-scratch run is hash-certified by ``medallion_incremental_parity``.
     """
+    bronze_all = bronze_events(spark, sf_dir)
+    dates = sorted(
+        r[0]
+        for r in bronze_all.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+
+    for ci in range(n_chunks):
+        chunk = dates[ci * len(dates) // n_chunks : (ci + 1) * len(dates) // n_chunks]
+        if not chunk:
+            continue
+        lo, hi = chunk[0], chunk[-1]
+        bronze_d = bronze_all.filter(F.to_date("ts").between(lo, hi))
+        apply_medallion_arrival(spark, sf_dir, base_path, bronze_d, ci, lo, hi)
+
+    return derive_medallion_dims(spark, base_path)
+
+
+def apply_medallion_arrival(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    bronze_d: DataFrame,
+    arrival_id: int,
+    lo,
+    hi,
+) -> None:
+    """Maintain every medallion table for ONE chronological arrival of
+    bronze rows covering the date range ``[lo, hi]`` — the shared chunk
+    body of :func:`run_medallion_incremental` (batch-chunked replay) and
+    :func:`run_medallion_stream_fed` (foreachBatch micro-batches driving
+    the same maintenance).  Arrivals must be chronologically ordered,
+    non-overlapping date ranges; each stateful table carries its own
+    applied-``arrival_id`` guard inside its snapshot commit, so replaying
+    an arrival (crash recovery, checkpoint re-delivery) is exactly-once.
+    """
     from bakery_big_data_spark.operators.mutation import scd2_apply
     from bakery_big_data_spark.sources.snapshots import (
         last_commit_meta,
@@ -622,128 +664,128 @@ def run_medallion_incremental(
         write_snapshot,
     )
 
-    bronze_all = bronze_events(spark, sf_dir)
-    dates = sorted(
-        r[0]
-        for r in bronze_all.select(F.to_date("ts").alias("d")).distinct().collect()
-    )
     state_path = f"{base_path}/type_user_state"
     scd2_path = f"{base_path}/gold_dim_user_scd2"
+    ci = arrival_id
 
-    for ci in range(n_chunks):
-        chunk = dates[ci * len(dates) // n_chunks : (ci + 1) * len(dates) // n_chunks]
-        if not chunk:
-            continue
-        lo, hi = chunk[0], chunk[-1]
+    silver_d = silver_events(bronze_d)
+    overwrite_partitions(
+        silver_d, f"{base_path}/silver_events", ["event_date"]
+    )
+    silver_d = spark.read.parquet(f"{base_path}/silver_events").filter(
+        F.col("event_date").between(lo, hi)
+    )
+    fb_d = silver_feedback(bronze_feedback(spark, sf_dir)).filter(
+        F.col("feedback_date").between(lo, hi)
+    )
+    overwrite_partitions(
+        fb_d.withColumn("event_date", F.col("feedback_date")),
+        f"{base_path}/silver_feedback",
+        ["event_date"],
+    )
 
-        bronze_d = bronze_all.filter(F.to_date("ts").between(lo, hi))
-        silver_d = silver_events(bronze_d)
-        overwrite_partitions(
-            silver_d, f"{base_path}/silver_events", ["event_date"]
-        )
-        silver_d = spark.read.parquet(f"{base_path}/silver_events").filter(
-            F.col("event_date").between(lo, hi)
-        )
-        fb_d = silver_feedback(bronze_feedback(spark, sf_dir)).filter(
-            F.col("feedback_date").between(lo, hi)
-        )
-        overwrite_partitions(
-            fb_d.withColumn("event_date", F.col("feedback_date")),
-            f"{base_path}/silver_feedback",
-            ["event_date"],
-        )
+    overwrite_partitions(
+        gold_fact_daily(silver_d),
+        f"{base_path}/gold_fact_daily",
+        ["event_date"],
+    )
+    overwrite_partitions(
+        gold_fact_feedback_daily(fb_d),
+        f"{base_path}/gold_fact_feedback_daily",
+        ["event_date"],
+    )
+    overwrite_partitions(
+        gold_fact_user_daily(silver_d),
+        f"{base_path}/gold_fact_user_daily",
+        ["event_date"],
+    )
 
-        overwrite_partitions(
-            gold_fact_daily(silver_d),
-            f"{base_path}/gold_fact_daily",
-            ["event_date"],
+    # Exactly-once state maintenance under retries: the applied chunk
+    # id rides INSIDE each snapshot commit (same transactional pattern
+    # as the streaming versioned-rollup sink), so re-running a chunk
+    # after a crash never merges its delta twice.  The partition
+    # overwrites above are naturally idempotent; each stateful table
+    # carries its OWN guard, so a crash between the state commit and
+    # the SCD2 commit replays only the missing one.
+    applied = last_commit_meta(state_path)
+    if applied is None or applied.get("chunk", -1) < ci:
+        delta_state = silver_d.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("value_sum"),
+            F.min("event_date").alias("min_date"),
+            F.max("event_date").alias("max_date"),
         )
-        overwrite_partitions(
-            gold_fact_feedback_daily(fb_d),
-            f"{base_path}/gold_fact_feedback_daily",
-            ["event_date"],
-        )
-        overwrite_partitions(
-            gold_fact_user_daily(silver_d),
-            f"{base_path}/gold_fact_user_daily",
-            ["event_date"],
-        )
-
-        # Exactly-once state maintenance under retries: the applied chunk
-        # id rides INSIDE each snapshot commit (same transactional pattern
-        # as the streaming versioned-rollup sink), so re-running a chunk
-        # after a crash never merges its delta twice.  The partition
-        # overwrites above are naturally idempotent; each stateful table
-        # carries its OWN guard, so a crash between the state commit and
-        # the SCD2 commit replays only the missing one.
-        applied = last_commit_meta(state_path)
-        if applied is None or applied.get("chunk", -1) < ci:
-            delta_state = silver_d.groupBy("event_type", "user_id").agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(30,6)")).alias("value_sum"),
-                F.min("event_date").alias("min_date"),
-                F.max("event_date").alias("max_date"),
+        if table_exists(state_path):
+            prev = read_snapshot(spark, state_path).withColumn(
+                "value_sum", F.col("value_sum").cast("decimal(38,6)")
             )
-            if table_exists(state_path):
-                prev = read_snapshot(spark, state_path).withColumn(
-                    "value_sum", F.col("value_sum").cast("decimal(38,6)")
-                )
-                merged = (
-                    prev.unionByName(
-                        delta_state.withColumn(
-                            "value_sum",
-                            F.col("value_sum").cast("decimal(38,6)"),
-                        )
-                    )
-                    .groupBy("event_type", "user_id")
-                    .agg(
-                        F.sum("n_events").alias("n_events"),
-                        F.sum("value_sum")
-                        .cast("decimal(38,6)")
-                        .alias("value_sum"),
-                        F.min("min_date").alias("min_date"),
-                        F.max("max_date").alias("max_date"),
+            merged = (
+                prev.unionByName(
+                    delta_state.withColumn(
+                        "value_sum",
+                        F.col("value_sum").cast("decimal(38,6)"),
                     )
                 )
-            else:
-                merged = delta_state.withColumn(
-                    "value_sum", F.col("value_sum").cast("decimal(38,6)")
+                .groupBy("event_type", "user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_sum")
+                    .cast("decimal(38,6)")
+                    .alias("value_sum"),
+                    F.min("min_date").alias("min_date"),
+                    F.max("max_date").alias("max_date"),
                 )
-            write_snapshot(merged, state_path, meta={"chunk": ci})
-
-        # SCD2: staged profiles come from merged state (full-history band),
-        # restricted to the chunk's touched users — changed keys only.
-        applied = last_commit_meta(scd2_path)
-        if applied is not None and applied.get("chunk", -1) >= ci:
-            continue
-        state = read_snapshot(spark, state_path)
-        profile = state.groupBy("user_id").agg(
-            F.floor(F.sum("value_sum") / F.sum("n_events") / 10)
-            .cast("int")
-            .alias("value_band"),
-            F.min("min_date").alias("first_seen_date"),
-        )
-        staged = profile.join(silver_d.select("user_id").distinct(), "user_id")
-        if not table_exists(scd2_path):
-            current = staged.select(
-                F.col("user_id").cast("bigint").alias("surrogate_key"),
-                "user_id",
-                "value_band",
-                "first_seen_date",
-                F.lit("2024-01-01").cast("date").alias("start_date"),
-                F.lit(None).cast("date").alias("end_date"),
-                F.lit(True).alias("is_current"),
             )
         else:
-            current = scd2_apply(
-                read_snapshot(spark, scd2_path),
-                staged,
-                business_key="user_id",
-                tracked=["value_band", "first_seen_date"],
-                effective_date=str(lo),
-                key_base=None,
+            merged = delta_state.withColumn(
+                "value_sum", F.col("value_sum").cast("decimal(38,6)")
             )
-        write_snapshot(current, scd2_path, meta={"chunk": ci})
+        write_snapshot(merged, state_path, meta={"chunk": ci})
+
+    # SCD2: staged profiles come from merged state (full-history band),
+    # restricted to the chunk's touched users — changed keys only.
+    applied = last_commit_meta(scd2_path)
+    if applied is not None and applied.get("chunk", -1) >= ci:
+        return
+    state = read_snapshot(spark, state_path)
+    profile = state.groupBy("user_id").agg(
+        F.floor(F.sum("value_sum") / F.sum("n_events") / 10)
+        .cast("int")
+        .alias("value_band"),
+        F.min("min_date").alias("first_seen_date"),
+    )
+    staged = profile.join(silver_d.select("user_id").distinct(), "user_id")
+    if not table_exists(scd2_path):
+        current = staged.select(
+            F.col("user_id").cast("bigint").alias("surrogate_key"),
+            "user_id",
+            "value_band",
+            "first_seen_date",
+            F.lit("2024-01-01").cast("date").alias("start_date"),
+            F.lit(None).cast("date").alias("end_date"),
+            F.lit(True).alias("is_current"),
+        )
+    else:
+        current = scd2_apply(
+            read_snapshot(spark, scd2_path),
+            staged,
+            business_key="user_id",
+            tracked=["value_band", "first_seen_date"],
+            effective_date=str(lo),
+            key_base=None,
+        )
+    write_snapshot(current, scd2_path, meta={"chunk": ci})
+
+
+def derive_medallion_dims(
+    spark: SparkSession, base_path: str
+) -> dict[str, DataFrame]:
+    """Derive the state-backed dims and return the maintained-table map —
+    the shared tail of both incremental runners."""
+    from bakery_big_data_spark.sources.snapshots import read_snapshot
+
+    state_path = f"{base_path}/type_user_state"
+    scd2_path = f"{base_path}/gold_dim_user_scd2"
 
     # dims derived from maintained state — no history rescan
     state = read_snapshot(spark, state_path)
@@ -779,3 +821,103 @@ def run_medallion_incremental(
         ),
         "dim_user_scd2": read_snapshot(spark, scd2_path),
     }
+
+
+def run_medallion_stream_fed(
+    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+) -> dict[str, DataFrame]:
+    """The reference's REAL topology — stream→bronze, incremental→gold —
+    composed end to end: ``stream_to_bronze.py`` lands micro-batches,
+    ``bakery_batch_etl.py`` schedules the batch maintenance; here ONE
+    Structured Streaming query does both, with each ``foreachBatch``
+    micro-batch driving :func:`apply_medallion_arrival` (the same chunk
+    body the batch-chunked :func:`run_medallion_incremental` uses).
+
+    Mechanics: the raw events are replayed as ``n_chunks`` chronological
+    JSON-lines files (one per day-range, strictly increasing mtimes so the
+    file source delivers them in order); ``maxFilesPerTrigger=1`` makes
+    each micro-batch exactly one chronological arrival.  The handler
+    re-derives bronze from the decoded rows (:func:`bronze_from_raw` —
+    identical to the batch reader), takes the arrival's date bounds (a
+    bounded 1-row collect, the same class as the runner's date discovery),
+    and applies the full maintenance: silver/fact dynamic partition
+    overwrites + Δ-merged state + SCD2, all guarded by the micro-batch id
+    INSIDE each snapshot commit — checkpoint re-delivery after a crash
+    replays the arrival exactly-once (partition overwrites idempotent,
+    state merges skipped by the applied-id guard).
+
+    ``streaming_incremental_gold_parity`` hash-certifies the result
+    against the SAME from-scratch DuckDB oracle as the batch-chunked
+    parity row: stream-fed incremental == full batch run.
+
+    100 TB: this is dedup-at-the-well for pipeline cost — continuous
+    ingest maintains the gold layer at Δ cost per micro-batch, and the
+    maintenance work is the micro-batch's day partitions + O(touched
+    keys), never a history rescan.
+    """
+    import os
+    import shutil
+
+    from bakery_big_data_spark.streaming.ingest import (
+        JSON_OPTIONS,
+        read_json_stream,
+    )
+
+    src = f"{base_path}/stream_src"
+    ckpt = f"{base_path}/ckpt"
+    raw = load_table(spark, sf_dir, "events")
+    dates = sorted(
+        r[0]
+        for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    if not os.path.exists(f"{src}/_done"):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        stamp = 1_600_000_000  # strictly increasing mtimes => file order
+        for ci in range(n_chunks):
+            chunk = dates[
+                ci * len(dates) // n_chunks : (ci + 1) * len(dates) // n_chunks
+            ]
+            if not chunk:
+                continue
+            part = raw.filter(F.to_date("ts").between(chunk[0], chunk[-1]))
+            tmp = f"{src}/_tmp{ci}"
+            part.select(
+                F.to_json(F.struct(*part.columns), JSON_OPTIONS).alias("value")
+            ).coalesce(1).write.mode("overwrite").text(tmp)
+            pf = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".txt")
+            )
+            dst = f"{src}/{ci:03d}.json"
+            os.replace(f"{tmp}/{pf}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (stamp + ci, stamp + ci))
+        with open(f"{src}/_done", "w") as fh:
+            fh.write("ok")
+        os.utime(f"{src}/_done", (stamp - 10, stamp - 10))
+
+    stream = read_json_stream(spark, src, max_files_per_trigger=1)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bronze_d = bronze_from_raw(batch_df)
+        bounds = bronze_d.agg(
+            F.min(F.to_date("ts")).alias("lo"),
+            F.max(F.to_date("ts")).alias("hi"),
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return  # empty micro-batch
+        apply_medallion_arrival(
+            spark, sf_dir, base_path, bronze_d, int(batch_id),
+            bounds["lo"], bounds["hi"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("medallion_stream_fed")
+        .start()
+    )
+    q.awaitTermination()
+    return derive_medallion_dims(spark, base_path)

@@ -132,8 +132,12 @@ DRIVER_WINDOW: list[str] = [
     "csv_ddl_roundtrip",
     "streaming_ingest_replay",
     "streaming_stateful_sessions",
-    # streaming exact dedup (watermark-bounded state)
-    "streaming_dedup_replay",
+    # stream-fed incremental gold == full batch run — new in r07, the
+    # reference's real topology (stream->bronze + scheduled maintenance)
+    # composed into one streaming query; takes streaming_dedup_replay's
+    # slot (watermark-bounded dedup state also rides the stateful
+    # sessionizer and both stream-stream join rows)
+    "streaming_incremental_gold_parity",
     # FULL OUTER stream-stream interval join completes the join matrix —
     # first driver row
     "streaming_stream_stream_full_join",
@@ -150,7 +154,10 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_phash_pairs",
     "multimodal_frame_sample",
     "multimodal_audio_window_rms",
-    "grouping_sets_matrix",
+    # BPE vocabulary induction — new in r07 (iterative argmax-merge
+    # rounds, unrolled-CTE oracle); takes grouping_sets_matrix's slot
+    # (rollup surface also inside report_quality_multi_table)
+    "bpe_vocab_merges",
 ]
 
 

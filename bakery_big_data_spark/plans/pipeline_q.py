@@ -487,9 +487,85 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_manifest(spark, sf_dir)
 
 
-@register(
-    "medallion_incremental_parity",
-    f"""
+def _medallion_parity_frame(spark: SparkSession, base: str) -> DataFrame:
+    """Unpivot every maintained medallion table under ``base`` into the
+    (layer, key, metric, value) parity frame both incremental runners
+    are hash-certified with."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.sources.snapshots import read_snapshot
+
+    def tall(df: DataFrame, layer: str, key, metrics: dict) -> DataFrame:
+        frames = []
+        for metric, expr in metrics.items():
+            frames.append(
+                df.select(
+                    F.lit(layer).alias("layer"),
+                    key.alias("key"),
+                    F.lit(metric).alias("metric"),
+                    expr.cast("double").alias("value"),
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionAll(fr)
+        return out
+
+    epoch = F.lit("1970-01-01").cast("date")
+    fact = spark.read.parquet(f"{base}/gold_fact_daily")
+    fbf = spark.read.parquet(f"{base}/gold_fact_feedback_daily")
+    uf = spark.read.parquet(f"{base}/gold_fact_user_daily")
+    du = spark.read.parquet(f"{base}/gold_dim_user")
+    ts = spark.read.parquet(f"{base}/gold_dim_type_stats")
+    scd2 = read_snapshot(spark, f"{base}/gold_dim_user_scd2").filter(
+        F.col("is_current")
+    )
+
+    date_type_key = F.concat(
+        F.col("event_date").cast("string"), F.lit("|"), F.col("event_type")
+    )
+    date_user_key = F.concat(
+        F.col("event_date").cast("string"),
+        F.lit("|"),
+        F.col("user_id").cast("string"),
+    )
+    parts = [
+        tall(fact, "fact_daily", date_type_key, {
+            "n_events": F.col("n_events"),
+            "total_value": F.col("total_value"),
+            "n_off_hours": F.col("n_off_hours"),
+        }),
+        tall(fbf, "fact_feedback_daily", F.col("event_date").cast("string"), {
+            "n_feedback": F.col("n_feedback"),
+            "avg_rating": F.col("avg_rating"),
+            "n_verified": F.col("n_verified"),
+        }),
+        tall(uf, "fact_user_daily", date_user_key, {
+            "n_events": F.col("n_events"),
+            "total_value": F.col("total_value"),
+            "n_types": F.col("n_types"),
+        }),
+        tall(du, "dim_user", F.col("user_id").cast("string"), {
+            "first_seen_days": F.datediff(F.col("first_seen_date"), epoch),
+            "last_seen_days": F.datediff(F.col("last_seen_date"), epoch),
+            "n_event_types": F.col("n_event_types"),
+        }),
+        tall(ts, "dim_type_stats", F.col("event_type"), {
+            "avg_value_type": F.col("avg_value_type"),
+            "n_users_type": F.col("n_users_type"),
+        }),
+        tall(scd2, "scd2_current", F.col("user_id").cast("string"), {
+            "value_band": F.col("value_band"),
+            "first_seen_days": F.datediff(F.col("first_seen_date"), epoch),
+        }),
+    ]
+    out = parts[0]
+    for fr in parts[1:]:
+        out = out.unionAll(fr)
+    return out
+
+
+_MEDALLION_PARITY_SQL = f"""
     WITH silver AS ({_SILVER_SQL}), fb AS ({_FB_SILVER_SQL}),
     fact AS (
       SELECT event_date, event_type, COUNT(*) AS n_events,
@@ -562,7 +638,12 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'scd2_current', CAST(user_id AS VARCHAR),
            'first_seen_days',
            CAST(first_seen - DATE '1970-01-01' AS DOUBLE) FROM prof
-    """,
+    """
+
+
+@register(
+    "medallion_incremental_parity",
+    _MEDALLION_PARITY_SQL,
     doc="INCREMENTAL medallion == FULL medallion, certified by hash: "
         "pipeline/medallion.py::run_medallion_incremental replays the "
         "corpus as 4 chronological day-chunk arrivals — silver/fact Δ by "
@@ -582,12 +663,9 @@ def medallion_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from pyspark.sql import functions as F
-
     from bakery_big_data_spark.pipeline.medallion import (
         run_medallion_incremental,
     )
-    from bakery_big_data_spark.sources.snapshots import read_snapshot
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     base = f"/root/repo/.scratch/medallion_incr/{tag}"
@@ -612,74 +690,7 @@ def medallion_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("ok")
 
-    def tall(df: DataFrame, layer: str, key, metrics: dict) -> DataFrame:
-        frames = []
-        for metric, expr in metrics.items():
-            frames.append(
-                df.select(
-                    F.lit(layer).alias("layer"),
-                    key.alias("key"),
-                    F.lit(metric).alias("metric"),
-                    expr.cast("double").alias("value"),
-                )
-            )
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionAll(fr)
-        return out
-
-    epoch = F.lit("1970-01-01").cast("date")
-    fact = spark.read.parquet(f"{base}/gold_fact_daily")
-    fbf = spark.read.parquet(f"{base}/gold_fact_feedback_daily")
-    uf = spark.read.parquet(f"{base}/gold_fact_user_daily")
-    du = spark.read.parquet(f"{base}/gold_dim_user")
-    ts = spark.read.parquet(f"{base}/gold_dim_type_stats")
-    scd2 = read_snapshot(spark, f"{base}/gold_dim_user_scd2").filter(
-        F.col("is_current")
-    )
-
-    date_type_key = F.concat(
-        F.col("event_date").cast("string"), F.lit("|"), F.col("event_type")
-    )
-    date_user_key = F.concat(
-        F.col("event_date").cast("string"),
-        F.lit("|"),
-        F.col("user_id").cast("string"),
-    )
-    parts = [
-        tall(fact, "fact_daily", date_type_key, {
-            "n_events": F.col("n_events"),
-            "total_value": F.col("total_value"),
-            "n_off_hours": F.col("n_off_hours"),
-        }),
-        tall(fbf, "fact_feedback_daily", F.col("event_date").cast("string"), {
-            "n_feedback": F.col("n_feedback"),
-            "avg_rating": F.col("avg_rating"),
-            "n_verified": F.col("n_verified"),
-        }),
-        tall(uf, "fact_user_daily", date_user_key, {
-            "n_events": F.col("n_events"),
-            "total_value": F.col("total_value"),
-            "n_types": F.col("n_types"),
-        }),
-        tall(du, "dim_user", F.col("user_id").cast("string"), {
-            "first_seen_days": F.datediff(F.col("first_seen_date"), epoch),
-            "last_seen_days": F.datediff(F.col("last_seen_date"), epoch),
-            "n_event_types": F.col("n_event_types"),
-        }),
-        tall(ts, "dim_type_stats", F.col("event_type"), {
-            "avg_value_type": F.col("avg_value_type"),
-            "n_users_type": F.col("n_users_type"),
-        }),
-        tall(scd2, "scd2_current", F.col("user_id").cast("string"), {
-            "value_band": F.col("value_band"),
-            "first_seen_days": F.datediff(F.col("first_seen_date"), epoch),
-        }),
-    ]
-    out = parts[0]
-    for fr in parts[1:]:
-        out = out.unionAll(fr)
-    return out
+    return _medallion_parity_frame(spark, base)
 
 
 @register(
@@ -734,3 +745,57 @@ def curation_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("ok")
     return spark.read.parquet(f"{base}/manifest")
+
+
+@register(
+    "streaming_incremental_gold_parity",
+    _MEDALLION_PARITY_SQL,
+    doc="STREAM-FED incremental gold == FULL batch medallion, certified "
+        "by hash — the reference's real topology (stream_to_bronze.py "
+        "landing micro-batches + bakery_batch_etl.py's scheduled "
+        "maintenance) composed into ONE Structured Streaming query: "
+        "pipeline/medallion.py::run_medallion_stream_fed replays the "
+        "events as chronological JSON-lines files, maxFilesPerTrigger=1 "
+        "makes each micro-batch one day-range arrival, and foreachBatch "
+        "drives apply_medallion_arrival — the SAME chunk body as the "
+        "batch-chunked runner — with the micro-batch id committed inside "
+        "every snapshot swap (checkpoint re-delivery is exactly-once).  "
+        "The oracle is the identical from-scratch SQL the batch parity "
+        "row uses, so the driver hash proves stream_fed(batches 1..N) == "
+        "full_run for three facts, two derived dims, and the SCD2 open "
+        "snapshot",
+)
+def streaming_incremental_gold_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from bakery_big_data_spark.pipeline.medallion import (
+        run_medallion_stream_fed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/root/repo/.scratch/medallion_streamfed/{tag}"
+    marker = f"{base}/_done"
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        try:
+            src_mtime = max(
+                _package_src_mtime(),
+                os.path.getmtime(os.path.join(sf_dir, "events.parquet")),
+            )
+            return src_mtime >= os.path.getmtime(marker)
+        except OSError:
+            return True
+
+    if _stale():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        run_medallion_stream_fed(spark, sf_dir, base, n_chunks=4)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    return _medallion_parity_frame(spark, base)

@@ -682,3 +682,69 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return repetition_features(d, id_cols=["doc_id"])
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    """Unrolled DuckDB restatement of the BPE merge loop: per round, a
+    lateral-unnest adjacent-pair count, a (count DESC, l, r) argmax, and
+    the greedy left-to-right merge as a ``list_reduce`` fold over a
+    chr(31)-joined accumulator string (the unit separator never occurs in
+    the corpus) — each CASE arm mirrors one branch of the Spark fold in
+    operators/bpe.py::merge_pair_fold."""
+    us = chr(31)
+    ctes = [
+        """w0 AS (
+      SELECT string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    )"""
+    ]
+    for r in range(1, num_merges + 1):
+        ctes.append(f"""p{r} AS (
+      SELECT syms[i] AS l, syms[i+1] AS r,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM w{r - 1}, unnest(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""b{r} AS (
+      SELECT l, r, pair_count FROM p{r}
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    )""")
+        ctes.append(f"""w{r} AS (
+      SELECT string_split(
+               list_reduce(syms, (acc, x) -> CASE
+                 WHEN regexp_extract(acc, '[^{us}]*$') = b.l AND x = b.r
+                 THEN regexp_replace(acc, '[^{us}]*$', '') || b.l || b.r
+                 ELSE acc || chr(31) || x END),
+               chr(31)) AS syms, freq
+      FROM w{r - 1}, b{r} b
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged_sym, pair_count FROM b{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@register(
+    "bpe_vocab_merges",
+    _bpe_oracle(8),
+    doc="BPE vocabulary induction (Sennrich et al. 2016): 8 rounds of "
+        "most-frequent adjacent-symbol-pair merges over the corpus "
+        "word-frequency table, ties broken lexicographically — the merge "
+        "table (round, left, right, merged, count) is a pure function of "
+        "the corpus and is hash-certified against a fully unrolled DuckDB "
+        "restatement (per round: lateral-unnest pair count, argmax CTE, "
+        "list_reduce greedy merge fold).  Scale: the only corpus-scale "
+        "work is the initial word count (map-side-combinable shuffle that "
+        "compacts the corpus to its vocabulary); each round after is "
+        "O(vocab) — pair agg + TakeOrdered(1) + map-only fold, with the "
+        "argmax entering the plan as a lazy 1-row broadcast cross, no "
+        "driver round trip (operators/bpe.py)",
+)
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.bpe import bpe_merge_table
+
+    d = spread(t(spark, sf_dir, "documents").select("text"))
+    return bpe_merge_table(d, "text", num_merges=8)

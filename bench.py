@@ -27,6 +27,53 @@ import sys
 import time
 
 
+def compare_details(
+    prev: dict,
+    cur: dict,
+    threshold: float = 2.0,
+    abs_floor_sec: float = 0.25,
+) -> dict:
+    """Round-over-round per-query regression gate.
+
+    Raw per-query ratios are useless on a shared machine — PERF.md
+    documents full-sweep totals ranging 68-97 s for an identical catalog
+    under ambient co-tenancy.  So: normalize by the common-set total
+    (cur_total / prev_total is the run-level slowdown everything shares),
+    then flag queries whose NORMALIZED ratio still exceeds ``threshold``
+    and whose absolute excess is above ``abs_floor_sec`` (sub-noise
+    micro-queries jitter past any ratio).  Only queries present in both
+    details at the same sf are compared."""
+    if prev.get("sf") != cur.get("sf"):
+        return {"comparable": False, "reason": "sf mismatch", "flagged": {}}
+    pq, cq = prev.get("queries", {}), cur.get("queries", {})
+    common = sorted(set(pq) & set(cq))
+    if not common:
+        return {"comparable": False, "reason": "no common queries", "flagged": {}}
+    prev_total = sum(pq[n] for n in common)
+    cur_total = sum(cq[n] for n in common)
+    scale = cur_total / prev_total if prev_total > 0 else 1.0
+    flagged = {}
+    for n in common:
+        expected = pq[n] * scale
+        if expected <= 0:
+            continue
+        ratio = cq[n] / expected
+        if ratio > threshold and (cq[n] - expected) > abs_floor_sec:
+            flagged[n] = {
+                "prev": pq[n],
+                "cur": cq[n],
+                "normalized_ratio": round(ratio, 3),
+            }
+    return {
+        "comparable": True,
+        "common": len(common),
+        "prev_total": round(prev_total, 4),
+        "cur_total": round(cur_total, 4),
+        "scale": round(scale, 4),
+        "flagged": flagged,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -79,6 +126,27 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Regression gate vs the COMMITTED previous round's detail (whatever
+    # is on disk before this run overwrites it): normalize by the
+    # common-set total, flag >2x per-query outliers.  Mechanical
+    # round-over-round deltas instead of hand-assembled ones.
+    try:
+        with open(detail_path) as fh:
+            prev_detail = json.load(fh)
+        detail["regressions_vs_previous"] = compare_details(prev_detail, detail)
+    except (OSError, ValueError):
+        detail["regressions_vs_previous"] = {
+            "comparable": False,
+            "reason": "no previous detail",
+            "flagged": {},
+        }
+    if detail["regressions_vs_previous"].get("flagged"):
+        print(
+            json.dumps(
+                {"bench_regressions": detail["regressions_vs_previous"]}
+            ),
+            file=sys.stderr,
+        )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 

@@ -313,3 +313,32 @@ def test_incremental_curation_survives_mid_chunk_crash(
         for r in df.collect()
     }
     assert key(got) == key(want)
+
+
+def test_stream_fed_medallion_checkpoint_rerun_is_idempotent(spark, sf_dir):
+    """Re-invoking the stream-fed runner over an existing checkpoint must
+    replay NOTHING (availableNow finds no new files) and change no
+    maintained table — the restart contract of the foreachBatch bridge."""
+    from bakery_big_data_spark.pipeline.medallion import (
+        run_medallion_stream_fed,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+
+    def fingerprint(outs):
+        fact = {
+            tuple(r) for r in outs["fact_daily"].collect()
+        }
+        scd2 = {
+            (r.user_id, r.value_band, r.first_seen_date)
+            for r in outs["dim_user_scd2"].filter(F.col("is_current")).collect()
+        }
+        state = {
+            tuple(r) for r in outs["dim_type_stats"].collect()
+        }
+        return fact, scd2, state
+
+    first = fingerprint(run_medallion_stream_fed(spark, sf_dir, base, 3))
+    second = fingerprint(run_medallion_stream_fed(spark, sf_dir, base, 3))
+    assert first == second

@@ -59,6 +59,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy corpus size N modulo for the
     # key-derived negative-candidate LCG
     "contrastive_negative_sampling",
+    # deliberate 1-row broadcast per merge round: the pair-argmax crossed
+    # onto the vocab frame (operators/bpe.py) — no driver round trip
+    "bpe_vocab_merges",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
