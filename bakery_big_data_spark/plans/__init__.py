@@ -125,8 +125,11 @@ DRIVER_WINDOW: list[str] = [
     # LLM: similarity — the IVF recall bound joins the hyperplane-LSH row
     "similarity_ann_recall",
     "similarity_ivf_recall",
-    # pipeline / IO / streaming
-    "medallion_silver_transform",
+    # pipeline / IO / streaming — medallion_silver_transform rotates to
+    # local: the silver transform SQL is embedded verbatim inside BOTH
+    # incremental-parity oracles in-window, so its slot goes to the
+    # streaming near-dup ingest gate (dedup-at-the-well, new in r07)
+    "streaming_dedup_ingest_gate",
     "medallion_features_wide",
     "partition_pruned_scan",
     "csv_ddl_roundtrip",

@@ -448,3 +448,68 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_frac"),
         )
     )
+
+
+@register(
+    "streaming_dedup_ingest_gate",
+    f"""
+    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    nbr AS (
+      SELECT id_a AS doc_id, id_b AS nb FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id)) AS canonical_id,
+           d.doc_id = LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id))
+             AS is_kept
+    FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="STREAMING near-dup ingest gate == batch canonicalization, "
+        "certified by hash — dedup-at-the-well, the production shape for "
+        "dedup at 100 TB: streaming/dedup_gate.py replays the corpus as "
+        "doc-id-ordered micro-batches; each foreachBatch probes the new "
+        "docs' MinHash bands against the accumulated band index (band "
+        "equi-join, never all-pairs), exact-Jaccard-verifies candidates, "
+        "and decides keep/drop AT ARRIVAL, committing band/shingle/"
+        "decision state with the micro-batch id inside each snapshot swap "
+        "(checkpoint re-delivery exactly-once).  Ordered arrival makes "
+        "greedy first-wins equal the batch star contraction "
+        "(LEAST(self, MIN(neighbors)) — larger neighbors never lower the "
+        "min), so the oracle is the SAME all-pairs true-Jaccard "
+        "canonicalization the batch dedup rows certify against",
+)
+def streaming_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from bakery_big_data_spark.plans.pipeline_q import _package_src_mtime
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_dedup_gate,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/root/repo/.scratch/dedup_gate/{tag}"
+    marker = f"{base}/_done"
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        try:
+            src_mtime = max(
+                _package_src_mtime(),
+                os.path.getmtime(os.path.join(sf_dir, "documents.parquet")),
+            )
+            return src_mtime >= os.path.getmtime(marker)
+        except OSError:
+            return True
+
+    if _stale():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        dec = run_streaming_dedup_gate(spark, sf_dir, base, n_chunks=4)
+        dec.write.mode("overwrite").parquet(f"{base}/decisions_out")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(f"{base}/decisions_out")

@@ -1,0 +1,189 @@
+"""Streaming near-duplicate ingest gate — dedup-at-the-well.
+
+The production shape for dedup at 100 TB: instead of landing the whole
+corpus and deduplicating in batch, each ingest micro-batch is checked
+against the accumulated LSH band index and every document receives its
+keep/drop verdict AT ARRIVAL.  One Structured Streaming query:
+``foreachBatch`` shingles the new documents, probes their MinHash band
+hashes against the band-state table (plus the batch's own bands, for
+intra-batch duplicates), exact-Jaccard-verifies the candidates, and
+commits three state tables — band index, shingle store, decisions — each
+guarded by the micro-batch id inside the snapshot commit (checkpoint
+re-delivery is exactly-once).
+
+Equivalence to the batch canonicalization (the certified property):
+arrivals are ordered by ``doc_id``, so for every true near-dup pair
+``(a < b)`` the smaller partner's bands are already indexed (or in the
+same batch) when ``b`` arrives — the streaming candidate set equals the
+batch LSH candidate set, and ``canonical_id = LEAST(doc_id,
+MIN(verified smaller neighbors))`` is exactly the batch star
+contraction's ``LEAST(self, MIN(all neighbors))`` (larger neighbors never
+lower the minimum).  ``streaming_dedup_ingest_gate`` hash-certifies the
+full decision table against the SAME all-pairs true-Jaccard oracle the
+batch dedup rows use.
+
+Parameters mirror the batch path exactly (trigram shingles, 32-slot
+MinHash, 16 bands x 2 rows, Jaccard >= 0.5) so both engines see the same
+pairs.  Per-batch work is Δ-shaped: new docs shingle once (map-only),
+the probe is a band-bucket equi-join of the NEW bands against the index
+(never all-pairs), and verification touches only new candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_streaming_dedup_gate(
+    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Replay ``documents`` as ``n_chunks`` doc-id-ordered JSON arrivals
+    through the ingest gate; returns the decision table
+    ``(doc_id, canonical_id, is_kept)`` covering every document."""
+    import os
+    import shutil
+
+    from bakery_big_data_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signature,
+        verify_pairs,
+        word_shingles,
+    )
+    from bakery_big_data_spark.sources.snapshots import (
+        last_commit_meta,
+        read_snapshot,
+        table_exists,
+        write_snapshot,
+    )
+    from bakery_big_data_spark.sources.tables import load_table
+    from bakery_big_data_spark.streaming.ingest import read_json_stream
+
+    src = f"{base_path}/stream_src"
+    ckpt = f"{base_path}/ckpt"
+    band_path = f"{base_path}/band_state"
+    sh_path = f"{base_path}/shingle_state"
+    dec_path = f"{base_path}/decisions"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(f"{src}/_done"):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        lo_hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        lo_all, hi_all = int(lo_hi[0]), int(lo_hi[1])
+        span = hi_all - lo_all + 1
+        bounds = [lo_all + span * i // n_chunks for i in range(n_chunks + 1)]
+        stamp = 1_600_000_000
+        for ci in range(n_chunks):
+            clo, chi = bounds[ci], bounds[ci + 1] - 1
+            if chi < clo:
+                continue
+            part = docs.filter(F.col("doc_id").between(clo, chi))
+            tmp = f"{src}/_tmp{ci}"
+            part.select(
+                F.to_json(F.struct(*part.columns)).alias("value")
+            ).coalesce(1).write.mode("overwrite").text(tmp)
+            pf = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".txt")
+            )
+            dst = f"{src}/{ci:03d}.json"
+            os.replace(f"{tmp}/{pf}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (stamp + ci, stamp + ci))
+        with open(f"{src}/_done", "w") as fh:
+            fh.write("ok")
+        os.utime(f"{src}/_done", (stamp - 10, stamp - 10))
+
+    def _applied(path: str, bi: int) -> bool:
+        meta = last_commit_meta(path)
+        return meta is not None and meta.get("batch", -1) >= bi
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bi = int(batch_id)
+        if all(_applied(p, bi) for p in (band_path, sh_path, dec_path)):
+            return  # checkpoint re-delivery of a fully-applied batch
+        feat = batch_df.select(
+            "doc_id", word_shingles("text", n=3).alias("shingles")
+        ).localCheckpoint()  # one materialization: probed + verified + stored
+        sig = feat.filter(F.size("shingles") > 0).select(
+            "doc_id",
+            minhash_signature(F.col("shingles"), num_hashes=32).alias("_sig"),
+        )
+        new_bands = sig.select(
+            "doc_id",
+            F.posexplode(lsh_band_hashes(F.col("_sig"), 16, 2)).alias(
+                "band_idx", "band_hash"
+            ),
+        ).localCheckpoint()
+
+        index = (
+            read_snapshot(spark, band_path).unionByName(new_bands)
+            if table_exists(band_path)
+            else new_bands
+        )
+        n, o = new_bands.alias("n"), index.alias("o")
+        cand = (
+            n.join(
+                o,
+                (F.col("n.band_idx") == F.col("o.band_idx"))
+                & (F.col("n.band_hash") == F.col("o.band_hash"))
+                & (F.col("o.doc_id") < F.col("n.doc_id")),
+            )
+            .select(
+                F.col("o.doc_id").alias("id_a"),
+                F.col("n.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        all_sh = (
+            read_snapshot(spark, sh_path).unionByName(feat)
+            if table_exists(sh_path)
+            else feat
+        )
+        verified = verify_pairs(
+            cand, all_sh, "doc_id", "shingles", threshold=0.5
+        ).select("id_a", "id_b")
+
+        smaller_nbr = verified.groupBy("id_b").agg(
+            F.min("id_a").alias("_mn")
+        )
+        dec = (
+            feat.select("doc_id")
+            .join(smaller_nbr, feat.doc_id == smaller_nbr.id_b, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("doc_id"), F.coalesce(F.col("_mn"), F.col("doc_id"))
+                ).alias("canonical_id"),
+            )
+            .withColumn("is_kept", F.col("doc_id") == F.col("canonical_id"))
+        )
+
+        if not _applied(band_path, bi):
+            write_snapshot(index, band_path, meta={"batch": bi})
+        if not _applied(sh_path, bi):
+            write_snapshot(all_sh, sh_path, meta={"batch": bi})
+        if not _applied(dec_path, bi):
+            prev = (
+                read_snapshot(spark, dec_path)
+                if table_exists(dec_path)
+                else None
+            )
+            out = prev.unionByName(dec) if prev is not None else dec
+            write_snapshot(out, dec_path, meta={"batch": bi})
+
+    q = (
+        read_json_stream(
+            spark, src,
+            schema_ddl="doc_id LONG, text STRING",
+            max_files_per_trigger=1,
+        )
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("dedup_ingest_gate")
+        .start()
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, dec_path)

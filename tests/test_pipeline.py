@@ -342,3 +342,49 @@ def test_stream_fed_medallion_checkpoint_rerun_is_idempotent(spark, sf_dir):
     first = fingerprint(run_medallion_stream_fed(spark, sf_dir, base, 3))
     second = fingerprint(run_medallion_stream_fed(spark, sf_dir, base, 3))
     assert first == second
+
+
+def test_streaming_dedup_gate_survives_mid_batch_crash(spark, sf_dir):
+    """Crash between the band-state commit and the decisions commit of a
+    micro-batch, then restart the stream: checkpoint re-delivery must
+    replay the batch exactly-once (duplicate band/shingle rows from the
+    partially-applied batch are tolerated by the distinct/agg shapes) and
+    the final decision table must equal the uncrashed run's."""
+    from bakery_big_data_spark.sources import snapshots as snapmod
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_dedup_gate,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    clean_base = tempfile.mkdtemp(dir=SCRATCH)
+    crash_base = tempfile.mkdtemp(dir=SCRATCH)
+
+    want = {
+        tuple(r)
+        for r in run_streaming_dedup_gate(spark, sf_dir, clean_base, 3).collect()
+    }
+
+    real_write = snapmod.write_snapshot
+    state = {"armed": True}
+
+    def crashing_write(df, table_path, meta=None):
+        if state["armed"] and table_path.endswith("/decisions"):
+            state["armed"] = False
+            raise RuntimeError("injected crash before decisions commit")
+        return real_write(df, table_path, meta=meta)
+
+    snapmod.write_snapshot = crashing_write
+    try:
+        try:
+            run_streaming_dedup_gate(spark, sf_dir, crash_base, 3)
+            raise AssertionError("injected crash did not fire")
+        except Exception as exc:  # surfaces as StreamingQueryException
+            assert "injected" in str(exc)
+    finally:
+        snapmod.write_snapshot = real_write
+
+    got = {
+        tuple(r)
+        for r in run_streaming_dedup_gate(spark, sf_dir, crash_base, 3).collect()
+    }
+    assert got == want
