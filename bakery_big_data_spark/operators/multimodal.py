@@ -226,3 +226,75 @@ def audio_window_rms(media: DataFrame, window: int = 100) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(rms, RMS_DDL)
+
+
+def video_frame_near_dup(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    every: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Clip-level partial-duplicate detection across videos: videos
+    sharing ``min_shared`` or more sampled frames — the multimodal analog
+    of C4 cross-document span dedup (a training-data pipeline drops or
+    links videos that contain the same footage, not just whole-file
+    duplicates).
+
+    Every ``every``-th fixed-size frame of each video payload is hashed
+    and equi-joined across videos (join key = xxhash64(frame), with frame
+    equality re-verified on match — the shuffle carries 8-byte keys plus
+    only the matching frames, never all-pairs), then pairs aggregate by
+    shared-frame count.  Entirely built-in expressions: the frame
+    slicing is a ``sequence``+``transform`` projection, no UDF, so the
+    sampler runs inside whole-stage codegen and the only shuffle is the
+    frame-hash join.  Deterministic fake codec as elsewhere in this
+    module: payload bytes stand in for decoded frames, so the DuckDB
+    oracle certifies the slicing + matching byte-for-byte.
+    """
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", F.decode(F.col("payload"), "UTF-8").alias("_txt")
+    )
+    n_frames = F.ceil(F.length("_txt") / F.lit(frame_bytes)).cast("int")
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every))
+    ).otherwise(F.array().cast("array<int>"))
+    frames = vids.select(
+        "media_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("frame_idx"),
+                    F.substring(
+                        F.col("_txt"), i * frame_bytes + 1, F.lit(frame_bytes)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("f"),
+    ).select(
+        "media_id",
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.col("f.chunk").alias("chunk"),
+        F.xxhash64(F.col("f.chunk")).alias("_fh"),
+    )
+    a = frames.select(
+        F.col("media_id").alias("id_a"),
+        F.col("chunk").alias("_ca"),
+        F.col("_fh").alias("_ha"),
+    )
+    b = frames.select(
+        F.col("media_id").alias("id_b"),
+        F.col("chunk").alias("_cb"),
+        F.col("_fh").alias("_hb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_ha") == F.col("_hb"))
+            & (F.col("_ca") == F.col("_cb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
+    )

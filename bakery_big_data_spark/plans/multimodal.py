@@ -195,3 +195,42 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo_col="phash_lo",
         bands=_PHASH_BANDS,
     )
+
+
+@register(
+    "multimodal_video_frame_near_dup",
+    """
+    WITH vids AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, i AS frame_idx, substr(text, i*256 + 1, 256) AS chunk
+      FROM vids,
+           unnest(range(0, CAST(ceil(len(text)/256.0) AS BIGINT), 4)) AS t(i)
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+    FROM frames a JOIN frames b
+      ON a.chunk = b.chunk AND a.media_id < b.media_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 1
+    """,
+    doc="Clip-level partial-duplicate detection across videos — the "
+        "multimodal analog of C4 cross-document span dedup: every 4th "
+        "256-byte frame of each video payload, hashed and equi-joined "
+        "across videos (8-byte join keys + equality re-verify, never "
+        "all-pairs), pairs aggregated by shared-frame count.  Frame "
+        "slicing is a sequence+transform projection (whole-stage codegen, "
+        "no UDF); the only shuffle is the frame-hash join.  The oracle "
+        "restates the slicing with substr/range over the ASCII payloads "
+        "(kind='video' <=> doc_id % 3 = 2 under the round-robin media "
+        "typing), certifying sampler + matcher byte-for-byte "
+        "(operators/multimodal.py::video_frame_near_dup)",
+)
+def multimodal_video_frame_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.operators.multimodal import (
+        video_frame_near_dup,
+    )
+
+    return video_frame_near_dup(_media(spark, sf_dir))

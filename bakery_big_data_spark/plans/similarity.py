@@ -603,9 +603,7 @@ _SEMDEDUP_PAIRS_SQL = f"""
 """
 
 
-@register(
-    "dedup_semantic_embedding",
-    f"""
+_SEMDEDUP_CANON_SQL = f"""
     WITH {_VEC_CTE}, {_SEMDEDUP_PAIRS_SQL},
     nbr AS (
       SELECT id_a AS vec_id, id_b AS nb FROM sd_pairs
@@ -617,7 +615,12 @@ _SEMDEDUP_PAIRS_SQL = f"""
              AS is_kept
     FROM e LEFT JOIN nbr n ON e.vec_id = n.vec_id
     GROUP BY e.vec_id
-    """,
+    """
+
+
+@register(
+    "dedup_semantic_embedding",
+    _SEMDEDUP_CANON_SQL,
     doc="SemDeDup-shaped SEMANTIC dedup over the embedding column (Abbas "
         "et al. 2023): near-dup pairs at cosine >= 0.45 from multi-table "
         "hyperplane-LSH candidates (L=12 tables x 4 seeded planes, "
@@ -684,3 +687,58 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_c"), F.lit(False)).alias("caught_by_lsh"),
         )
     )
+
+
+@register(
+    "streaming_semantic_ingest_gate",
+    _SEMDEDUP_CANON_SQL,
+    doc="STREAMING semantic ingest gate == batch SemDeDup "
+        "canonicalization, certified by hash — the embedding-space analog "
+        "of streaming_dedup_ingest_gate (dedup-at-the-well for vector "
+        "corpora): streaming/dedup_gate.py::run_streaming_semantic_gate "
+        "replays the embeddings as vec-id-ordered micro-batches; each "
+        "foreachBatch probes the new vectors' hyperplane-LSH signatures "
+        "(L=12 tables x 4 seeded planes — the batch operating point) "
+        "against the accumulated bucket index, verifies candidates with "
+        "the order-exact cosine fold (bit-identical to the oracle's "
+        "list_reduce), and decides keep/drop AT ARRIVAL with "
+        "batch-id-guarded state commits (checkpoint re-delivery "
+        "exactly-once).  Ordered arrival makes greedy first-wins equal "
+        "the batch star contraction, so the oracle is the SAME "
+        "re-derived-signature SQL as dedup_semantic_embedding",
+)
+def streaming_semantic_ingest_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from bakery_big_data_spark.plans.pipeline_q import _package_src_mtime
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_semantic_gate,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/root/repo/.scratch/semantic_gate/{tag}"
+    marker = f"{base}/_done"
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        try:
+            src_mtime = max(
+                _package_src_mtime(),
+                os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")),
+            )
+            return src_mtime >= os.path.getmtime(marker)
+        except OSError:
+            return True
+
+    if _stale():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        dec = run_streaming_semantic_gate(spark, sf_dir, base, n_chunks=4)
+        dec.write.mode("overwrite").parquet(f"{base}/decisions_out")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(f"{base}/decisions_out")

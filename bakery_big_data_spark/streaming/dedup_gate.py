@@ -35,15 +35,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def write_ordered_json_chunks(
+    df: DataFrame, src: str, order_col: str, n_chunks: int
+) -> None:
+    """Materialize ``df`` as ``n_chunks`` JSON-lines files partitioned by
+    contiguous ``order_col`` ranges, with strictly increasing mtimes so
+    the file stream source delivers them as chronological arrivals.
+    Idempotent via a ``_done`` marker (older mtime than every data file —
+    the marker must not become a later 'arrival')."""
+    import os
+    import shutil
+
+    if os.path.exists(f"{src}/_done"):
+        return
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    lo_hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
+    lo_all, hi_all = int(lo_hi[0]), int(lo_hi[1])
+    span = hi_all - lo_all + 1
+    bounds = [lo_all + span * i // n_chunks for i in range(n_chunks + 1)]
+    stamp = 1_600_000_000
+    for ci in range(n_chunks):
+        clo, chi = bounds[ci], bounds[ci + 1] - 1
+        if chi < clo:
+            continue
+        part = df.filter(F.col(order_col).between(clo, chi))
+        tmp = f"{src}/_tmp{ci}"
+        part.select(
+            F.to_json(F.struct(*part.columns)).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        pf = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".txt")
+        )
+        dst = f"{src}/{ci:03d}.json"
+        os.replace(f"{tmp}/{pf}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (stamp + ci, stamp + ci))
+    with open(f"{src}/_done", "w") as fh:
+        fh.write("ok")
+    os.utime(f"{src}/_done", (stamp - 10, stamp - 10))
+
+
 def run_streaming_dedup_gate(
     spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
 ) -> DataFrame:
     """Replay ``documents`` as ``n_chunks`` doc-id-ordered JSON arrivals
     through the ingest gate; returns the decision table
     ``(doc_id, canonical_id, is_kept)`` covering every document."""
-    import os
-    import shutil
-
     from bakery_big_data_spark.operators.dedup import (
         lsh_band_hashes,
         minhash_signature,
@@ -66,34 +105,7 @@ def run_streaming_dedup_gate(
     dec_path = f"{base_path}/decisions"
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if not os.path.exists(f"{src}/_done"):
-        shutil.rmtree(src, ignore_errors=True)
-        os.makedirs(src, exist_ok=True)
-        lo_hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
-        lo_all, hi_all = int(lo_hi[0]), int(lo_hi[1])
-        span = hi_all - lo_all + 1
-        bounds = [lo_all + span * i // n_chunks for i in range(n_chunks + 1)]
-        stamp = 1_600_000_000
-        for ci in range(n_chunks):
-            clo, chi = bounds[ci], bounds[ci + 1] - 1
-            if chi < clo:
-                continue
-            part = docs.filter(F.col("doc_id").between(clo, chi))
-            tmp = f"{src}/_tmp{ci}"
-            part.select(
-                F.to_json(F.struct(*part.columns)).alias("value")
-            ).coalesce(1).write.mode("overwrite").text(tmp)
-            pf = next(
-                f for f in os.listdir(tmp)
-                if f.startswith("part-") and f.endswith(".txt")
-            )
-            dst = f"{src}/{ci:03d}.json"
-            os.replace(f"{tmp}/{pf}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (stamp + ci, stamp + ci))
-        with open(f"{src}/_done", "w") as fh:
-            fh.write("ok")
-        os.utime(f"{src}/_done", (stamp - 10, stamp - 10))
+    write_ordered_json_chunks(docs, src, "doc_id", n_chunks)
 
     def _applied(path: str, bi: int) -> bool:
         meta = last_commit_meta(path)
@@ -183,6 +195,171 @@ def run_streaming_dedup_gate(
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName("dedup_ingest_gate")
+        .start()
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, dec_path)
+
+
+def run_streaming_semantic_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    n_chunks: int = 4,
+    threshold: float = 0.45,
+    num_planes: int = 4,
+    num_tables: int = 12,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic (embedding-space) ingest gate — the SemDeDup analog of
+    :func:`run_streaming_dedup_gate`: each micro-batch of vectors probes
+    its hyperplane-LSH bucket signatures against the accumulated bucket
+    index, exact-cosine-verifies candidates with the order-exact fold
+    (bit-identical to the oracle's list_reduce), and decides keep/drop at
+    arrival.  Parameters default to the batch ``semantic_dedup_pairs``
+    operating point (L=12 tables x 4 seeded planes, exact-bucket) so the
+    streaming candidate set equals the batch one, and vec-id-ordered
+    arrival makes greedy first-wins equal the batch star contraction —
+    ``streaming_semantic_ingest_gate`` hash-certifies the decision table
+    against the SAME oracle as ``dedup_semantic_embedding``.
+
+    Zero-norm vectors emit no buckets (as in batch) and canonicalize to
+    themselves.  Per-batch work: signatures are map-only over the new
+    vectors; the probe is a (table, bucket) equi-join of new signatures
+    against the index; verification re-attaches only candidate vectors.
+    """
+    from bakery_big_data_spark.operators.similarity import (
+        dot_exact,
+        hyperplane_planes,
+        hyperplane_signature,
+        to_double_vec,
+    )
+    from bakery_big_data_spark.sources.snapshots import (
+        last_commit_meta,
+        read_snapshot,
+        table_exists,
+        write_snapshot,
+    )
+    from bakery_big_data_spark.sources.tables import load_table
+    from bakery_big_data_spark.streaming.ingest import read_json_stream
+
+    src = f"{base_path}/stream_src"
+    ckpt = f"{base_path}/ckpt"
+    bucket_path = f"{base_path}/bucket_state"
+    vec_path = f"{base_path}/vec_state"
+    dec_path = f"{base_path}/decisions"
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_ordered_json_chunks(emb, src, "vec_id", n_chunks)
+
+    tables = [
+        hyperplane_planes(num_planes, dim, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+
+    def _applied(path: str, bi: int) -> bool:
+        meta = last_commit_meta(path)
+        return meta is not None and meta.get("batch", -1) >= bi
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bi = int(batch_id)
+        if all(_applied(p, bi) for p in (bucket_path, vec_path, dec_path)):
+            return
+        v = to_double_vec("embedding")
+        vecs = batch_df.select(
+            "vec_id",
+            v.alias("v"),
+            dot_exact(v, v).alias("n2"),
+        ).localCheckpoint()
+        sigs = vecs.filter(F.col("n2") > 0).select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[hyperplane_signature(F.col("v"), p) for p in tables])
+            ).alias("t", "bucket"),
+        ).localCheckpoint()
+
+        index = (
+            read_snapshot(spark, bucket_path).unionByName(sigs)
+            if table_exists(bucket_path)
+            else sigs
+        )
+        n, o = sigs.alias("n"), index.alias("o")
+        cand = (
+            n.join(
+                o,
+                (F.col("n.t") == F.col("o.t"))
+                & (F.col("n.bucket") == F.col("o.bucket"))
+                & (F.col("o.vec_id") < F.col("n.vec_id")),
+            )
+            .select(
+                F.col("o.vec_id").alias("id_a"),
+                F.col("n.vec_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        all_vecs = (
+            read_snapshot(spark, vec_path).unionByName(vecs)
+            if table_exists(vec_path)
+            else vecs
+        )
+        a = all_vecs.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("_va"),
+            F.col("n2").alias("_n2a"),
+        )
+        b = all_vecs.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("_vb"),
+            F.col("n2").alias("_n2b"),
+        )
+        verified = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(
+                dot_exact(F.col("_va"), F.col("_vb"))
+                / F.sqrt(F.col("_n2a") * F.col("_n2b"))
+                >= threshold
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        smaller = verified.groupBy("id_b").agg(F.min("id_a").alias("_mn"))
+        dec = (
+            vecs.select("vec_id")
+            .join(smaller, vecs.vec_id == smaller.id_b, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("vec_id"), F.coalesce(F.col("_mn"), F.col("vec_id"))
+                ).alias("canonical_id"),
+            )
+            .withColumn("is_kept", F.col("vec_id") == F.col("canonical_id"))
+        )
+
+        if not _applied(bucket_path, bi):
+            write_snapshot(index, bucket_path, meta={"batch": bi})
+        if not _applied(vec_path, bi):
+            write_snapshot(all_vecs, vec_path, meta={"batch": bi})
+        if not _applied(dec_path, bi):
+            prev = (
+                read_snapshot(spark, dec_path)
+                if table_exists(dec_path)
+                else None
+            )
+            out = prev.unionByName(dec) if prev is not None else dec
+            write_snapshot(out, dec_path, meta={"batch": bi})
+
+    q = (
+        read_json_stream(
+            spark, src,
+            schema_ddl="vec_id LONG, embedding ARRAY<FLOAT>",
+            max_files_per_trigger=1,
+        )
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("semantic_ingest_gate")
         .start()
     )
     q.awaitTermination()
