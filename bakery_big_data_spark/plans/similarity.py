@@ -104,11 +104,41 @@ def embedding_cosine_near_dup_pairs(
 
 @register(
     "similarity_ann_lsh",
-    None,  # approximate: bucket membership depends on seeded hyperplanes;
-           # recall vs brute force asserted in tests/test_similarity.py
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, {_sig_sql(hyperplane_planes(6, 64, 7), 'v')} AS s0
+      FROM e
+    ), nrm AS (
+      SELECT vec_id, v, n2 FROM (
+        SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
+      ) WHERE n2 > 0
+    ), scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             {_FOLD_DOT.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)
+               AS cosine
+      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
+    )
+    SELECT s.q_id, s.c_id, s.cosine FROM scored s
+    JOIN sig sq ON sq.vec_id = s.q_id
+    JOIN sig sc ON sc.vec_id = s.c_id
+    WHERE bit_count(xor(CAST(sq.s0 AS BIGINT), CAST(sc.s0 AS BIGINT))) <= 1
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s.q_id
+                               ORDER BY s.cosine DESC, s.c_id) <= 10
+    """,
     doc="ANN top-10 via random-hyperplane LSH (6 planes, 64 buckets, "
         "Hamming-1 multi-probe) + exact rerank of candidates — probes ~11% "
-        "of the corpus per query instead of 100%",
+        "of the corpus per query instead of 100%.  UPGRADED from rows-only "
+        "in r07: the oracle re-derives the seeded signature table as "
+        "literals (same fold order, so every sign bit agrees) and "
+        "restates Hamming-1 probe membership as bit_count(xor) <= 1 over "
+        "the exact cosine ranking — bucket assignment, probe set, rerank "
+        "order and the returned cosines are all hash-certified (the same "
+        "re-derivation pattern as similarity_ann_recall, at the cheap "
+        "1-table operating point this query runs)",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
