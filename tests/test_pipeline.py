@@ -388,3 +388,117 @@ def test_streaming_dedup_gate_survives_mid_batch_crash(spark, sf_dir):
         for r in run_streaming_dedup_gate(spark, sf_dir, crash_base, 3).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_gate_chain_topology_matches_batch(spark, tmp_path):
+    """Crafted corpus pinning the star-contraction (NOT transitive
+    closure) semantics across chunk boundaries: docs 1-2-3 form a chain
+    (1~2, 2~3, but 1!~3), with the chain split so 1 arrives in batch 1
+    and 2, 3 in batch 2 (intra-batch pair), plus an isolated doc.
+    Expected, matching batch canonical_assignment: 2 -> 1 (dropped),
+    3 -> 2 (dropped — its smallest verified neighbor, even though 2 was
+    itself dropped), 1 and 9 kept."""
+    import json
+
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_dedup_gate,
+    )
+
+    # >=3 words per shingle; overlap engineered: 1~2 and 2~3 share >50%
+    # trigram shingles, 1 and 3 share none.
+    base_words = ["w%d" % i for i in range(12)]
+    d1 = " ".join(base_words)
+    d2 = " ".join(base_words[2:] + ["x1", "x2"])   # high overlap with d1
+    d3 = " ".join(base_words[4:] + ["x1", "x2", "z1", "z2"])  # overlaps d2
+    d9 = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+
+    docs = [(1, d1), (2, d2), (3, d3), (9, d9)]
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+
+    # batch truth: canonical_assignment over verified LSH pairs
+    from bakery_big_data_spark.operators.dedup import (
+        candidate_pairs,
+        canonical_assignment,
+        verify_pairs,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F2
+
+    sh = spark.createDataFrame(docs, "doc_id LONG, text STRING").select(
+        "doc_id", word_shingles("text", n=3).alias("shingles")
+    )
+    pairs = verify_pairs(
+        candidate_pairs(sh, "doc_id", "shingles", bands=16, rows_per_band=2),
+        sh, "doc_id", "shingles", threshold=0.5,
+    )
+    batch = {
+        (r.doc_id, r.canonical_id)
+        for r in canonical_assignment(sh, "doc_id", pairs).collect()
+    }
+
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in run_streaming_dedup_gate(
+            spark, sf_dir, str(tmp_path / "gate"), n_chunks=2
+        ).collect()
+    }
+    assert got == batch
+    # the topology itself must be the interesting one: 2 merged into 1,
+    # and if 2~3 verified, 3 chains to 2 (star contraction, not closure)
+    assert (2, 1) in got
+
+
+def test_stream_fed_medallion_survives_mid_arrival_crash(spark, sf_dir):
+    """Crash between the state commit and the SCD2 commit of a streaming
+    arrival, then restart: checkpoint re-delivery must replay the arrival
+    exactly-once (state guard skips the already-merged delta; the SCD2
+    apply runs on the replay) and converge to the uncrashed run."""
+    from bakery_big_data_spark.pipeline.medallion import (
+        run_medallion_stream_fed,
+    )
+    from bakery_big_data_spark.sources import snapshots as snapmod
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    clean_base = tempfile.mkdtemp(dir=SCRATCH)
+    crash_base = tempfile.mkdtemp(dir=SCRATCH)
+
+    def fingerprint(outs):
+        return (
+            {tuple(r) for r in outs["fact_daily"].collect()},
+            {
+                (r.user_id, r.value_band, r.first_seen_date)
+                for r in outs["dim_user_scd2"]
+                .filter(F.col("is_current"))
+                .collect()
+            },
+        )
+
+    want = fingerprint(run_medallion_stream_fed(spark, sf_dir, clean_base, 2))
+
+    real_write = snapmod.write_snapshot
+    state = {"armed": True}
+
+    def crashing_write(df, table_path, meta=None):
+        if state["armed"] and table_path.endswith("/gold_dim_user_scd2"):
+            state["armed"] = False
+            raise RuntimeError("injected crash before scd2 commit")
+        return real_write(df, table_path, meta=meta)
+
+    snapmod.write_snapshot = crashing_write
+    try:
+        try:
+            run_medallion_stream_fed(spark, sf_dir, crash_base, 2)
+            raise AssertionError("injected crash did not fire")
+        except Exception as exc:
+            assert "injected" in str(exc)
+    finally:
+        snapmod.write_snapshot = real_write
+
+    got = fingerprint(run_medallion_stream_fed(spark, sf_dir, crash_base, 2))
+    assert got == want
