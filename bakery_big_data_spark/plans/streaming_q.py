@@ -790,3 +790,73 @@ def streaming_stream_stream_full_join(
             "user_id", "src_event_id", "src_ts", "purchase_id", "purchase_ts"
         )
     )
+
+
+@register(
+    "streaming_dead_letter_routing",
+    f"""
+    SELECT 'ok' AS side, event_id, event_type, value
+    FROM events WHERE event_id < {_N} AND event_id % 37 <> 0
+    UNION ALL
+    SELECT 'dlq' AS side, event_id,
+           CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_id < {_N} AND event_id % 37 = 0
+    """,
+    doc="S1-S3 dead-letter routing, stream-run and hash-certified: the "
+        "replay source deterministically corrupts every 37th event's line "
+        "('CORRUPT|<id>' instead of JSON); the stream decodes with "
+        "columnNameOfCorruptRecord and the DLQ sink routes parse failures "
+        "to the quarantine table as raw text while good rows land decoded "
+        "(streaming/ingest.py::start_dlq_sink — both sides per-batch-id "
+        "overwrites, exactly-once under checkpoint replay).  The returned "
+        "frame unions decoded values with ids parsed back out of the "
+        "quarantined raw lines; the oracle restates the corruption rule "
+        "over the events table, so the hash certifies that EVERY corrupt "
+        "line was quarantined (none parsed, none lost) and every valid "
+        "line decoded to exact values — malformed messages neither poison "
+        "the stream nor vanish",
+)
+def streaming_dead_letter_routing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.streaming.ingest import (
+        JSON_OPTIONS,
+        read_json_stream_with_raw,
+        start_dlq_sink,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_dlq")
+    src, out, dlq, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "dlq"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        line = F.when(
+            F.col("event_id") % 37 == 0,
+            F.concat(F.lit("CORRUPT|"), F.col("event_id").cast("string")),
+        ).otherwise(F.to_json(F.struct(*ev.columns), JSON_OPTIONS))
+        ev.select(line.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(src)
+    q = start_dlq_sink(
+        read_json_stream_with_raw(spark, src), out, dlq, ckpt,
+        query_name="dlq_replay",
+    )
+    q.awaitTermination()
+    ok = spark.read.parquet(out).select(
+        F.lit("ok").alias("side"), "event_id", "event_type", "value"
+    )
+    bad = spark.read.parquet(dlq).select(
+        F.lit("dlq").alias("side"),
+        F.split(F.col("raw_line"), r"\|").getItem(1).cast("long").alias(
+            "event_id"
+        ),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    return ok.unionByName(bad)
