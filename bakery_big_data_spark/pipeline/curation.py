@@ -248,20 +248,8 @@ def run_curation_incremental(
     ``curation_pipeline_manifest`` — incremental == full, stage
     interactions included.
     """
-    from bakery_big_data_spark.operators.dedup import (
-        lsh_band_hashes,
-        minhash_signature,
-        verify_pairs,
-        word_shingles,
-    )
-    from bakery_big_data_spark.operators.repetition import with_passes_gopher
     from bakery_big_data_spark.plans.base import spread, t
-    from bakery_big_data_spark.sources.snapshots import (
-        last_commit_meta,
-        read_snapshot,
-        table_exists,
-        write_snapshot,
-    )
+    from bakery_big_data_spark.sources.snapshots import last_commit_meta
 
     docs_all = t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
@@ -288,151 +276,204 @@ def run_curation_incremental(
         ):
             continue
         delta = spread(docs_all.filter(F.col("doc_id").between(clo, chi)))
-        ws = F.split(F.col("text"), " ")
-        ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
-        feat = with_passes_gopher(delta, "text", "passes_repetition").select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            ((F.col("n_chars") >= MIN_CHARS) & (ttr >= MIN_TTR)).alias(
-                "passes_quality"
-            ),
-            "passes_repetition",
-            (F.col("doc_id") % 25 == 0).alias("is_benchmark"),
-            word_shingles("text", n=3).alias("shingles"),
-        )
+        apply_curation_arrival(spark, base_path, delta, ci)
 
-        # --- benchmark gram set: old ∪ never-seen-new -------------------
-        # COMMIT ORDER IS LOAD-BEARING: doc_state commits BEFORE
-        # bench_grams.  new_only (the never-seen grams that drive the
-        # retro-update of old docs) is derived from the bench state of the
-        # PREVIOUS chunk, so if bench_grams had already advanced when a
-        # crashed chunk replays, new_only would come out empty and the
-        # retro-scores would be silently lost.  With doc-then-bench order,
-        # a replayed chunk either recomputes both from the old bench state
-        # or skips both.
-        new_bench = (
-            feat.filter(F.col("is_benchmark"))
-            .select(F.explode("shingles").alias("g"))
-            .select(F.xxhash64("g").alias("gh"))
+    return derive_curation_manifest(spark, base_path)
+
+
+def apply_curation_arrival(
+    spark: SparkSession,
+    base_path: str,
+    delta_docs: DataFrame,
+    arrival_id: int,
+) -> None:
+    """Maintain every curation-state table for ONE doc-range arrival —
+    the shared chunk body of :func:`run_curation_incremental` (batch
+    replay) and :func:`run_curation_stream_fed` (foreachBatch
+    micro-batches).  ``delta_docs`` must carry (doc_id, text, lang,
+    n_chars); arrivals must be doc-id-ordered, non-overlapping ranges;
+    each state table carries its own applied-``arrival_id`` guard inside
+    the snapshot commit (commit order doc->bench->band->pairs is
+    load-bearing — see the inline comments)."""
+    from bakery_big_data_spark.operators.dedup import (
+        lsh_band_hashes,
+        minhash_signature,
+        verify_pairs,
+        word_shingles,
+    )
+    from bakery_big_data_spark.operators.repetition import with_passes_gopher
+    from bakery_big_data_spark.sources.snapshots import (
+        last_commit_meta,
+        read_snapshot,
+        table_exists,
+        write_snapshot,
+    )
+
+    ds_path = f"{base_path}/doc_state"
+    band_path = f"{base_path}/band_state"
+    bench_path = f"{base_path}/bench_grams"
+    pairs_path = f"{base_path}/pairs_state"
+    ci = arrival_id
+
+    def _applied(path: str, i: int) -> bool:
+        meta = last_commit_meta(path)
+        return meta is not None and meta.get("chunk", -1) >= i
+
+    delta = delta_docs  # caller supplies the (already-spread) arrival
+    ws = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    feat = with_passes_gopher(delta, "text", "passes_repetition").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        ((F.col("n_chars") >= MIN_CHARS) & (ttr >= MIN_TTR)).alias(
+            "passes_quality"
+        ),
+        "passes_repetition",
+        (F.col("doc_id") % 25 == 0).alias("is_benchmark"),
+        word_shingles("text", n=3).alias("shingles"),
+    )
+
+    # --- benchmark gram set: old ∪ never-seen-new -------------------
+    # COMMIT ORDER IS LOAD-BEARING: doc_state commits BEFORE
+    # bench_grams.  new_only (the never-seen grams that drive the
+    # retro-update of old docs) is derived from the bench state of the
+    # PREVIOUS chunk, so if bench_grams had already advanced when a
+    # crashed chunk replays, new_only would come out empty and the
+    # retro-scores would be silently lost.  With doc-then-bench order,
+    # a replayed chunk either recomputes both from the old bench state
+    # or skips both.
+    new_bench = (
+        feat.filter(F.col("is_benchmark"))
+        .select(F.explode("shingles").alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    if table_exists(bench_path):
+        old_bench = read_snapshot(spark, bench_path)
+        new_only = new_bench.join(old_bench, "gh", "left_anti")
+        full_bench = old_bench.unionByName(new_only)
+    else:
+        new_only = new_bench
+        full_bench = new_bench
+
+    # --- doc state: new docs scored vs the full bench set, old docs
+    # retro-updated vs only the never-seen grams ---------------------
+    if not _applied(ds_path, ci):
+        dg = feat.select(
+            "doc_id", F.explode_outer("shingles").alias("g")
+        ).select(
+            "doc_id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("gh")
+        )
+        shared0 = (
+            dg.join(full_bench, "gh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n_shared0"))
+        )
+        new_state = (
+            feat.join(shared0, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                "passes_quality",
+                "passes_repetition",
+                "is_benchmark",
+                "shingles",
+                F.size("shingles").cast("bigint").alias("n_grams"),
+                F.coalesce(F.col("_n_shared0"), F.lit(0))
+                .cast("bigint")
+                .alias("n_shared"),
+            )
+        )
+        if table_exists(ds_path):
+            old = read_snapshot(spark, ds_path)
+            og = old.select(
+                "doc_id", F.explode("shingles").alias("g")
+            ).select("doc_id", F.xxhash64("g").alias("gh"))
+            add = (
+                og.join(new_only, "gh")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_add"))
+            )
+            old = (
+                old.join(add, "doc_id", "left")
+                .withColumn(
+                    "n_shared",
+                    F.col("n_shared")
+                    + F.coalesce(F.col("_add"), F.lit(0)),
+                )
+                .drop("_add")
+            )
+            merged = old.unionByName(new_state)
+        else:
+            merged = new_state
+        write_snapshot(merged, ds_path, meta={"chunk": ci})
+    doc_state = read_snapshot(spark, ds_path)
+    if not _applied(bench_path, ci):
+        write_snapshot(full_bench, bench_path, meta={"chunk": ci})
+
+    # --- LSH index + Δ candidate pairs ------------------------------
+    sigd = feat.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        minhash_signature(F.col("shingles"), num_hashes=32).alias("_sig"),
+    )
+    dbands = sigd.select(
+        "doc_id",
+        F.posexplode(lsh_band_hashes(F.col("_sig"), 16, 2)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    if not _applied(band_path, ci):
+        all_bands = (
+            read_snapshot(spark, band_path).unionByName(dbands)
+            if table_exists(band_path)
+            else dbands
+        )
+        write_snapshot(all_bands, band_path, meta={"chunk": ci})
+    all_bands = read_snapshot(spark, band_path)
+
+    if not _applied(pairs_path, ci):
+        n, o = dbands.alias("n"), all_bands.alias("o")
+        cand = (
+            n.join(
+                o,
+                (F.col("n.band_idx") == F.col("o.band_idx"))
+                & (F.col("n.band_hash") == F.col("o.band_hash"))
+                & (F.col("n.doc_id") != F.col("o.doc_id")),
+            )
+            .select(
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
+                F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias(
+                    "id_b"
+                ),
+            )
             .distinct()
         )
-        if table_exists(bench_path):
-            old_bench = read_snapshot(spark, bench_path)
-            new_only = new_bench.join(old_bench, "gh", "left_anti")
-            full_bench = old_bench.unionByName(new_only)
-        else:
-            new_only = new_bench
-            full_bench = new_bench
-
-        # --- doc state: new docs scored vs the full bench set, old docs
-        # retro-updated vs only the never-seen grams ---------------------
-        if not _applied(ds_path, ci):
-            dg = feat.select(
-                "doc_id", F.explode_outer("shingles").alias("g")
-            ).select(
-                "doc_id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("gh")
-            )
-            shared0 = (
-                dg.join(full_bench, "gh")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("_n_shared0"))
-            )
-            new_state = (
-                feat.join(shared0, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    "lang",
-                    "n_chars",
-                    "passes_quality",
-                    "passes_repetition",
-                    "is_benchmark",
-                    "shingles",
-                    F.size("shingles").cast("bigint").alias("n_grams"),
-                    F.coalesce(F.col("_n_shared0"), F.lit(0))
-                    .cast("bigint")
-                    .alias("n_shared"),
-                )
-            )
-            if table_exists(ds_path):
-                old = read_snapshot(spark, ds_path)
-                og = old.select(
-                    "doc_id", F.explode("shingles").alias("g")
-                ).select("doc_id", F.xxhash64("g").alias("gh"))
-                add = (
-                    og.join(new_only, "gh")
-                    .groupBy("doc_id")
-                    .agg(F.count(F.lit(1)).alias("_add"))
-                )
-                old = (
-                    old.join(add, "doc_id", "left")
-                    .withColumn(
-                        "n_shared",
-                        F.col("n_shared")
-                        + F.coalesce(F.col("_add"), F.lit(0)),
-                    )
-                    .drop("_add")
-                )
-                merged = old.unionByName(new_state)
-            else:
-                merged = new_state
-            write_snapshot(merged, ds_path, meta={"chunk": ci})
-        doc_state = read_snapshot(spark, ds_path)
-        if not _applied(bench_path, ci):
-            write_snapshot(full_bench, bench_path, meta={"chunk": ci})
-
-        # --- LSH index + Δ candidate pairs ------------------------------
-        sigd = feat.filter(F.size("shingles") > 0).select(
+        verified = verify_pairs(
+            cand,
+            doc_state.select("doc_id", "shingles"),
             "doc_id",
-            minhash_signature(F.col("shingles"), num_hashes=32).alias("_sig"),
+            "shingles",
+            threshold=0.5,
+        ).select("id_a", "id_b")
+        pairs = (
+            read_snapshot(spark, pairs_path)
+            .unionByName(verified)
+            .distinct()
+            if table_exists(pairs_path)
+            else verified.distinct()
         )
-        dbands = sigd.select(
-            "doc_id",
-            F.posexplode(lsh_band_hashes(F.col("_sig"), 16, 2)).alias(
-                "band_idx", "band_hash"
-            ),
-        )
-        if not _applied(band_path, ci):
-            all_bands = (
-                read_snapshot(spark, band_path).unionByName(dbands)
-                if table_exists(band_path)
-                else dbands
-            )
-            write_snapshot(all_bands, band_path, meta={"chunk": ci})
-        all_bands = read_snapshot(spark, band_path)
+        write_snapshot(pairs, pairs_path, meta={"chunk": ci})
 
-        if not _applied(pairs_path, ci):
-            n, o = dbands.alias("n"), all_bands.alias("o")
-            cand = (
-                n.join(
-                    o,
-                    (F.col("n.band_idx") == F.col("o.band_idx"))
-                    & (F.col("n.band_hash") == F.col("o.band_hash"))
-                    & (F.col("n.doc_id") != F.col("o.doc_id")),
-                )
-                .select(
-                    F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("id_a"),
-                    F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias(
-                        "id_b"
-                    ),
-                )
-                .distinct()
-            )
-            verified = verify_pairs(
-                cand,
-                doc_state.select("doc_id", "shingles"),
-                "doc_id",
-                "shingles",
-                threshold=0.5,
-            ).select("id_a", "id_b")
-            pairs = (
-                read_snapshot(spark, pairs_path)
-                .unionByName(verified)
-                .distinct()
-                if table_exists(pairs_path)
-                else verified.distinct()
-            )
-            write_snapshot(pairs, pairs_path, meta={"chunk": ci})
+
+def derive_curation_manifest(spark: SparkSession, base_path: str) -> DataFrame:
+    """Final manifest from maintained state only — the shared tail of
+    both incremental runners."""
+    from bakery_big_data_spark.sources.snapshots import read_snapshot
+
+    ds_path = f"{base_path}/doc_state"
+    pairs_path = f"{base_path}/pairs_state"
 
     # --- final manifest, derived from state only ------------------------
     state = read_snapshot(spark, ds_path)
@@ -487,3 +528,55 @@ def run_curation_incremental(
         & (F.col("doc_id") == F.col("canonical_id"))
         & (F.col("contamination_ratio") < CONTAMINATION_MAX),
     )
+
+
+def run_curation_stream_fed(
+    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Stream-fed incremental curation — the curation counterpart of
+    ``run_medallion_stream_fed``: ONE Structured Streaming query replays
+    the corpus as doc-id-ordered JSON arrivals and each ``foreachBatch``
+    micro-batch drives :func:`apply_curation_arrival` (the same chunk
+    body as the batch replay), so the ENTIRE gated/deduped/
+    decontaminated/split chain is maintained at ingest time, Δ-cost per
+    micro-batch.  State commits carry the micro-batch id (checkpoint
+    re-delivery exactly-once; commit order doc->bench->band->pairs
+    preserved by the shared body).  The final manifest derives from state
+    only and ``streaming_curation_parity`` hash-certifies it against the
+    SAME from-scratch oracle as the batch rows — stream-fed incremental
+    == full curation run."""
+    from bakery_big_data_spark.plans.base import spread
+    from bakery_big_data_spark.sources.tables import load_table
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        write_ordered_json_chunks,
+    )
+    from bakery_big_data_spark.streaming.ingest import read_json_stream
+
+    src = f"{base_path}/stream_src"
+    ckpt = f"{base_path}/ckpt"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    write_ordered_json_chunks(docs, src, "doc_id", n_chunks)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_curation_arrival(
+            spark, base_path, spread(batch_df), int(batch_id)
+        )
+
+    q = (
+        read_json_stream(
+            spark, src,
+            schema_ddl="doc_id LONG, text STRING, lang STRING, n_chars LONG",
+            max_files_per_trigger=1,
+        )
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("curation_stream_fed")
+        .start()
+    )
+    q.awaitTermination()
+    return derive_curation_manifest(spark, base_path)

@@ -799,3 +799,55 @@ def streaming_incremental_gold_parity(
             fh.write("ok")
 
     return _medallion_parity_frame(spark, base)
+
+
+@register(
+    "streaming_curation_parity",
+    _CURATION_MANIFEST_SQL,
+    doc="STREAM-FED incremental curation == FULL curation, certified by "
+        "hash — the curation counterpart of "
+        "streaming_incremental_gold_parity: "
+        "pipeline/curation.py::run_curation_stream_fed replays the corpus "
+        "as doc-id-ordered JSON micro-batches and each foreachBatch "
+        "drives apply_curation_arrival (the SAME chunk body as the "
+        "batch-chunked IVM runner — quality+repetition gates, Δ LSH "
+        "banding, exact-Jaccard verify, retro-decontamination, all state "
+        "committed with the micro-batch id, doc->bench->band->pairs "
+        "order preserved).  The final manifest derives from state only; "
+        "the oracle is the SAME from-scratch SQL composition as "
+        "curation_pipeline_manifest, so the driver hash proves "
+        "stream_fed(batches 1..N) == full_run for the whole "
+        "gated/deduped/decontaminated/split chain",
+)
+def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from bakery_big_data_spark.pipeline.curation import (
+        run_curation_stream_fed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/root/repo/.scratch/curation_streamfed/{tag}"
+    marker = f"{base}/_done"
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        try:
+            src_mtime = max(
+                _package_src_mtime(),
+                os.path.getmtime(os.path.join(sf_dir, "documents.parquet")),
+            )
+            return src_mtime >= os.path.getmtime(marker)
+        except OSError:
+            return True
+
+    if _stale():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        manifest = run_curation_stream_fed(spark, sf_dir, base, n_chunks=4)
+        manifest.write.mode("overwrite").parquet(f"{base}/manifest")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(f"{base}/manifest")
