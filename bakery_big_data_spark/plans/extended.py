@@ -745,3 +745,121 @@ def quantile_exact_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_rows"),
         )
     )
+
+
+def _cms_case(vals: list[int]) -> str:
+    return (
+        "(CASE t.i "
+        + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+        + " END)"
+    )
+
+
+@register(
+    "sketch_count_min_heavy_hitters",
+    # the oracle rebuilds the identical sketch: same md5-half base hash,
+    # same Carter-Wegman row parameters, exact BIGINT arithmetic
+    f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT ws[i] || '_' || ws[i+1] AS g
+      FROM toks, unnest(range(1, len(ws))) AS t(i)
+      WHERE ws[i] <> '' AND ws[i+1] <> ''
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM bg
+    ), hashed AS (
+      SELECT g, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS h
+      FROM bg
+    ), cells AS (
+      SELECT t.i AS row,
+             (({_cms_case([1, 1566083941, 998244353, 1103515245])} * h
+               + {_cms_case([0, 97531, 12345, 424243])})
+              % 2147483647) % 512 AS bucket
+      FROM hashed, unnest([0, 1, 2, 3]) AS t(i)
+    ), cms AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    ), exact AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM bg GROUP BY g
+      ORDER BY true_count DESC, g LIMIT 20
+    ), probes AS (
+      SELECT e.g, e.true_count, t.i AS row,
+             (({_cms_case([1, 1566083941, 998244353, 1103515245])} * e.h
+               + {_cms_case([0, 97531, 12345, 424243])})
+              % 2147483647) % 512 AS bucket
+      FROM (
+        SELECT g, true_count,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS h
+        FROM exact
+      ) e, unnest([0, 1, 2, 3]) AS t(i)
+    ), est AS (
+      SELECT g, true_count,
+             CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+      FROM probes p LEFT JOIN cms c USING (row, bucket)
+      GROUP BY 1, 2
+    )
+    SELECT g AS bigram, true_count, est_count,
+           est_count >= true_count
+             AND est_count <= true_count + (3 * n_tok) // 512
+             AS within_bound
+    FROM est, n
+    """,
+    doc="Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — "
+        "the frequency-estimation workhorse beside the HLL row: a 4x512 "
+        "counter grid built in ONE map-side-combinable aggregation (the "
+        "shuffle carries at most depth*width rows per mapper regardless "
+        "of key cardinality; cell-wise addition merges sketches, the same "
+        "mergeability the incremental-HLL row exploits), then the top-20 "
+        "exact bigrams point-queried against it: est = MIN over 4 "
+        "counters.  Output certifies the CMS contract per key — "
+        "est >= true always, est <= true + 3N/width (3 > e) — and every "
+        "counter is bit-identical cross-engine (md5-half base hash + "
+        "Carter-Wegman rows in exact BIGINT), so the oracle certifies "
+        "build AND estimate (operators/sketches.py)",
+)
+def sketch_count_min_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from bakery_big_data_spark.plans.base import spread
+    from bakery_big_data_spark.plans.textops import _adjacent_pairs
+
+    d = spread(t(spark, sf_dir, "documents").select("text"))
+    ws = F.split(F.col("text"), " ")
+    bg = (
+        d.select(F.explode(_adjacent_pairs(ws)).alias("p"))
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select(F.concat_ws("_", "p.w1", "p.w2").alias("g"))
+        .persist()  # consumed three times: N, sketch build, exact top-20
+    )
+    n_row = bg.groupBy().agg(F.count(F.lit(1)).alias("n_tok"))
+    sketch = count_min_build(bg, "g", depth=4, width=512)
+    exact = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "g")
+        .limit(20)
+    )
+    est = count_min_estimate(exact, sketch, "g", depth=4, width=512)
+    return (
+        exact.join(est, "g")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("g").alias("bigram"),
+            "true_count",
+            "est_count",
+            (
+                (F.col("est_count") >= F.col("true_count"))
+                & (
+                    F.col("est_count")
+                    <= F.col("true_count")
+                    + F.expr("(3 * n_tok) div 512")
+                )
+            ).alias("within_bound"),
+        )
+    )

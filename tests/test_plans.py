@@ -62,6 +62,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast per merge round: the pair-argmax crossed
     # onto the vocab frame (operators/bpe.py) — no driver round trip
     "bpe_vocab_merges",
+    # deliberate 1-row broadcast: the lazy total-token count crossed onto
+    # the top-20 frame for the CMS error-bound column
+    "sketch_count_min_heavy_hitters",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
