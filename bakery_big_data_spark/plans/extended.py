@@ -863,3 +863,122 @@ def sketch_count_min_heavy_hitters(
             ).alias("within_bound"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    SELECT o.o_orderkey,
+           o.o_custkey AS c_custkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CASE WHEN c.c_custkey IS NULL THEN NULL
+                WHEN o.o_orderdate < TIMESTAMP '1998-07-01' THEN
+                     CASE WHEN c.c_custkey <= 1200
+                          THEN c.c_mktsegment ELSE NULL END
+                ELSE CASE WHEN c.c_custkey % 5 = 0 THEN 'SEGMENT-NEW'
+                          ELSE c.c_mktsegment END
+           END AS segment_at_order,
+           CASE WHEN c.c_custkey IS NULL THEN NULL
+                WHEN o.o_orderdate < TIMESTAMP '1998-07-01' THEN
+                     CASE WHEN c.c_custkey <= 1200
+                          THEN c.c_acctbal ELSE NULL END
+                -- post-effective: existing keys (<=1200) version only when
+                -- the drift condition fires (segment change or >5% balance
+                -- move — the 1.02x path is below threshold and keeps v1);
+                -- late-added keys carry their staged attributes directly
+                ELSE CASE WHEN c.c_custkey <= 1200
+                               AND c.c_custkey % 5 <> 0
+                               AND c.c_custkey % 7 <> 0
+                          THEN c.c_acctbal
+                          ELSE CASE WHEN c.c_custkey % 7 = 0
+                                    THEN c.c_acctbal * 1.1
+                                    WHEN c.c_custkey % 11 = 0
+                                    THEN c.c_acctbal * 1.02
+                                    ELSE c.c_acctbal END
+                     END
+           END AS acctbal_at_order
+    FROM orders o LEFT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_custkey <= 1400
+    """,
+    doc="SCD2 POINT-IN-TIME join — the classic warehouse question 'what "
+        "did the dimension say when this fact happened': a real SCD2 "
+        "version table (built by operators/mutation.py::scd2_apply — "
+        "v1 from 1995-01-01, drift applied effective 1998-07-01 with the "
+        "segment-or->5%-balance drift condition, late-added keys "
+        "1201-1400 first versioned at the effective date) joined to every "
+        "order AS OF its order date via the as-of machinery "
+        "(operators/asof.py — union + partitioned running-last, a "
+        "PARTITIONED window, never a range/theta join).  The oracle "
+        "states the version-resolution rules in closed form (which "
+        "version is valid at each order date and what attributes it "
+        "carries, drift semantics included), so the hash certifies "
+        "scd2_apply's version table AND the PIT resolution end to end — "
+        "orders before a late-added key's first version correctly "
+        "resolve to NULL, not to attributes from the future",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.mutation import scd2_apply
+
+    cust = t(spark, sf_dir, "customer")
+    current = cust.filter(F.col("c_custkey") <= 1200).select(
+        (F.col("c_custkey") * 10).cast("bigint").alias("surrogate_key"),
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("1995-01-01").cast("date").alias("start_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    staged = cust.filter(F.col("c_custkey") <= 1400).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, "SEGMENT-NEW")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") * 1.1)
+        .when(F.col("c_custkey") % 11 == 0, F.col("c_acctbal") * 1.02)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+    )
+    versions = scd2_apply(
+        current,
+        staged,
+        business_key="c_custkey",
+        tracked=["segment", "acctbal"],
+        effective_date="1998-07-01",
+        key_base=None,
+        drift_condition=(
+            (F.col("segment") != F.col("_cur_segment"))
+            | (
+                F.abs(F.col("acctbal") - F.col("_cur_acctbal"))
+                / F.nullif(F.abs(F.col("_cur_acctbal")), F.lit(0))
+                > 0.05
+            )
+        ),
+    ).select(
+        "c_custkey",
+        "start_date",
+        F.col("segment").alias("segment_at_order"),
+        F.col("acctbal").alias("acctbal_at_order"),
+    )
+
+    facts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    from bakery_big_data_spark.operators.asof import asof_join
+
+    return asof_join(
+        facts,
+        versions,
+        key="c_custkey",
+        left_ts="order_date",
+        right_ts="start_date",
+        payload_cols=["segment_at_order", "acctbal_at_order"],
+    ).select(
+        "o_orderkey",
+        "c_custkey",
+        "order_date",
+        "segment_at_order",
+        "acctbal_at_order",
+    )

@@ -37,6 +37,7 @@ NESTED_LOOP_ALLOWED = {
     # the nested-loop side is exactly one row
     "scd2_versioning",
     "medallion_dim_user_scd2",  # same scd2_apply lazy 1-row key base
+    "scd2_point_in_time_join",  # same scd2_apply lazy 1-row key base
     # deliberate 1-row broadcast: the lazy corpus-total divisor crossed onto
     # the bucket counts (the declarative replacement for an eager .count())
     "curation_length_histogram",
