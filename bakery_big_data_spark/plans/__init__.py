@@ -101,9 +101,14 @@ DRIVER_WINDOW: list[str] = [
     # first driver rows
     "pivot_status_matrix",
     "unpivot_metrics",
-    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths
-    "streaming_merge_upsert_state",
-    "scd2_versioning",
+    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths —
+    # streaming_merge_upsert_state rotates to local (the Δ-merged-state
+    # machinery runs inside BOTH in-window incremental-parity rows) for
+    # the dead-letter routing row (S1-S3 production robustness, new r07);
+    # scd2_versioning rotates to local for the PIT row, which runs
+    # scd2_apply wholesale AND adds the as-of point-in-time resolution
+    "streaming_dead_letter_routing",
+    "scd2_point_in_time_join",
     "late_arrival_reconciliation",
     "cdc_apply_changes",
     "medallion_incremental_parity",
