@@ -88,21 +88,22 @@ def merge_pair_fold(syms: Column, left: Column, right: Column) -> Column:
 
 def word_frequency_table(corpus: DataFrame, text_col: str) -> DataFrame:
     """Whitespace word counts with each word split into its character
-    symbols — the compacted frame all merge rounds operate on."""
+    symbols — the compacted frame all merge rounds operate on.  The word
+    string rides along as the join key for the encode step."""
     return (
         corpus.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
+        .select("w", F.split("w", "").alias("syms"), "freq")
     )
 
 
-def bpe_merge_table(
+def bpe_rounds(
     corpus: DataFrame, text_col: str, num_merges: int = 8
-) -> DataFrame:
-    """Learn ``num_merges`` BPE merges; returns the ordered merge table
-    ``(merge_round, left_sym, right_sym, merged_sym, pair_count)``.
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the merge loop; returns (per-round 1-row argmax frames, the
+    final encoded vocabulary ``(w, syms, freq)``).
 
     ``num_merges`` must not exceed the number of achievable merges (a
     round with zero remaining pairs would produce an empty argmax and
@@ -143,6 +144,7 @@ def bpe_merge_table(
         cur = (
             cur.crossJoin(bb)
             .select(
+                "w",
                 merge_pair_fold(
                     F.col("syms"), F.col("_bl"), F.col("_br")
                 ).alias("syms"),
@@ -150,7 +152,48 @@ def bpe_merge_table(
             )
             .localCheckpoint()
         )
+    return bests, cur
+
+
+def bpe_merge_table(
+    corpus: DataFrame, text_col: str, num_merges: int = 8
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns the ordered merge table
+    ``(merge_round, left_sym, right_sym, merged_sym, pair_count)``."""
+    bests, _ = bpe_rounds(corpus, text_col, num_merges)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+def bpe_token_counts(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_merges: int = 8,
+) -> DataFrame:
+    """APPLY the learned merges — distributed BPE tokenization: per
+    document, the whitespace word count and the token count after
+    ``num_merges`` merges.
+
+    The encode step is a broadcast join of the corpus word stream against
+    the encoded VOCABULARY (word → merged-symbol count) — the learned
+    segmentation of each distinct word is computed exactly once during
+    the merge loop, so tokenizing the corpus costs one map-side join +
+    one per-doc aggregation, never a per-document re-fold.  This is how
+    production BPE tokenizers scale: encode the vocab, then stream the
+    corpus through it."""
+    _, vocab = bpe_rounds(corpus, text_col, num_merges)
+    vsize = vocab.select("w", F.size("syms").alias("_n_sym"))
+    words = corpus.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.join(F.broadcast(vsize), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sym").alias("n_bpe_tokens"),
+        )
+    )

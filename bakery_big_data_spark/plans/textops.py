@@ -748,3 +748,75 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(t(spark, sf_dir, "documents").select("text"))
     return bpe_merge_table(d, "text", num_merges=8)
+
+
+def _bpe_encode_oracle(num_merges: int) -> str:
+    """The _bpe_oracle CTE chain with the word key carried through every
+    fold, finishing with the corpus word stream joined to the encoded
+    vocabulary and aggregated per document."""
+    us = chr(31)
+    ctes = [
+        """w0 AS (
+      SELECT w, string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    )"""
+    ]
+    for r in range(1, num_merges + 1):
+        ctes.append(f"""p{r} AS (
+      SELECT syms[i] AS l, syms[i+1] AS r,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM w{r - 1}, unnest(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""b{r} AS (
+      SELECT l, r, pair_count FROM p{r}
+      ORDER BY pair_count DESC, l, r LIMIT 1
+    )""")
+        ctes.append(f"""w{r} AS (
+      SELECT w, string_split(
+               list_reduce(syms, (acc, x) -> CASE
+                 WHEN regexp_extract(acc, '[^{us}]*$') = b.l AND x = b.r
+                 THEN regexp_replace(acc, '[^{us}]*$', '') || b.l || b.r
+                 ELSE acc || chr(31) || x END),
+               chr(31)) AS syms, freq
+      FROM w{r - 1}, b{r} b
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) d JOIN w{num_merges} v USING (w)
+    WHERE d.w <> ''
+    GROUP BY d.doc_id
+    """
+    )
+
+
+@register(
+    "bpe_encode_token_counts",
+    _bpe_encode_oracle(8),
+    doc="Distributed BPE TOKENIZATION with the learned merges — the "
+        "apply step completing bpe_vocab_merges' learn step: the encoded "
+        "vocabulary (each distinct word's segmentation after 8 merges, "
+        "computed exactly once in the merge loop) is joined against the "
+        "corpus word stream and aggregated per document into (n_words, "
+        "n_bpe_tokens).  This is how production tokenizers scale: encode "
+        "the VOCAB, then stream the corpus through a map-side join — "
+        "never a per-document re-fold.  The vocab broadcasts at test "
+        "scale; a web-scale vocabulary would shuffle-join on the word "
+        "key instead (same plan shape, one exchange).  The oracle "
+        "re-derives the merge sequence AND the final segmentation via "
+        "the unrolled CTE chain, so the hash certifies learn + encode "
+        "end to end (operators/bpe.py::bpe_token_counts)",
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.bpe import bpe_token_counts
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return bpe_token_counts(d, "doc_id", "text", num_merges=8)
