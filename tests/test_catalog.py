@@ -34,18 +34,14 @@ def test_no_oracle_column_types_hugeint(con):
     which the driver's value hash serializes differently from Spark's BIGINT
     even when every value is identical (the only red rows in r04).  Bind every
     registered oracle (no execution) and assert no output column is int128."""
-    import duckdb
-
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
         if q.oracle is None:
             continue
-        try:
-            rel = con.sql(q.oracle)
-        except duckdb.IOException:
-            if ".scratch" in q.oracle:
-                continue  # scratch file oracle; materialized by its build()
-            raise
+        # every oracle reads the pre-registered table views only (the
+        # last scratch-file oracle was removed in r07, when
+        # csv_ddl_roundtrip's oracle moved to the source customer table)
+        rel = con.sql(q.oracle)
         for col, typ in zip(rel.columns, rel.types):
             assert str(typ) not in ("HUGEINT", "UHUGEINT"), (
                 f"{name}.{col} types {typ}: wrap the aggregate in "
