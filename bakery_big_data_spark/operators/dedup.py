@@ -621,3 +621,68 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _cw_params(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman (a, b) pairs — plain literals, so the
+    static oracle SQL regenerates the identical family."""
+    out = []
+    x = seed
+    for _ in range(k):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x | 1) % _PORTABLE_MASK or 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % _PORTABLE_MASK
+        out.append((a, b))
+    return out
+
+
+PORTABLE_MINHASH_CW = _cw_params(32)
+
+
+def with_portable_minhash_bands(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    bands: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band-key array) with a fully ENGINE-PORTABLE MinHash: base
+    hash = md5 hex half (restatable as ('0x'||substr(md5(g),1,8)) in
+    ANSI-ish SQL), slot i = min over shingles of the Carter-Wegman mix
+    (a_i*h + b_i) mod P, band j = sig[2j]*2^31 + sig[2j+1] (exact BIGINT
+    pair encoding).  Unlike the xxhash64 production signature
+    (minhash_signature), every band key is bit-identical cross-engine —
+    the signature the certified recall row is built on.
+
+    The gram-hash array is bound as a materialized column (persist) so
+    the 32 slot-min folds share ONE md5 pass instead of CollapseProject
+    inlining the hashing into every slot (the round-5 signature-table
+    blowup).
+    """
+    hashed = docs.select(
+        id_col,
+        portable_gram_hashes(F.col(shingle_col), 1).alias("_hs"),
+    ).persist()
+    def _slot_min(a: int, b: int):
+        # one-arg lambda: F.transform feeds the element index as a second
+        # argument to 2-arg lambdas, which would clobber a default-bound i
+        return F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_PORTABLE_MASK),
+            )
+        )
+
+    sigs = [
+        _slot_min(*PORTABLE_MINHASH_CW[i])
+        for i in range(bands * rows_per_band)
+    ]
+    band_keys = [
+        (
+            sigs[j * rows_per_band] * F.lit(2147483648)
+            + sigs[j * rows_per_band + 1]
+        ).cast("bigint")
+        for j in range(bands)
+    ]
+    return hashed.select(id_col, F.array(*band_keys).alias("band_keys"))

@@ -513,3 +513,91 @@ def streaming_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("ok")
     return spark.read.parquet(f"{base}/decisions_out")
+
+
+def _portable_minhash_recall_oracle() -> str:
+    """Re-derive the portable MinHash banding in DuckDB: same md5-half
+    base hash, same Carter-Wegman slots, same BIGINT band-pair encoding —
+    caught_by_banding is an OR over the 16 band-key equalities."""
+    from bakery_big_data_spark.operators.dedup import PORTABLE_MINHASH_CW
+
+    h = "(('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647)"
+    slots = ",\n             ".join(
+        f"list_min(list_transform(bs, g -> ({a} * {h} + {b}) % 2147483647))"
+        for a, b in PORTABLE_MINHASH_CW
+    )
+    caught = "\n              OR ".join(
+        f"(sa.sig[{2 * j + 1}] * 2147483648 + sa.sig[{2 * j + 2}]"
+        f" = sb.sig[{2 * j + 1}] * 2147483648 + sb.sig[{2 * j + 2}])"
+        for j in range(16)
+    )
+    return f"""
+    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    docs2 AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg2 AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS bs
+      FROM docs2
+    ), sig AS (
+      SELECT doc_id,
+             [{slots}] AS sig
+      FROM bg2 WHERE len(bs) > 0
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ({caught}) AS caught_by_banding
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@register(
+    "dedup_minhash_recall",
+    _portable_minhash_recall_oracle(),
+    doc="Quantitative certification of MinHash-LSH banding recall — the "
+        "bound row the MinHash family lacked (the semantic and ANN "
+        "families already carry theirs): every TRUE trigram-Jaccard>=0.5 "
+        "pair flagged with whether 16x2 banding over a fully "
+        "ENGINE-PORTABLE MinHash (md5-half base + Carter-Wegman slots, "
+        "operators/dedup.py::with_portable_minhash_bands) collides in "
+        "any band.  The oracle re-derives every signature slot and band "
+        "key in DuckDB, so the per-pair flags are STATED TRUE "
+        "cross-engine and the recall figure is certified, not asserted.  "
+        "Context from the r07 sf0.1 cross-check: the production xxhash "
+        "banding catches 251/256 true pairs at sf0.1 — banding recall at "
+        "threshold is probabilistic ((1-J^r)^b ~ 1-2% misses near "
+        "J=0.5), which is exactly why this row exists",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.dedup import (
+        exact_ngram_pairs,
+        with_portable_minhash_bands,
+    )
+
+    sh = _shingled(spark, sf_dir, cache=True)
+    truth = exact_ngram_pairs(sh, "doc_id", "shingles", threshold=0.5)
+    bands = with_portable_minhash_bands(
+        sh.filter(F.size("shingles") > 0), "doc_id", "shingles"
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("band_keys").alias("_ba")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("band_keys").alias("_bb")
+    )
+    return (
+        truth.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.exists(
+                F.zip_with(F.col("_ba"), F.col("_bb"), lambda x, y: x == y),
+                lambda v: v,
+            ).alias("caught_by_banding"),
+        )
+    )

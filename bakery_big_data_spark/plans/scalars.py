@@ -100,7 +100,12 @@ def date_functions_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(c_acctbal, 5000.0) AS bal_cap5000,
            greatest(least(c_acctbal * 2.5, 5000.0), 0.0) AS bal_clamped,
            sqrt(abs(c_acctbal)) AS bal_sqrt,
-           power(c_acctbal, 2) AS bal_sq,
+           -- squared as MULTIPLICATION on both sides: pow(x, 2) is not
+           -- bit-stable cross-engine (DuckDB's power() returns the
+           -- correctly-rounded libm value, Spark/Java's the x*x double —
+           -- they differ by 1 ulp on e.g. 3046.44, found in the r07
+           -- sf0.1 cross-check); IEEE multiply is identical everywhere
+           c_acctbal * c_acctbal AS bal_sq,
            CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
            CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
            CAST(sign(c_acctbal - 1000.0) AS BIGINT) AS bal_sign,
@@ -136,7 +141,7 @@ def string_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(bal, F.lit(5000.0)).alias("bal_cap5000"),
         F.greatest(F.least(bal * 2.5, F.lit(5000.0)), F.lit(0.0)).alias("bal_clamped"),
         F.sqrt(F.abs(bal)).alias("bal_sqrt"),
-        F.pow(bal, 2).alias("bal_sq"),
+        (bal * bal).alias("bal_sq"),  # not F.pow — see the oracle comment
         # Engine-stable integer widths on both sides: Spark floor/ceil yield
         # BIGINT natively (DuckDB's yield DOUBLE → oracle casts), and signum
         # yields DOUBLE (DuckDB sign yields TINYINT → both cast to BIGINT).
