@@ -39,20 +39,25 @@ Lineage control: each round consumes the previous round's frame TWICE
 (pair counts + merge rewrite), so the logical plan doubles per round —
 ``persist`` alone short-circuits execution but Catalyst still analyzes
 the full 2^k-node tree (observed: OOM stringifying the plan at k=8).
-Each round is therefore ``localCheckpoint``-ed: k bounded vocab-sized
-materializations, the same driver-loop class as
+Each round therefore cuts lineage via
+:func:`bakery_big_data_spark.operators.checkpointing.cut_lineage`: k
+bounded vocab-sized materializations, the same driver-loop class as
 ``operators/dedup.py::connected_components`` (iterative algorithm with
-bounded rounds, no data round-trip to the driver).  On a multi-executor
-cluster, executor loss invalidates localCheckpoint blocks — a production
-run of a long merge schedule would use a reliable checkpoint dir
-(``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) at the
-cost of writing the vocab frame to storage per round.
+bounded rounds, no data round-trip to the driver).  By default the cut is
+a ``localCheckpoint`` (executor-storage blocks, no filesystem I/O); on a
+multi-executor cluster executor loss invalidates those blocks, so a
+production run of a long merge schedule passes ``checkpoint_dir`` to use
+reliable ``.checkpoint()`` instead, at the cost of writing the vocab
+frame to fault-tolerant storage per round — bit-identical results either
+way (``tests/test_bpe.py::test_reliable_checkpoint_same_result``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from bakery_big_data_spark.operators.checkpointing import cut_lineage
 
 
 def _adjacent_sym_pairs(syms: Column) -> Column:
@@ -100,17 +105,27 @@ def word_frequency_table(corpus: DataFrame, text_col: str) -> DataFrame:
 
 
 def bpe_rounds(
-    corpus: DataFrame, text_col: str, num_merges: int = 8
+    corpus: DataFrame,
+    text_col: str,
+    num_merges: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[DataFrame], DataFrame]:
     """Run the merge loop; returns (per-round 1-row argmax frames, the
     final encoded vocabulary ``(w, syms, freq)``).
 
-    ``num_merges`` must not exceed the number of achievable merges (a
-    round with zero remaining pairs would produce an empty argmax and
-    silently drop the vocab on the cross join); at 8 merges over any
-    real corpus this is not reachable.
+    If ``num_merges`` exceeds the achievable merges (every word fully
+    merged to one symbol — tiny/degenerate corpora), the loop STOPS
+    EARLY at the exhaustion round, matching reference BPE trainers;
+    without the guard the empty argmax cross-joined onto the vocab would
+    silently empty it and every downstream document would be dropped.
+    The per-round argmax frame is already materialized (persist + the
+    round's eager lineage cut), so the emptiness probe is a count on a
+    pinned 1-row frame, not an extra corpus pass.
+
+    ``checkpoint_dir`` selects reliable vs local per-round lineage cuts
+    (see :mod:`bakery_big_data_spark.operators.checkpointing`).
     """
-    cur = word_frequency_table(corpus, text_col).localCheckpoint()
+    cur = cut_lineage(word_frequency_table(corpus, text_col), checkpoint_dir)
     bests: list[DataFrame] = []
     for r in range(1, num_merges + 1):
         pairs = (
@@ -129,6 +144,11 @@ def bpe_rounds(
             .limit(1)
             .persist()
         )
+        if best.count() == 0:
+            # pair space exhausted before num_merges rounds — stop with
+            # the merges actually learned rather than emptying the vocab
+            best.unpersist()
+            break
         bests.append(
             best.select(
                 F.lit(r).alias("merge_round"),
@@ -141,26 +161,33 @@ def bpe_rounds(
         bb = F.broadcast(
             best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
         )
-        cur = (
-            cur.crossJoin(bb)
-            .select(
+        cur = cut_lineage(
+            cur.crossJoin(bb).select(
                 "w",
                 merge_pair_fold(
                     F.col("syms"), F.col("_bl"), F.col("_br")
                 ).alias("syms"),
                 "freq",
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
     return bests, cur
 
 
 def bpe_merge_table(
-    corpus: DataFrame, text_col: str, num_merges: int = 8
+    corpus: DataFrame,
+    text_col: str,
+    num_merges: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges; returns the ordered merge table
     ``(merge_round, left_sym, right_sym, merged_sym, pair_count)``."""
-    bests, _ = bpe_rounds(corpus, text_col, num_merges)
+    bests, _ = bpe_rounds(corpus, text_col, num_merges, checkpoint_dir)
+    if not bests:
+        raise ValueError(
+            "bpe_merge_table: corpus has no adjacent symbol pairs at all "
+            "(empty or single-character words only) — nothing to learn"
+        )
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -172,6 +199,7 @@ def bpe_token_counts(
     id_col: str,
     text_col: str,
     num_merges: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """APPLY the learned merges — distributed BPE tokenization: per
     document, the whitespace word count and the token count after
@@ -184,7 +212,7 @@ def bpe_token_counts(
     one per-doc aggregation, never a per-document re-fold.  This is how
     production BPE tokenizers scale: encode the vocab, then stream the
     corpus through it."""
-    _, vocab = bpe_rounds(corpus, text_col, num_merges)
+    _, vocab = bpe_rounds(corpus, text_col, num_merges, checkpoint_dir)
     vsize = vocab.select("w", F.size("syms").alias("_n_sym"))
     words = corpus.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")

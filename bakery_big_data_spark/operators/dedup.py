@@ -282,6 +282,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution as true connected components — iterative
     min-label propagation to a fixpoint.
@@ -296,9 +297,24 @@ def connected_components(
 
     Driver involvement is one convergence check (a count) per round — the
     legitimate control-flow use, not a data round-trip; per-round work is
-    two shuffles (edge join + min agg), and ``persist`` keeps the frontier
-    from re-deriving the whole lineage each round.
+    two shuffles (edge join + min agg).
+
+    Each round's label frontier is materialized with a LINEAGE CUT, not a
+    bare ``persist``: the next frontier's logical plan references the
+    previous one twice (the neighbor join and the self side), so with
+    persist alone — which short-circuits execution but leaves the logical
+    tree intact — Catalyst analyzes a 2^rounds-node plan and the driver
+    OOMs near diameter 10 (found by the diameter-9 chain in
+    ``tests/test_dedup.py::test_connected_components_reliable_checkpoint``;
+    the 'raise max_iter' escape hatch below was unusable without this).
+    Same failure class as the BPE merge loop, same cure
+    (:mod:`bakery_big_data_spark.operators.checkpointing`).
+
+    ``checkpoint_dir``: when set, the per-round cut is a reliable
+    ``.checkpoint()`` so a deep-diameter run on a real cluster survives
+    executor loss; results are bit-identical across modes.
     """
+    from bakery_big_data_spark.operators.checkpointing import cut_lineage
     edges = (
         pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
         .unionAll(
@@ -306,14 +322,13 @@ def connected_components(
                 F.col("id_b").alias("_src"), F.col("id_a").alias("_dst")
             )
         )
-        # pinned: every iteration's join + the convergence count would
-        # otherwise re-execute the full candidate-generation lineage
-        .persist()
     )
-    labels = vertices.select(
-        F.col(id_col), F.col(id_col).alias("canonical_id")
-    ).persist()
-    labels.count()
+    # materialized once: every iteration's join would otherwise re-execute
+    # the full candidate-generation lineage; lineage-cut rather than
+    # persist so the blocks are GC-released, not pinned forever
+    edges = cut_lineage(edges, checkpoint_dir)
+    init = vertices.select(F.col(id_col), F.col(id_col).alias("canonical_id"))
+    labels = cut_lineage(init, checkpoint_dir)
     for _ in range(max_iter):
         nbr_labels = (
             edges.join(
@@ -326,25 +341,21 @@ def connected_components(
             .groupBy(F.col("_dst").alias(id_col))
             .agg(F.min("_nbr_label").alias("_best_nbr"))
         )
-        new_labels = (
-            labels.join(nbr_labels, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.least(
-                    F.col("canonical_id"),
-                    F.coalesce(F.col("_best_nbr"), F.col("canonical_id")),
-                ).alias("canonical_id"),
-            )
-            .persist()
+        stepped = labels.join(nbr_labels, id_col, "left").select(
+            F.col(id_col),
+            F.least(
+                F.col("canonical_id"),
+                F.coalesce(F.col("_best_nbr"), F.col("canonical_id")),
+            ).alias("canonical_id"),
         )
+        new_labels = cut_lineage(stepped, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), id_col)
             .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels  # old frontier's blocks are GC-released
         if changed == 0:
             break
     else:
@@ -655,15 +666,18 @@ def with_portable_minhash_bands(
     (minhash_signature), every band key is bit-identical cross-engine —
     the signature the certified recall row is built on.
 
-    The gram-hash array is bound as a materialized column (persist) so
-    the 32 slot-min folds share ONE md5 pass instead of CollapseProject
-    inlining the hashing into every slot (the round-5 signature-table
-    blowup).
+    The gram-hash array is bound as a materialized column (an eager
+    localCheckpoint) so the 32 slot-min folds share ONE md5 pass instead
+    of CollapseProject inlining the hashing into every slot (the round-5
+    signature-table blowup).  localCheckpoint rather than persist():
+    repeated calls (one per streaming micro-batch in the ingest gate)
+    would each pin a CacheManager entry forever, while checkpoint blocks
+    are released by the ContextCleaner once the frame is GC'd.
     """
     hashed = docs.select(
         id_col,
         portable_gram_hashes(F.col(shingle_col), 1).alias("_hs"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     def _slot_min(a: int, b: int):
         # one-arg lambda: F.transform feeds the element index as a second
         # argument to 2-arg lambdas, which would clobber a default-bound i

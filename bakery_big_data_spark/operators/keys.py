@@ -49,21 +49,26 @@ def add_surrogate_key(
     base_col = base if isinstance(base, Column) else F.lit(base)
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    # persist() is CORRECTNESS here, not caching courtesy: the counts
-    # branch and the local-rank branch below both consume `ranged`, and
-    # RangePartitioner SAMPLES its split points with a per-RDD-instance
-    # seed — if exchange reuse does not deduplicate the two branches
-    # (AQE timing, differing projections), each evaluates its own
-    # exchange with its own boundaries, and the offsets no longer
-    # correspond to the partitions the local row_numbers were computed
-    # in (observed: NTILE(5) emitting bucket 6 — a rank past N).
-    # Persisting pins ONE materialization of one partitioner, which
-    # incidentally also halves the shuffle work the double evaluation
-    # was paying.
+    # localCheckpoint is CORRECTNESS here, not caching courtesy: the
+    # counts branch and the local-rank branch below both consume
+    # `ranged`, and RangePartitioner SAMPLES its split points with a
+    # per-RDD-instance seed — if exchange reuse does not deduplicate the
+    # two branches (AQE timing, differing projections), each evaluates
+    # its own exchange with its own boundaries, and the offsets no
+    # longer correspond to the partitions the local row_numbers were
+    # computed in (observed: NTILE(5) emitting bucket 6 — a rank past
+    # N).  An eager localCheckpoint pins exactly ONE materialization of
+    # one partitioner; unlike persist() (whose CacheManager entry is
+    # never freed without an explicit unpersist, leaking one pinned
+    # frame per call in long-lived sessions, and whose evicted blocks
+    # silently RECOMPUTE with fresh sample boundaries) the checkpoint
+    # blocks are released by the ContextCleaner once the returned frame
+    # is garbage-collected, and block loss fails loudly instead of
+    # resampling.
     ranged = (
         df.repartitionByRange(num_partitions, *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     # Cumulative offset of rows in all partitions before this one; the frame
@@ -111,13 +116,14 @@ def add_prefix_sum(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    # persist() for the same correctness reason as add_surrogate_key:
-    # the partials branch and the local running-sum branch must see the
-    # SAME sampled range boundaries.
+    # localCheckpoint for the same correctness reason as
+    # add_surrogate_key: the partials branch and the local running-sum
+    # branch must see the SAME sampled range boundaries — and the
+    # checkpoint blocks are GC-released instead of pinned forever.
     ranged = (
         df.repartitionByRange(num_partitions, F.col(partition_by), *cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     partials = ranged.groupBy(_PID, partition_by).agg(
         F.sum(value_col).alias(_CNT)

@@ -241,15 +241,24 @@ def video_frame_near_dup(
     duplicates).
 
     Every ``every``-th fixed-size frame of each video payload is hashed
-    and equi-joined across videos (join key = xxhash64(frame), with frame
-    equality re-verified on match — the shuffle carries 8-byte keys plus
-    only the matching frames, never all-pairs), then pairs aggregate by
+    and equi-joined across videos on the 32-byte hex ``md5(frame)`` as
+    the ONLY join column — the shuffle carries (media_id, md5) per
+    sampled frame, never the 256-byte chunks themselves (joining on the
+    raw chunk, or adding a chunk-equality conjunct, would make the chunk
+    a shuffle key: Catalyst's ExtractEquiJoinKeys promotes every
+    cross-side equality — even one written as a post-join filter — into
+    the hash-join key).  Two distinct chunks only pair on a full md5
+    collision (2^-128; no verification re-fetch is worth that risk
+    profile for near-dup LINKING, and a second join to re-fetch chunks
+    would shuffle more than it saves).  Pairs then aggregate by
     shared-frame count.  Entirely built-in expressions: the frame
     slicing is a ``sequence``+``transform`` projection, no UDF, so the
     sampler runs inside whole-stage codegen and the only shuffle is the
     frame-hash join.  Deterministic fake codec as elsewhere in this
-    module: payload bytes stand in for decoded frames, so the DuckDB
-    oracle certifies the slicing + matching byte-for-byte.
+    module: payload bytes stand in for decoded frames, and md5 is
+    engine-portable, so the DuckDB oracle restates the IDENTICAL
+    candidate predicate (join on md5(chunk)) — same-predicate
+    certification, not certification-at-toy-scale.
     """
     vids = media.filter(F.col("kind") == "video").select(
         "media_id", F.decode(F.col("payload"), "UTF-8").alias("_txt")
@@ -273,26 +282,18 @@ def video_frame_near_dup(
         ).alias("f"),
     ).select(
         "media_id",
-        F.col("f.frame_idx").alias("frame_idx"),
-        F.col("f.chunk").alias("chunk"),
-        F.xxhash64(F.col("f.chunk")).alias("_fh"),
+        F.md5(F.col("f.chunk")).alias("_fh"),
     )
     a = frames.select(
-        F.col("media_id").alias("id_a"),
-        F.col("chunk").alias("_ca"),
-        F.col("_fh").alias("_ha"),
+        F.col("media_id").alias("id_a"), F.col("_fh").alias("_ha")
     )
     b = frames.select(
-        F.col("media_id").alias("id_b"),
-        F.col("chunk").alias("_cb"),
-        F.col("_fh").alias("_hb"),
+        F.col("media_id").alias("id_b"), F.col("_fh").alias("_hb")
     )
     return (
         a.join(
             b,
-            (F.col("_ha") == F.col("_hb"))
-            & (F.col("_ca") == F.col("_cb"))
-            & (F.col("id_a") < F.col("id_b")),
+            (F.col("_ha") == F.col("_hb")) & (F.col("id_a") < F.col("id_b")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_frames"))

@@ -210,20 +210,23 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_frames
     FROM frames a JOIN frames b
-      ON a.chunk = b.chunk AND a.media_id < b.media_id
+      ON md5(a.chunk) = md5(b.chunk) AND a.media_id < b.media_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= 1
     """,
     doc="Clip-level partial-duplicate detection across videos — the "
         "multimodal analog of C4 cross-document span dedup: every 4th "
-        "256-byte frame of each video payload, hashed and equi-joined "
-        "across videos (8-byte join keys + equality re-verify, never "
-        "all-pairs), pairs aggregated by shared-frame count.  Frame "
-        "slicing is a sequence+transform projection (whole-stage codegen, "
-        "no UDF); the only shuffle is the frame-hash join.  The oracle "
-        "restates the slicing with substr/range over the ASCII payloads "
-        "(kind='video' <=> doc_id % 3 = 2 under the round-robin media "
-        "typing), certifying sampler + matcher byte-for-byte "
+        "256-byte frame of each video payload, md5-hashed and equi-joined "
+        "across videos on the 32-byte digest ALONE (the shuffle never "
+        "carries chunks; a chunk-equality conjunct would be promoted to a "
+        "join key by ExtractEquiJoinKeys), pairs aggregated by "
+        "shared-frame count.  Frame slicing is a sequence+transform "
+        "projection (whole-stage codegen, no UDF); the only shuffle is "
+        "the frame-hash join.  The oracle restates the slicing with "
+        "substr/range over the ASCII payloads (kind='video' <=> doc_id % "
+        "3 = 2 under the round-robin media typing) and joins on the "
+        "IDENTICAL md5 predicate — same-candidate-predicate "
+        "certification, valid at every scale factor "
         "(operators/multimodal.py::video_frame_near_dup)",
 )
 def multimodal_video_frame_near_dup(

@@ -104,11 +104,74 @@ _WORD = st.text(alphabet="ab", min_size=1, max_size=5)
 def test_bpe_matches_python_reference_on_random_corpora(spark, texts, k):
     """Random tiny-alphabet corpora maximize tie and overlap pressure
     (everything is 'a'/'b' runs); the Spark merge table must equal the
-    pure-Python fold wherever the python reference performs >= k merges —
-    fewer achievable merges than k is out of the operator's documented
-    contract (the argmax would be empty), so those examples only check
-    the python side's early stop."""
+    pure-Python fold INCLUDING when the vocab exhausts before k merges —
+    both sides stop early at the exhaustion round."""
     ref = _py_bpe(texts, k)
-    if len(ref) < k:
-        return  # vocab exhausted before k merges — outside the contract
+    if not ref:
+        return  # zero learnable merges: bpe_merge_table raises (tested below)
     assert _spark_bpe(spark, texts, k) == sorted(ref)
+
+
+def test_bpe_early_stop_on_exhausted_pairs(spark):
+    """num_merges beyond the achievable merges must stop early with the
+    merges actually learned — NOT silently empty the vocabulary (the
+    pre-guard failure mode: empty argmax cross-joined onto the vocab
+    dropped every word, and bpe_token_counts returned zero rows)."""
+    from bakery_big_data_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_token_counts,
+    )
+
+    # "ab ab" exhausts after one merge: a+b -> ab, then no pairs remain
+    df = spark.createDataFrame([("d1", "ab ab"), ("d2", "ab")],
+                               "doc_id STRING, text STRING")
+    merges = bpe_merge_table(df, "text", num_merges=10).collect()
+    assert [tuple(r) for r in merges] == _py_bpe(["ab ab", "ab"], 10)
+    assert len(merges) == 1
+    counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, "doc_id", "text", num_merges=10).collect()
+    }
+    assert counts == {"d1": (2, 2), "d2": (1, 1)}
+
+
+def test_bpe_raises_on_unlearnable_corpus(spark):
+    import pytest
+
+    from bakery_big_data_spark.operators.bpe import bpe_merge_table
+
+    df = spark.createDataFrame([("a b a",)], "text STRING")
+    with pytest.raises(ValueError, match="no adjacent symbol pairs"):
+        bpe_merge_table(df, "text", num_merges=3)
+
+
+def test_reliable_checkpoint_same_result(spark, tmp_path):
+    """checkpoint_dir mode (reliable .checkpoint() per round) must be
+    bit-identical to the default localCheckpoint mode."""
+    from bakery_big_data_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_token_counts,
+    )
+
+    rows = [(f"d{i}", "low lower lowest ab ba aaa" * (i % 3 + 1))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    local = sorted(tuple(r) for r in bpe_merge_table(df, "text", 6).collect())
+    reliable = sorted(
+        tuple(r)
+        for r in bpe_merge_table(
+            df, "text", 6, checkpoint_dir=str(tmp_path / "bpe_ckpt")
+        ).collect()
+    )
+    assert local == reliable
+    enc_local = sorted(
+        tuple(r) for r in bpe_token_counts(df, "doc_id", "text", 6).collect()
+    )
+    enc_reliable = sorted(
+        tuple(r)
+        for r in bpe_token_counts(
+            df, "doc_id", "text", 6,
+            checkpoint_dir=str(tmp_path / "bpe_ckpt2"),
+        ).collect()
+    )
+    assert enc_local == enc_reliable

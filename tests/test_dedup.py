@@ -61,6 +61,31 @@ def test_connected_components_resolves_chains(spark):
     assert sp[4] == 3  # one hop only — why the iterative operator exists
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Reliable-checkpoint mode must produce the identical fixpoint as
+    the default persist/localCheckpoint mode."""
+    from bakery_big_data_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(30)], "doc_id LONG")
+    # two deep chains + a clique + isolates
+    edges = (
+        [(i, i + 1) for i in range(0, 9)]
+        + [(i, i + 1) for i in range(10, 19)]
+        + [(20, 21), (20, 22), (21, 22)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    base = sorted(
+        tuple(r) for r in connected_components(verts, pairs, "doc_id").collect()
+    )
+    ckpt = sorted(
+        tuple(r)
+        for r in connected_components(
+            verts, pairs, "doc_id", checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    )
+    assert base == ckpt
+
+
 def test_shingles_short_docs(spark):
     df = spark.createDataFrame([("a b c",), ("solo",), ("",)], ["text"])
     out = df.select(word_shingles("text", 2).alias("s")).collect()
