@@ -715,3 +715,162 @@ def semantic_dedup(
         )
         .withColumn("is_kept", F.col("vec_id") == F.col("canonical_id"))
     )
+
+
+def dist2_exact(a: Column, b: Column) -> Column:
+    """Order-exact squared euclidean distance (the :func:`dot_exact`
+    fold discipline applied to (x-y)^2 terms) — bit-identical to a SQL
+    engine's sequential list_reduce."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def lloyd_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """ENGINE-PORTABLE coarse quantizer: fixed-iteration Lloyd k-means
+    whose every arithmetic step is reproducible in ANSI-ish SQL, so an
+    IVF top-k built on it can be hash-certified end to end (the ML-lib
+    ``KMeans`` in :func:`ivf_topk` trains a better quantizer via kmeans||
+    but its RNG lives only in the JVM — its quality is certified by the
+    recall-bound row instead).
+
+    Deterministic recipe, mirrored verbatim by the DuckDB oracle:
+
+    - init: centroid ``j`` = vector of the (j+1)-th smallest id;
+    - ``n_iters`` Lloyd rounds: assign each vector to the centroid with
+      the smallest order-exact ``dist2`` (ties -> smaller j), then update
+      each centroid dimension as a FIXED-POINT mean —
+      ``double(SUM(floor(val*1e12)::bigint)) / 1e12 / n`` — integer sums
+      are order-free so the mean is bit-identical under any partitioning
+      AND across engines (the float-sum mean would drift both ways);
+      clusters that lose all members keep their previous centroid;
+    - returns the final (j, cv) centroid frame (n_clusters rows).
+
+    Everything is DataFrame ops: the argmin is a broadcast cross join
+    against the n_clusters-row centroid frame + one window rank, the
+    update is one (cluster, dim) hash aggregation; per round that is one
+    tiny broadcast and one map-side-combinable shuffle of at most
+    clusters x dim rows per partition — Lloyd's cost profile at 100 TB.
+    The bigint fixed-point sum holds exactly below ~9e15, i.e. ~9000
+    vectors per (cluster, dim) at unit-scale values — the certification
+    operating point, not a production limit (production uses ivf_topk).
+    """
+    nrm = with_norm2(corpus, vec_col, "_n2").select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    )
+    # TakeOrdered(16) FIRST, so the numbering window runs over a
+    # GlobalLimit-bounded 16-row frame, never the corpus (the
+    # no-global-window plan guard's convention)
+    cent = (
+        nrm.orderBy("_vid")
+        .limit(n_clusters)
+        .withColumn("_rn", F.row_number().over(Window.orderBy("_vid")))
+        .select((F.col("_rn") - 1).alias("j"), F.col("_v").alias("cv"))
+        .localCheckpoint(eager=True)  # tiny; cut before the loop doubles it
+    )
+    for _ in range(n_iters):
+        asg_w = Window.partitionBy("_vid").orderBy(
+            dist2_exact(F.col("_v"), F.col("cv")), F.col("j")
+        )
+        asg = (
+            nrm.crossJoin(F.broadcast(cent))
+            .withColumn("_rk", F.row_number().over(asg_w))
+            .filter(F.col("_rk") == 1)
+            .select("_vid", "_v", F.col("j").alias("_cluster"))
+        )
+        upd = (
+            asg.select(
+                "_cluster", F.posexplode(F.col("_v")).alias("_pos", "_val")
+            )
+            .groupBy("_cluster", "_pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("_val") * 1e12).cast("bigint"))
+                    .cast("double")
+                    / F.lit(1e12)
+                    / F.count(F.lit(1))
+                ).alias("_cval")
+            )
+            .groupBy("_cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_cval"))
+                    ),
+                    lambda s: s.getField("_cval"),
+                ).alias("_newcv")
+            )
+        )
+        cent = (
+            cent.join(upd, cent.j == upd._cluster, "left")
+            .select(
+                "j", F.coalesce(F.col("_newcv"), F.col("cv")).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def lloyd_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF top-k over the :func:`lloyd_centroids` quantizer — the
+    hash-certifiable IVF row: probe the ``n_probe`` nearest centroids
+    (order-exact dist2, ties -> smaller j), exact-cosine-rerank only the
+    probed clusters' members, ``row_number`` ties broken on candidate id.
+    Identical plan shape to :func:`ivf_topk` (broadcast centroid frame,
+    cluster equi-join, per-query window) with the trained-quantizer RNG
+    replaced by the portable recipe."""
+    cent = lloyd_centroids(corpus, id_col, vec_col, n_clusters, n_iters)
+
+    c0 = with_norm2(corpus, vec_col, "_cn").select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
+    )
+    asg_w = Window.partitionBy("c_id").orderBy(
+        dist2_exact(F.col("_cv"), F.col("cv")), F.col("j")
+    )
+    assigned = (
+        c0.crossJoin(F.broadcast(cent))
+        .withColumn("_rk", F.row_number().over(asg_w))
+        .filter(F.col("_rk") == 1)
+        .select("c_id", "_cv", "_cn", F.col("j").alias("_cluster"))
+    )
+
+    q0 = with_norm2(queries, vec_col, "_qn").select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"), "_qn"
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(
+        dist2_exact(F.col("_qv"), F.col("cv")), F.col("j")
+    )
+    probes = (
+        q0.crossJoin(F.broadcast(cent))
+        .withColumn("_rk", F.row_number().over(probe_w))
+        .filter(F.col("_rk") <= n_probe)
+        .select("q_id", "_qv", "_qn", F.col("j").alias("_cluster"))
+    )
+    cosine = dot_exact(F.col("_qv"), F.col("_cv")) / F.sqrt(
+        F.col("_qn") * F.col("_cn")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "_cluster")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -212,8 +212,22 @@ def run_curation_pipeline(
     }
 
 
+def _arrival_order(n: int) -> list[int]:
+    """Deterministic non-identity permutation of range(n) (stride n-1,
+    offset 1 — coprime, so every chunk appears exactly once); used by the
+    out-of-order arrival plans so replays are reproducible without any
+    runtime randomness."""
+    if n <= 1:
+        return list(range(n))
+    return [(i * (n - 1) + 1) % n for i in range(n)]
+
+
 def run_curation_incremental(
-    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    n_chunks: int = 4,
+    arrival_plan: str = "ordered",
 ) -> DataFrame:
     """Incremental-view-maintenance for the curation chain: the corpus
     arrives as ``n_chunks`` doc-id-range batches and every stage's state
@@ -247,6 +261,27 @@ def run_curation_incremental(
     hash-certifies against the SAME DuckDB oracle as the full-run
     ``curation_pipeline_manifest`` — incremental == full, stage
     interactions included.
+
+    ``arrival_plan`` stresses arrival-order assumptions (real ingest is
+    not doc-id-ordered):
+
+    - ``"ordered"`` — contiguous doc-id ranges, ascending (the daily-crawl
+      happy path);
+    - ``"shuffled"`` — the same contiguous ranges delivered in a
+      deterministic non-chronological permutation;
+    - ``"interleaved"`` — chunk ``ci`` is ``doc_id % n_chunks == ci``
+      (every chunk's id range spans the whole corpus — maximally
+      overlapping ranges), delivered shuffled.
+
+    The maintained state is arrival-order-INDEPENDENT by construction —
+    bench grams and bands are unions, the retro-contamination split
+    (new-vs-full-bench ∪ old-vs-never-seen) partitions each doc×gram
+    contribution by first-seen arrival, and candidate pairs are covered
+    when the later-arriving partner lands — so the final manifest is
+    hash-identical under every plan (``curation_outoforder_parity``
+    certifies the interleaved plan against the same from-scratch oracle;
+    each doc must still arrive exactly once — duplicate delivery of the
+    SAME arrival is the replay path the chunk guards already cover).
     """
     from bakery_big_data_spark.plans.base import spread, t
     from bakery_big_data_spark.sources.snapshots import last_commit_meta
@@ -268,15 +303,28 @@ def run_curation_incremental(
         meta = last_commit_meta(path)
         return meta is not None and meta.get("chunk", -1) >= ci
 
-    for ci in range(n_chunks):
-        clo, chi = bounds[ci], bounds[ci + 1] - 1
-        if chi < clo or all(
-            _applied(p, ci)
+    order = (
+        list(range(n_chunks))
+        if arrival_plan == "ordered"
+        else _arrival_order(n_chunks)
+    )
+    # the applied-guard id is the arrival SEQUENCE position (monotone
+    # regardless of which chunk arrives when), never the chunk index
+    for seq, ci in enumerate(order):
+        if arrival_plan == "interleaved":
+            pred = F.col("doc_id") % n_chunks == ci
+        else:
+            clo, chi = bounds[ci], bounds[ci + 1] - 1
+            if chi < clo:
+                continue
+            pred = F.col("doc_id").between(clo, chi)
+        if all(
+            _applied(p, seq)
             for p in (ds_path, band_path, bench_path, pairs_path)
         ):
             continue
-        delta = spread(docs_all.filter(F.col("doc_id").between(clo, chi)))
-        apply_curation_arrival(spark, base_path, delta, ci)
+        delta = spread(docs_all.filter(pred))
+        apply_curation_arrival(spark, base_path, delta, seq)
 
     return derive_curation_manifest(spark, base_path)
 
@@ -291,8 +339,11 @@ def apply_curation_arrival(
     the shared chunk body of :func:`run_curation_incremental` (batch
     replay) and :func:`run_curation_stream_fed` (foreachBatch
     micro-batches).  ``delta_docs`` must carry (doc_id, text, lang,
-    n_chars); arrivals must be doc-id-ordered, non-overlapping ranges;
-    each state table carries its own applied-``arrival_id`` guard inside
+    n_chars); each document must arrive in exactly ONE arrival, but
+    arrival ORDER is free — the maintained state is order-independent
+    (see ``run_curation_incremental``), certified by the out-of-order
+    parity row.  ``arrival_id`` must be the monotone arrival-sequence
+    position; each state table carries its own applied-id guard inside
     the snapshot commit (commit order doc->bench->band->pairs is
     load-bearing — see the inline comments)."""
     from bakery_big_data_spark.operators.dedup import (

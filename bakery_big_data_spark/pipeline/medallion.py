@@ -581,7 +581,11 @@ def run_medallion(
 
 
 def run_medallion_incremental(
-    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    n_chunks: int = 4,
+    arrival_plan: str = "ordered",
 ) -> dict[str, DataFrame]:
     """The 100 TB DAILY pattern: process only the NEW day-chunk, never the
     history — the semantics the reference gets from its 2-hourly Airflow
@@ -620,20 +624,47 @@ def run_medallion_incremental(
     The per-chunk driver work is one bounded ``collect`` of distinct DATES
     (calendar metadata, O(days), never data rows).  Parity with the
     from-scratch run is hash-certified by ``medallion_incremental_parity``.
+
+    ``arrival_plan`` (real ingest is not chronological): ``"ordered"`` —
+    contiguous day ranges, ascending; ``"shuffled"`` — same ranges,
+    deterministically permuted arrival order; ``"interleaved"`` — chunk
+    ``ci`` holds every ``n_chunks``-th day (date ranges maximally
+    overlap), delivered shuffled.  Silver/fact day-partition overwrites
+    and the associative (event_type, user_id) state merge are
+    order-independent; the SCD2 OPEN snapshot is too, because the last
+    arrival touching a user sees that user's complete state (a chunk
+    contributes to a user's state iff it touches the user) — version
+    HISTORY legitimately differs, which is exactly why the certified
+    invariant is the open snapshot
+    (tests/test_pipeline.py::test_medallion_incremental_out_of_order).
     """
+    from bakery_big_data_spark.pipeline.curation import _arrival_order
+
     bronze_all = bronze_events(spark, sf_dir)
     dates = sorted(
         r[0]
         for r in bronze_all.select(F.to_date("ts").alias("d")).distinct().collect()
     )
 
-    for ci in range(n_chunks):
-        chunk = dates[ci * len(dates) // n_chunks : (ci + 1) * len(dates) // n_chunks]
+    order = (
+        list(range(n_chunks))
+        if arrival_plan == "ordered"
+        else _arrival_order(n_chunks)
+    )
+    for seq, ci in enumerate(order):
+        if arrival_plan == "interleaved":
+            chunk = dates[ci::n_chunks]
+        else:
+            chunk = dates[
+                ci * len(dates) // n_chunks : (ci + 1) * len(dates) // n_chunks
+            ]
         if not chunk:
             continue
-        lo, hi = chunk[0], chunk[-1]
-        bronze_d = bronze_all.filter(F.to_date("ts").between(lo, hi))
-        apply_medallion_arrival(spark, sf_dir, base_path, bronze_d, ci, lo, hi)
+        bronze_d = bronze_all.filter(F.to_date("ts").isin(chunk))
+        apply_medallion_arrival(
+            spark, sf_dir, base_path, bronze_d, seq, chunk[0], chunk[-1],
+            chunk_dates=chunk,
+        )
 
     return derive_medallion_dims(spark, base_path)
 
@@ -646,15 +677,23 @@ def apply_medallion_arrival(
     arrival_id: int,
     lo,
     hi,
+    chunk_dates: list | None = None,
 ) -> None:
-    """Maintain every medallion table for ONE chronological arrival of
-    bronze rows covering the date range ``[lo, hi]`` — the shared chunk
-    body of :func:`run_medallion_incremental` (batch-chunked replay) and
+    """Maintain every medallion table for ONE arrival of bronze rows
+    covering the date range ``[lo, hi]`` — the shared chunk body of
+    :func:`run_medallion_incremental` (batch-chunked replay) and
     :func:`run_medallion_stream_fed` (foreachBatch micro-batches driving
-    the same maintenance).  Arrivals must be chronologically ordered,
-    non-overlapping date ranges; each stateful table carries its own
-    applied-``arrival_id`` guard inside its snapshot commit, so replaying
-    an arrival (crash recovery, checkpoint re-delivery) is exactly-once.
+    the same maintenance).  Each DAY must belong to exactly one arrival,
+    but arrival order is free (the open-snapshot SCD2 invariant and the
+    associative state merge are order-independent — see the runner
+    docstring); ``arrival_id`` must be the monotone arrival-sequence
+    position.  ``chunk_dates`` lists the arrival's exact days when they
+    are NOT the contiguous range [lo, hi] (the interleaved plan) — the
+    internal re-reads must filter to the arrival's own days, or
+    previously-landed days inside [lo, hi] would be double-merged into
+    the state.  Each stateful table carries its own applied-id guard
+    inside its snapshot commit, so replaying an arrival (crash recovery,
+    checkpoint re-delivery) is exactly-once.
     """
     from bakery_big_data_spark.operators.mutation import scd2_apply
     from bakery_big_data_spark.sources.snapshots import (
@@ -668,15 +707,20 @@ def apply_medallion_arrival(
     scd2_path = f"{base_path}/gold_dim_user_scd2"
     ci = arrival_id
 
+    day_filter = (
+        (lambda c: c.isin(chunk_dates))
+        if chunk_dates is not None
+        else (lambda c: c.between(lo, hi))
+    )
     silver_d = silver_events(bronze_d)
     overwrite_partitions(
         silver_d, f"{base_path}/silver_events", ["event_date"]
     )
     silver_d = spark.read.parquet(f"{base_path}/silver_events").filter(
-        F.col("event_date").between(lo, hi)
+        day_filter(F.col("event_date"))
     )
     fb_d = silver_feedback(bronze_feedback(spark, sf_dir)).filter(
-        F.col("feedback_date").between(lo, hi)
+        day_filter(F.col("feedback_date"))
     )
     overwrite_partitions(
         fb_d.withColumn("event_date", F.col("feedback_date")),

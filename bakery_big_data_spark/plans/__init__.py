@@ -39,133 +39,126 @@ from bakery_big_data_spark.plans import behavior  # noqa: F401
 #: where the judge blessed merging redundant variants) + the LLM-pipeline
 #: families.  Everything here must keep a green driver CORRECTNESS row.
 #: ~30 core slots stay fixed round over round; the rest rotate through the
-#: long tail so every family eventually gets a driver row (56 registered
-#: queries had never carried one entering r07).  r07 rotation, per the r06
-#: verdict's priority list — 16 first-timers in: the semantic-dedup family
-#: (embedding + recall bound), cross-doc span dedup, exact scalable
-#: quantiles + percentile surface, the FULL stream-stream join, IVF
-#: recall, both skew-salting patterns, the subquery family, pivot/unpivot
-#: reshaping, the banded-SCD2 medallion layer, curation-chain IVM parity,
-#: and the never-certified audio/video multimodal rows.  Rotated out (all
-#: driver-green in a prior round, each with in-window family kin):
-#: join_sql_tempview (SQL surface -> subquery row), sessionize_events
-#: (lead/gap inside streaming_stateful_sessions), snapshot_incremental_diff
-#: (diff machinery inside cdc_apply_changes), funnel_conversion
-#: (conditional-agg shape -> timeseries_gapfill stays behavioral rep),
-#: dedup_minhash_lsh_pairs + dedup_exact_normalized (both lineages run
-#: inside curation_pipeline_manifest), string_math_functions (scalar
-#: surface inside the flagship's quality fold), nation_market_share
-#: (join_multiway_star stays star rep), sketch_incremental_distinct
-#: (approx_count_distinct_scale stays sketch rep), text_tfidf_top_terms,
-#: embedding_int8_quantize, rfm_segmentation (quintile decomposition kin
-#: in quantile_exact_scalable), multimodal_phash_fingerprint (pairs row
-#: runs the same dHash), layout_zorder_keys (bucketed_colocated_join
-#: stays layout rep), curation_pps_sample, grouping_sets_matrix (rollup
-#: surface inside report_quality_multi_table).  Rotated-out queries stay
+#: long tail so every family eventually gets a driver row (44 registered
+#: queries had never carried one entering r08).  r08 rotation, per the r07
+#: verdict's priority list — 16 first-timers in: the six rows the judge
+#: pre-verified MATCH (streaming_semantic_ingest_gate,
+#: streaming_curation_parity, sketch_count_min_heavy_hitters,
+#: bpe_encode_token_counts, dedup_minhash_recall,
+#: multimodal_video_frame_near_dup), the hash-upgraded similarity_ann_lsh,
+#: and family first-timers text_lm_quality_score,
+#: embedding_random_projection, contrastive_negative_sampling,
+#: anomaly_zscore_daily, session_window_agg, window_distribution_ranks,
+#: sql_exists_subquery, join_asof_tolerance, and the INNER stream-stream
+#: join.  Rotated out (all driver-green in r07, each with in-window
+#: family kin): percentile_quantiles (quantile_exact_scalable +
+#: window_distribution_ranks), join_semi_anti_membership +
+#: sql_correlated_min_subquery (sql_exists_subquery covers semi/anti AND
+#: the correlated-subquery SQL surface), skew_salted_aggregation
+#: (skew_salted_join stays), window_rank_dense_ntile
+#: (window_distribution_ranks runs the ranking family), unpivot_metrics
+#: (pivot_status_matrix stays reshaping rep), scd2_point_in_time_join
+#: (medallion_dim_user_scd2 runs scd2_apply wholesale),
+#: text_repetition_filters (text profile + LM scorer in-window),
+#: dedup_semantic_embedding (dedup_semantic_recall certifies the same
+#: sig/verify machinery; the streaming semantic gate runs it end-to-end),
+#: dedup_cross_doc_spans, similarity_ann_recall (similarity_ann_lsh runs
+#: the same tables; IVF keeps its recall row), streaming_versioned_rollup,
+#: multimodal_frame_sample + multimodal_audio_window_rms
+#: (video_frame_near_dup + phash_pairs keep the modality family),
+#: streaming_stream_stream_left_join + _full_join (the INNER row keeps
+#: the interval-join family in-window), curation_incremental_parity
+#: (curation_outoforder_parity runs the same Δ-maintenance under a
+#: strictly harder arrival plan).  Rotated-out queries stay
 #: registered — the local catalog suite still oracle-checks all of them
 #: every run.
 DRIVER_WINDOW: list[str] = [
     # relational / aggregation core (P, A, §2.11, §2.12, U).  P-family
-    # projection/cast surface rides the flagship's quality fold.
+    # projection/cast surface rides the flagship's quality fold;
+    # report_quality_multi_table carries A2/A6/A10/U1/U2.
     "pricing_summary_quality_gated",
-    "streaming_versioned_rollup",
     "report_quality_multi_table",
     "approx_count_distinct_scale",
     "dashboard_summary",
-    # exact scalable global quantiles (range-decomposed, no global sort)
-    # + the percentile surface — first driver rows for both
+    # exact scalable global quantiles (range-decomposed, W5 rep)
     "quantile_exact_scalable",
-    "percentile_quantiles",
-    # joins (J1-J8; J6 cross join local; left-outer NULL-extension runs
-    # inside medallion feedback left joins and the stream-stream LEFT
-    # interval join below)
+    # joins (J1-J8).  J8 semi/anti and the SQL surface (S9/J5) ride
+    # sql_exists_subquery (correlated EXISTS/NOT EXISTS == semi/anti);
+    # J2 left-outer NULL-extension runs inside the medallion left joins
+    # and the interval stream-stream join's outer siblings (local kin)
     "join_inner_broadcast_dim",
     "join_multiway_star",
     "er_fuzzy_clusters",
-    "join_semi_anti_membership",
-    # SQL subquery family takes the SQL-surface slot (correlated scalar
-    # MIN subquery — TPC-H Q2's shape)
-    "sql_correlated_min_subquery",
-    # 100 TB skew patterns: salted join + salted two-stage aggregation,
-    # never driver-checked
+    "sql_exists_subquery",
+    # 100 TB skew pattern (aggregation sibling rotates to local kin)
     "skew_salted_join",
-    "skew_salted_aggregation",
-    # windows / ranking / top-k (W1-W6, O1-O2; rank row carries top-k)
+    # windows / ranking / top-k (W1-W6, O1-O2): distribution ranks
+    # (percent_rank/cume_dist/ntile) takes the ranking slot
     "window_sequence_keys",
-    "streaming_stream_stream_left_join",
-    "window_rank_dense_ntile",
-    # scalar functions (§2.8): the Spark 4 VARIANT shred row is the
-    # JSON/struct representative
+    "window_distribution_ranks",
+    # scalar functions (§2.8): Spark 4 VARIANT shred is the JSON rep
     "json_variant_shred",
-    # reshaping: pivot (conditional-agg matrix) + unpivot (stack) —
-    # first driver rows
+    # reshaping rep (unpivot rotates to local kin)
     "pivot_status_matrix",
-    "unpivot_metrics",
-    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths —
-    # streaming_merge_upsert_state rotates to local (the Δ-merged-state
-    # machinery runs inside BOTH in-window incremental-parity rows) for
-    # the dead-letter routing row (S1-S3 production robustness, new r07);
-    # scd2_versioning rotates to local for the PIT row, which runs
-    # scd2_apply wholesale AND adds the as-of point-in-time resolution
+    # as-of tolerance join — J7 family first-timer
+    "join_asof_tolerance",
+    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths
     "streaming_dead_letter_routing",
-    "scd2_point_in_time_join",
     "late_arrival_reconciliation",
     "cdc_apply_changes",
     "medallion_incremental_parity",
-    # the banded-SCD2 medallion layer query — first driver row
     "medallion_dim_user_scd2",
-    # behavioral analytics (timeseries_gapfill stays the family rep)
+    # behavioral analytics: gapfill stays the rep; anomaly detection and
+    # the native session_window agg get their first driver rows
     "timeseries_gapfill",
-    # LLM: text analysis (token stats + quality + language-ID in one pass)
+    "anomaly_zscore_daily",
+    "session_window_agg",
+    # LLM: text analysis + the bigram-LM quality scorer (first row)
     "text_analysis_profile",
-    # Gopher/C4 repetition + boilerplate filters
-    "text_repetition_filters",
-    # LLM: dedup — SemDeDup-style semantic dedup + its quantified recall
-    # bound, C4 cross-document span dedup — first driver rows; exact /
-    # minhash / simhash lineages stay certified via
-    # curation_pipeline_manifest + multimodal_phash_pairs
-    "dedup_semantic_embedding",
+    "text_lm_quality_score",
+    # LLM: dedup — both quantified recall-bound rows (semantic + the
+    # portable-MinHash banding bound) anchor the family
     "dedup_semantic_recall",
-    "dedup_cross_doc_spans",
-    # LLM: similarity — the IVF recall bound joins the hyperplane-LSH row
-    "similarity_ann_recall",
+    "dedup_minhash_recall",
+    # LLM: similarity — hyperplane-LSH top-k (hash-upgraded in r07,
+    # never driver-run) + the IVF recall bound
+    "similarity_ann_lsh",
     "similarity_ivf_recall",
-    # pipeline / IO / streaming — medallion_silver_transform rotates to
-    # local: the silver transform SQL is embedded verbatim inside BOTH
-    # incremental-parity oracles in-window, so its slot goes to the
-    # streaming near-dup ingest gate (dedup-at-the-well, new in r07)
+    # embedding ops: JL random projection + contrastive negatives
+    "embedding_random_projection",
+    "contrastive_negative_sampling",
+    # streaming ingest gates — MinHash (banding-aware oracle, r08) and
+    # the semantic analog (judge pre-verified MATCH in r07)
     "streaming_dedup_ingest_gate",
+    "streaming_semantic_ingest_gate",
+    # pipeline / IO / streaming core
     "medallion_features_wide",
     "partition_pruned_scan",
     "csv_ddl_roundtrip",
     "streaming_ingest_replay",
     "streaming_stateful_sessions",
-    # stream-fed incremental gold == full batch run — new in r07, the
-    # reference's real topology (stream->bronze + scheduled maintenance)
-    # composed into one streaming query; takes streaming_dedup_replay's
-    # slot (watermark-bounded dedup state also rides the stateful
-    # sessionizer and both stream-stream join rows)
     "streaming_incremental_gold_parity",
-    # FULL OUTER stream-stream interval join completes the join matrix —
-    # first driver row
-    "streaming_stream_stream_full_join",
+    # the INNER interval stream-stream join completes the matrix's
+    # never-driver-checked member (LEFT/FULL green r07, rotate to kin)
+    "streaming_stream_stream_join",
     "streaming_custom_source_agg",
     # 100 TB write-side layout: bucketed zero-exchange join
     "bucketed_colocated_join",
     "curation_pipeline_manifest",
-    # incremental curation == full curation, the curation-chain IVM proof
-    # (pre-verified MATCH by the r06 judge) — first driver row
-    "curation_incremental_parity",
-    # multimodal: the perceptual near-dup pair row stays the image rep
-    # (it runs the same dHash as the fingerprint row); the audio/video
-    # surface gets its first driver rows
+    # out-of-order (interleaved, shuffled) incremental curation — the
+    # stronger claim subsuming the in-order parity row (r07-green kin)
+    "curation_outoforder_parity",
+    # stream-fed curation IVM (judge pre-verified MATCH in r07)
+    "streaming_curation_parity",
+    # multimodal: image pair row + the video containment near-dup
+    # (md5-keyed join, same-predicate oracle, r08)
     "multimodal_phash_pairs",
-    "multimodal_frame_sample",
-    "multimodal_audio_window_rms",
-    # BPE vocabulary induction — new in r07 (iterative argmax-merge
-    # rounds, unrolled-CTE oracle); takes grouping_sets_matrix's slot
-    # (rollup surface also inside report_quality_multi_table)
+    "multimodal_video_frame_near_dup",
+    # sketches: Count-Min heavy hitters joins the HLL row
+    "sketch_count_min_heavy_hitters",
+    # BPE: learn (veteran) + apply (first driver row)
     "bpe_vocab_merges",
+    "bpe_encode_token_counts",
 ]
 
 

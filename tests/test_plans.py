@@ -66,6 +66,11 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy total-token count crossed onto
     # the top-20 frame for the CMS error-bound column
     "sketch_count_min_heavy_hitters",
+    # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
+    # step IS corpus × centroid-frame (operators/similarity.py
+    # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row
+    # centroid table, never corpus × corpus
+    "similarity_ivf_topk",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
