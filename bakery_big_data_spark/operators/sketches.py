@@ -108,3 +108,100 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+#: Carter-Wegman parameters for the Bloom filter's 6 bit-position hashes
+#: (literals so the static oracle SQL can carry them).
+BLOOM_A = [1, 1566083941, 998244353, 1103515245, 1140671485, 65793]
+BLOOM_B = [0, 97531, 12345, 424243, 390451, 28411]
+
+#: 63 bits per word — the sign bit of the BIGINT word is never used, so
+#: ``1 << bit`` stays positive in every engine (no two's-complement edge).
+_WORD_BITS = 63
+
+
+def _masks() -> Column:
+    """Literal power-of-two table: ``_masks()[bit + 1]`` == ``1 << bit``
+    as an exact BIGINT (shiftleft's PySpark wrapper only takes a literal
+    shift, and pow() goes through double, which is inexact past 2^53).
+    Built lazily — Column construction needs an active SparkContext."""
+    return F.array(*[F.lit(1 << b).cast("bigint") for b in range(_WORD_BITS)])
+
+
+def _bloom_cells(key: Column, num_bits: int, num_hashes: int) -> Column:
+    """Array of (word, mask) cells for one key — one per hash row."""
+    h = portable_key_hash(key)
+    masks = _masks()
+    cells = []
+    for i in range(num_hashes):
+        pos = ((F.lit(BLOOM_A[i]) * h + F.lit(BLOOM_B[i])) % _P) % num_bits
+        cells.append(
+            F.struct(
+                F.floor(pos / _WORD_BITS).cast("bigint").alias("word"),
+                F.element_at(
+                    masks, ((pos % _WORD_BITS) + 1).cast("int")
+                ).alias("mask"),
+            )
+        )
+    return F.array(*cells)
+
+
+def bloom_build(
+    keyed: DataFrame,
+    key_col: str,
+    num_bits: int = 32256,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as (word, bits) BIGINT rows —
+    the 100 TB semi-join-reduction sketch (runtime row-level filtering:
+    ship a ~4 KB filter to the fact scan instead of shuffling the fact
+    table into a join just to discard most of it).
+
+    ONE ``bit_or`` aggregation: map-side partial combine means the
+    shuffle carries at most ``num_bits/63`` word rows per mapper no
+    matter the key count, duplicates are free (OR is idempotent — no
+    DISTINCT pass needed), and two builds merge by word-wise OR (the
+    same mergeability as the CMS/HLL rows).  Engine-portable by
+    construction: md5-half base hash + Carter-Wegman bit positions in
+    exact BIGINT arithmetic, 63-bit words so the sign bit never flips —
+    every word is bit-identical cross-engine.
+    """
+    cells = keyed.select(
+        F.explode(
+            _bloom_cells(F.col(key_col).cast("string"), num_bits, num_hashes)
+        ).alias("c")
+    )
+    return cells.groupBy(F.col("c.word").alias("word")).agg(
+        F.bit_or(F.col("c.mask")).alias("bits")
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int = 32256,
+    num_hashes: int = 6,
+    out_col: str = "in_bloom",
+) -> DataFrame:
+    """Membership probe: a key is (possibly) present iff ALL its
+    ``num_hashes`` bits are set.  The filter (<= num_bits/63 rows) is
+    broadcast, so the probe is a map-side join — zero shuffle of the
+    probe side, the property that makes Bloom pruning worth it at scale.
+    No false negatives ever; false positives at the designed rate."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            _bloom_cells(F.col(key_col).cast("string"), num_bits, num_hashes)
+        ).alias("p"),
+    ).select(key_col, F.col("p.word").alias("word"), F.col("p.mask").alias("mask"))
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .groupBy(key_col)
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).alias(out_col)
+        )
+    )

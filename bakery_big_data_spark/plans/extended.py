@@ -990,3 +990,101 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment_at_order",
         "acctbal_at_order",
     )
+
+
+def _bloom_oracle() -> str:
+    """Re-derive the full Bloom build + probe in DuckDB: same md5-half
+    base hash, same Carter-Wegman bit positions, same 63-bit words and
+    bit_or/bool_and folds as operators/sketches.py — every filter word
+    and every membership verdict is bit-identical cross-engine."""
+    from bakery_big_data_spark.operators.sketches import BLOOM_A, BLOOM_B
+
+    def h(k: str) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT"
+            " & 2147483647)"
+        )
+
+    def poses() -> str:
+        return "[" + ", ".join(
+            f"(({a} * h + {b}) % 2147483647) % 32256"
+            for a, b in zip(BLOOM_A, BLOOM_B)
+        ) + "]"
+
+    return f"""
+    WITH bcells AS (
+      SELECT pos // 63 AS word,
+             (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
+      FROM (SELECT unnest({poses()}) AS pos
+            FROM (SELECT {h('o_custkey')} AS h FROM orders
+                  WHERE o_orderpriority = '1-URGENT'))
+    ), bloom AS (
+      SELECT word, bit_or(mask) AS bits FROM bcells GROUP BY word
+    ), pcells AS (
+      SELECT c_custkey, pos // 63 AS word,
+             (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
+      FROM (SELECT c_custkey, unnest({poses()}) AS pos
+            FROM (SELECT c_custkey, {h('c_custkey')} AS h FROM customer))
+    ), probed AS (
+      SELECT p.c_custkey,
+             bool_and((COALESCE(b.bits, 0) & p.mask) = p.mask) AS in_bloom
+      FROM pcells p LEFT JOIN bloom b USING (word)
+      GROUP BY p.c_custkey
+    ), act AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT p.c_custkey, p.in_bloom,
+           a.c_custkey IS NOT NULL AS actually_in,
+           p.in_bloom AND a.c_custkey IS NULL AS false_positive
+    FROM probed p LEFT JOIN act a ON a.c_custkey = p.c_custkey
+    """
+
+
+@register(
+    "sketch_bloom_semijoin",
+    _bloom_oracle(),
+    doc="Portable Bloom filter as the semi-join-reduction sketch — the "
+        "runtime row-level-filtering pattern at 100 TB (build a ~4 KB "
+        "filter over the dim-side keys, broadcast it to the fact scan, "
+        "and discard non-members BEFORE any shuffle; Spark's own "
+        "spark.sql.optimizer.runtimeFilter does this internally — here "
+        "it is a first-class, engine-portable operator).  Build is ONE "
+        "bit_or aggregation (map-side combinable, <= num_bits/63 word "
+        "rows per mapper, duplicates free since OR is idempotent — no "
+        "DISTINCT pass; two builds merge by word-wise OR, the CMS/HLL "
+        "mergeability); probe is a broadcast map-side join, zero shuffle "
+        "of the probe side.  md5-half base hash + Carter-Wegman bit "
+        "positions in exact BIGINT arithmetic over 63-bit words (the "
+        "sign bit never flips), so the oracle re-derives every filter "
+        "word AND every membership verdict bit-for-bit — including the "
+        "false positives, certified as exactly the same keys cross-"
+        "engine; no-false-negative is certified by in_bloom covering "
+        "every actually_in key (operators/sketches.py::bloom_build/"
+        "bloom_probe)",
+)
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    bl = bloom_build(o, "o_custkey")
+    probed = bloom_probe(c, bl, "c_custkey")
+    act = (
+        o.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_a", F.lit(True))
+    )
+    return probed.join(act, "c_custkey", "left").select(
+        "c_custkey",
+        "in_bloom",
+        F.coalesce(F.col("_a"), F.lit(False)).alias("actually_in"),
+        (F.col("in_bloom") & F.col("_a").isNull()).alias("false_positive"),
+    )

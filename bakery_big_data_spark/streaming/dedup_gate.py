@@ -259,6 +259,7 @@ def run_streaming_semantic_gate(
     num_tables: int = 12,
     seed: int = 7,
     dim: int = 64,
+    arrival_rank: list[int] | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) ingest gate — the SemDeDup analog of
     :func:`run_streaming_dedup_gate`: each micro-batch of vectors probes
@@ -299,7 +300,7 @@ def run_streaming_semantic_gate(
     dec_path = f"{base_path}/decisions"
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    write_ordered_json_chunks(emb, src, "vec_id", n_chunks)
+    write_ordered_json_chunks(emb, src, "vec_id", n_chunks, arrival_rank)
 
     tables = [
         hyperplane_planes(num_planes, dim, seed + 1000 * t)

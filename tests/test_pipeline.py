@@ -553,6 +553,34 @@ def test_streaming_dedup_gate_out_of_order(spark, sf_dir):
     assert any(not kept for (_, _, kept) in ordered)  # pairs exist
 
 
+def test_streaming_semantic_gate_out_of_order(spark, sf_dir):
+    """The embedding-space gate must also converge to the ordered-arrival
+    decision table under shuffled chunk delivery (same both-directions
+    candidates + late canonical demotion as the MinHash gate)."""
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_semantic_gate,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    ordered = {
+        tuple(r)
+        for r in run_streaming_semantic_gate(
+            spark, sf_dir, tempfile.mkdtemp(dir=SCRATCH), n_chunks=3
+        ).collect()
+    }
+    shuffled = {
+        tuple(r)
+        for r in run_streaming_semantic_gate(
+            spark,
+            sf_dir,
+            tempfile.mkdtemp(dir=SCRATCH),
+            n_chunks=3,
+            arrival_rank=[1, 2, 0],
+        ).collect()
+    }
+    assert shuffled == ordered
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_streaming_dedup_gate_arrival_fuzz(spark, sf_dir, seed):
     """Adversarial arrival fuzz: randomized chunk count AND randomized

@@ -1,0 +1,69 @@
+"""Unit tests for the portable Bloom filter (operators/sketches.py) —
+the semi-join-reduction sketch: no false negatives ever, mergeability
+(word-wise OR of two builds == build of the concatenated streams), and
+probe-side plan shape (broadcast join, no probe shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_no_false_negatives_and_some_positives(spark):
+    from bakery_big_data_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "k LONG")
+    members = df.filter(F.col("k") % 3 == 0)
+    bl = bloom_build(members, "k")
+    got = {r.k: r.in_bloom for r in bloom_probe(df, bl, "k").collect()}
+    assert all(got[k] for k in range(0, 3000, 3)), "false negative"
+    # at 1000 keys / 32256 bits / 6 hashes the fp rate is ~0.2% — tiny
+    # but nonzero expectation; assert only the one-sided contract here
+    fps = sum(1 for k in range(3000) if k % 3 != 0 and got[k])
+    assert fps < 200  # far below saturation
+
+
+def test_bloom_merge_equals_concatenated_build(spark):
+    """Word-wise OR of two builds must equal one build over the union —
+    the mergeability that lets per-partition/per-day filters combine
+    without re-reading history (same contract as the CMS/HLL rows)."""
+    from bakery_big_data_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([(i,) for i in range(0, 500)], "k LONG")
+    b = spark.createDataFrame([(i,) for i in range(400, 900)], "k LONG")
+    merged = (
+        bloom_build(a, "k")
+        .unionByName(bloom_build(b, "k"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = bloom_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bloom_duplicates_are_free(spark):
+    """OR idempotence: building over a stream with duplicates equals
+    building over the distinct keys — no DISTINCT pass needed."""
+    from bakery_big_data_spark.operators.sketches import bloom_build
+
+    keys = spark.createDataFrame([(i % 50,) for i in range(1000)], "k LONG")
+    dup = bloom_build(keys, "k")
+    dist = bloom_build(keys.distinct(), "k")
+    assert sorted(map(tuple, dup.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+
+
+def test_bloom_probe_is_broadcast_join(spark, sf_dir):
+    """The probe side must never shuffle: the filter is broadcast and the
+    membership check is map-side (the property that makes Bloom pruning
+    worth shipping at 100 TB)."""
+    from bakery_big_data_spark.plans import REGISTRY
+
+    df = REGISTRY["sketch_bloom_semijoin"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
