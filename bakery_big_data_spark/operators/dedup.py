@@ -700,3 +700,71 @@ def with_portable_minhash_bands(
         for j in range(bands)
     ]
     return hashed.select(id_col, F.array(*band_keys).alias("band_keys"))
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard pairs at ``threshold`` via PPJoin-style positional
+    prefix filtering — a lossless, skew-proof alternative to the
+    all-shared-token candidate join.
+
+    ``exact_ngram_pairs`` joins documents on EVERY shared shingle, so its
+    candidate volume is Σ df² over the whole vocabulary — the frequent
+    tokens (df in the millions at 100 TB) dominate and the join explodes
+    exactly where the corpus is most redundant.  Prefix filtering orders
+    each document's shingles by ascending global frequency (rarest first,
+    ties on the token) and joins only on each side's PREFIX — the first
+    ``|x| - ceil(t·|x|) + 1`` rarest tokens.  Losslessness: J(A,B) ≥ t
+    implies |A∩B| ≥ t·|A| (since |A|+|B|-|A∩B| ≥ |A|), so the
+    intersection cannot fit inside the ``ceil(t·|A|) - 1``-token suffix;
+    the frequency-minimal common token therefore sits in BOTH prefixes
+    (Chaudhuri et al.'s prefix-filtering theorem).  Candidate volume is
+    Σ df² over prefix occurrences only — rare tokens by construction —
+    and the frequent-token hot buckets vanish instead of being capped.
+
+    A second lossless cut: J ≥ t also forces t·|A| ≤ |B| (and vice
+    versa), applied as an integer length filter inside the join.  Exact
+    verification re-attaches full shingle sets, so output = the exact
+    all-pairs truth (same oracle), only the candidate route differs.
+    """
+    tok = docs.filter(F.size(shingle_col) > 0).select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("_tok")
+    )
+    dfreq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_df"), F.col("_tok"))
+    sizes = docs.select(
+        F.col(id_col), F.size(F.col(shingle_col)).alias("_n")
+    )
+    prefix = (
+        tok.join(dfreq, "_tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("_pos")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select(F.col(id_col), "_tok", "_n")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("_tok"), F.col("_n").alias("_na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("_tok"), F.col("_n").alias("_nb")
+    )
+    cands = (
+        a.join(b, a["_tok"] == b["_tok"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_nb") >= F.ceil(F.lit(threshold) * F.col("_na")))
+            & (F.col("_na") >= F.ceil(F.lit(threshold) * F.col("_nb")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_pairs(cands, docs, id_col, shingle_col, threshold)

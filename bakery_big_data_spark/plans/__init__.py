@@ -34,6 +34,7 @@ from bakery_big_data_spark.plans import setops_sql  # noqa: F401
 from bakery_big_data_spark.plans import dashboard  # noqa: F401
 from bakery_big_data_spark.plans import curation  # noqa: F401
 from bakery_big_data_spark.plans import behavior  # noqa: F401
+from bakery_big_data_spark.plans import graph  # noqa: F401
 
 #: The first 50 registrations — one slot per §2 capability row (consolidated
 #: where the judge blessed merging redundant variants) + the LLM-pipeline

@@ -515,3 +515,70 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("rfm_cell"),
     )
+
+
+_EWMA_ALPHA = 0.25
+
+
+def _ewma_oracle(alpha: float) -> str:
+    """Recursive-CTE EWMA re-deriving the applyInPandas fold step-by-step;
+    coefficient doubles embedded via ``repr`` so both engines parse the
+    exact IEEE values the kernel multiplies with."""
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             {sql_dsum('value', 'revenue')}
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, d, revenue,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily
+    ), ew(event_type, d, i, revenue, ewma) AS (
+      SELECT event_type, d, i, revenue, revenue FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.event_type, x.d, x.i, x.revenue,
+             CAST({a} AS DOUBLE) * x.revenue + CAST({b} AS DOUBLE) * e.ewma
+      FROM ew e
+      JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
+    )
+    SELECT event_type, d, revenue, ewma, revenue - ewma AS resid
+    FROM ew
+    """
+
+
+@register(
+    "anomaly_ewma_control",
+    _ewma_oracle(_EWMA_ALPHA),
+    doc="EWMA control line (alpha=0.25) over the daily revenue series per "
+        "event_type — the sequential-recurrence companion to the rolling "
+        "z-score row.  s_i = a*x_i + (1-a)*s_{i-1} is NOT a window-frame "
+        "aggregate (frames combine associatively; the closed form needs "
+        "(1-a)^-j factors that overflow past ~1000 steps), so this is the "
+        "catalog's canonical grouped Arrow fold: daily rollup in plain "
+        "hash aggregates FIRST, then one shuffle on the series key and a "
+        "per-series applyInPandas pass over calendar-bounded groups "
+        "(operators/timeseries.py::ewma — epoch-splitting note for "
+        "extreme series).  The kernel's two-multiply-one-add step is "
+        "restated verbatim by the oracle's recursive CTE, so every EWMA "
+        "value is hash-certified bit-for-bit despite crossing the Arrow "
+        "boundary",
+)
+def anomaly_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.timeseries import ewma
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("revenue")
+    )
+    folded = ewma(
+        daily, keys=["event_type"], order_col="d", value_col="revenue",
+        alpha=_EWMA_ALPHA,
+    )
+    return folded.select(
+        "event_type", "d", "revenue", "ewma",
+        (F.col("revenue") - F.col("ewma")).alias("resid"),
+    )

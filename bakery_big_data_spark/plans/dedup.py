@@ -678,3 +678,26 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("caught_by_banding"),
         )
     )
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    _EXACT_PAIRS_SQL,
+    doc="Exact Jaccard near-dup pairs (threshold 0.5) with PPJoin-style "
+        "positional PREFIX FILTERING: each doc's shingles are ordered by "
+        "ascending global frequency and only the |x| - ceil(t|x|) + 1 "
+        "rarest participate in the candidate join, plus the t|A| <= |B| "
+        "length filter — both cuts lossless (prefix-filtering theorem), "
+        "so the output and oracle are identical to the all-shared-token "
+        "baseline.  The at-scale contrast: exact_ngram_pairs' candidate "
+        "volume is sum(df^2) over the WHOLE vocabulary and explodes on "
+        "frequent shingles, while prefix candidates live only on rare "
+        "tokens — the hot buckets vanish instead of being capped, the "
+        "third candidate-generation strategy in the family next to "
+        "all-shared-token and MinHash banding (exact recall, unlike LSH)",
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.dedup import prefix_filter_pairs
+
+    docs = _shingled(spark, sf_dir, cache=True)
+    return prefix_filter_pairs(docs, "doc_id", "shingles", threshold=0.5)

@@ -1,0 +1,224 @@
+"""Graph-analytics queries: weighted PageRank over the nation trade graph
+and degree-oriented triangle counting over the part co-purchase graph.
+
+Both graphs are DERIVED — the expensive part at 100 TB is the relational
+edge construction (star joins over lineitem), which Catalyst plans like any
+other join tree; the graph iteration itself runs over node/edge-sized
+aggregates.  Oracle strategy: PageRank is fixed-iteration, so the DuckDB
+oracle unrolls all K rounds as a CTE chain (the BPE/IVF-oracle pattern) —
+the trained ranks themselves are hash-certified, not just plumbing.
+Triangle counting is integer-only set algebra and restates the identical
+degree-orientation predicate.
+
+Reference parity: no graph operators exist in the reference engine
+(SURVEY.md §2) — this extends the LLM-pipeline/link-analysis surface on the
+same relational core (duplicate-cluster analysis, co-occurrence mining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bakery_big_data_spark.operators.checkpointing import cut_lineage
+from bakery_big_data_spark.operators.graph import pagerank, triangle_counts
+from bakery_big_data_spark.plans.base import register, t
+
+_PR_ITERS = 4
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle(k: int, damping: float) -> str:
+    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain.
+
+    Every double expression restates the Spark operator's evaluation order
+    (operators/graph.py::pagerank) verbatim; order-dependent sums go
+    through DECIMAL(30,6) on both engines, so the final ranks are
+    bit-identical.  Damping constants are embedded via ``repr`` so both
+    engines parse the exact same IEEE doubles (1 - 0.85 is NOT the double
+    nearest 0.15)."""
+    d = repr(float(damping))
+    omd = repr(1.0 - float(damping))
+    parts = [
+        f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), outw AS (
+      SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+      FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST((r.rank * CAST(e.w AS DOUBLE))
+                           / CAST(ow.ow AS DOUBLE) AS DECIMAL(30,6)))
+                  AS DOUBLE) AS contrib
+      FROM r{i - 1} r
+      JOIN edges e ON e.src = r.node
+      JOIN outw ow ON ow.src = e.src
+      GROUP BY e.dst
+    ), d{i} AS (
+      SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(30,6))),
+                           CAST(0 AS DECIMAL(30,6))) AS DOUBLE) AS dm
+      FROM r{i - 1} r LEFT JOIN outw ow ON ow.src = r.node
+      WHERE ow.src IS NULL
+    ), r{i} AS (
+      SELECT nd.node,
+             CAST({omd} AS DOUBLE) / CAST(nn.n AS DOUBLE)
+             + CAST({d} AS DOUBLE)
+               * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                  + dg.dm / CAST(nn.n AS DOUBLE)) AS rank
+      FROM nodes nd
+      CROSS JOIN nn
+      CROSS JOIN d{i} dg
+      LEFT JOIN c{i} c ON c.node = nd.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT r.node AS nationkey, n.n_name AS nation, r.rank AS pagerank
+    FROM r{k} r JOIN nation n ON n.n_nationkey = r.node
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank_trade",
+    _pagerank_oracle(_PR_ITERS, _PR_DAMPING),
+    doc="Weighted PageRank (4 fixed iterations, d=0.85, dangling-mass "
+        "redistribution) over the customer-nation → supplier-nation trade "
+        "graph: edge weight = number of lineitems a customer of nation A "
+        "bought from a supplier of nation B.  Edge construction is the "
+        "expensive part at 100 TB — lineitem⋈orders⋈customer⋈supplier, "
+        "planned by Catalyst/AQE like any star join — while each rank "
+        "round is one edge-sized shuffle on dst plus node-sized frames; "
+        "rank frames are lineage-cut per round (plan doubles otherwise) "
+        "and a reliable checkpoint_dir mode exists for real clusters.  "
+        "Contributions and dangling mass decimal-sum per the catalog "
+        "convention, so the oracle's unrolled 4-round CTE chain certifies "
+        "the final ranks bit-for-bit",
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # The rank loop references edges every round; materialize the (tiny,
+    # nation²-bounded) edge aggregate once instead of re-running the
+    # lineitem star join per iteration.
+    edges = cut_lineage(edges, None)
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("node").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("rank").alias("pagerank"),
+    )
+
+
+@register(
+    "graph_triangle_copurchase",
+    """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), ue AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pp a
+      JOIN pp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM ue UNION ALL SELECT v FROM ue
+      ) GROUP BY node
+    ), oe AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS hi
+      FROM ue e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM oe e1
+      JOIN oe e2 ON e2.lo = e1.hi
+      JOIN oe e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ), corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), counts AS (
+      SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
+    ), ranked AS (
+      SELECT node, n_tri,
+             ROW_NUMBER() OVER (ORDER BY n_tri DESC, node) AS rk
+      FROM counts
+    )
+    SELECT node AS part_key, n_tri, rk FROM ranked WHERE rk <= 20
+    """,
+    doc="Top-20 parts by triangle count in the co-purchase graph (parts "
+        "appearing in the same order are linked).  Degree-oriented wedge "
+        "join — each edge directed from its lower-(degree, id) endpoint, "
+        "bounding out-degrees by O(sqrt(E)) so the wedge intermediate is "
+        "O(E^1.5) even on power-law hubs (arbitrary orientation squares "
+        "hub degrees and dies at scale); each triangle found exactly once "
+        "then credited to its three corners via explode + one hash agg.  "
+        "Integer-only — no decimal scaffolding needed.  The final top-20 "
+        "window runs over the node-sized aggregate, never the base table",
+)
+def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = pp.alias("a")
+    b = pp.alias("b")
+    ue = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    counts = triangle_counts(ue)
+    w = Window.orderBy(F.col("n_tri").desc(), F.col("node"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("node").alias("part_key"), "n_tri", "rk")
+    )

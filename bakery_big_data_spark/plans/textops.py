@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bakery_big_data_spark.plans.base import register, spread, t
+from bakery_big_data_spark.plans.base import DEC, register, spread, t
 from bakery_big_data_spark.quality import QualityRule, apply_quality_rules
 
 _MOD = 2147483647  # 2^31-1, same arithmetic in BIGINT on both engines
@@ -820,3 +820,153 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return bpe_token_counts(d, "doc_id", "text", num_merges=8)
+
+
+@register(
+    "text_bm25_retrieval",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), dls AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dls
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), srcdf AS (
+      SELECT source, term, COUNT(DISTINCT doc_id) AS sdf
+      FROM tok GROUP BY source, term
+    ), qterms AS (
+      SELECT source, term FROM (
+        SELECT s.source, s.term,
+               ROW_NUMBER() OVER (PARTITION BY s.source
+                                  ORDER BY s.sdf DESC, s.term) AS tr
+        FROM srcdf s
+        JOIN df ON df.term = s.term
+        CROSS JOIN stats
+        WHERE df.df * 4 <= stats.n_docs
+      ) WHERE tr <= 3
+    ), contrib AS (
+      SELECT q.source, tf.doc_id,
+             ((CAST(stats.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                / (CAST(tf.tf AS DOUBLE)
+                   + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE)
+                          * (CAST(dls.dl AS DOUBLE) / stats.avgdl))))
+               AS c
+      FROM qterms q
+      JOIN tf ON tf.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN dls ON dls.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT source, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE) AS score
+      FROM contrib GROUP BY source, doc_id
+    ), ranked AS (
+      SELECT source, doc_id, n_terms, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT source AS query_source, doc_id, n_terms, score, rk
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="BM25 retrieval (k1=1.2, b=0.75): each source's query = its 3 most "
+        "characteristic discriminative terms (globally rare, df*4 <= N — "
+        "integer predicate, no division — ranked by in-source df), scored "
+        "against the whole corpus, top-5 docs per query.  Rational-idf "
+        "variant (N-df+0.5)/(df+0.5) — the inside of the standard BM25 "
+        "log — keeps every per-term contribution a fixed chain of IEEE "
+        "double ops (ln() is not correctly-rounded across libms, the "
+        "catalog-wide rule); per-doc scores decimal-sum.  Plan shape at "
+        "100 TB: one explode -> (doc,term) and (term) hash aggs; query "
+        "terms are a tiny broadcast side; candidate set = docs sharing a "
+        "query term (inverted-index semantics via the tf join), never "
+        "all docs x all queries; final top-k windows over the "
+        "query-partitioned candidate aggregate only",
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    dls = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dls.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    srcdf = (
+        tok.select("source", "doc_id", "term")
+        .distinct()
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+    )
+    wq = Window.partitionBy("source").orderBy(
+        F.col("sdf").desc(), F.col("term")
+    )
+    qterms = (
+        srcdf.join(df, "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .filter(F.col("df") * 4 <= F.col("n_docs"))
+        .withColumn("tr", F.row_number().over(wq))
+        .filter(F.col("tr") <= 3)
+        .select("source", "term")
+    )
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tfp = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    contrib = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(df, "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("source", "doc_id", (idf * tfp).alias("c"))
+    )
+    scored = contrib.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("c").cast(DEC)).cast("double").alias("score"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("source").alias("query_source"),
+            "doc_id",
+            "n_terms",
+            "score",
+            "rk",
+        )
+    )

@@ -167,3 +167,77 @@ def test_portable_simhash_banded_recall(spark, sf_dir):
     assert banded == allpairs
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_banded_pairs(sigs, "doc_id", max_hamming=6)
+
+
+def test_prefix_filter_equals_exact(spark, sf_dir):
+    """Prefix filtering is lossless: identical pair set + jaccards as the
+    all-shared-token exact join (the prefix-filtering theorem, on data)."""
+    from bakery_big_data_spark.operators.dedup import (
+        exact_ngram_pairs,
+        prefix_filter_pairs,
+        word_shingles,
+    )
+    from bakery_big_data_spark.plans.base import t as load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", n=3).alias("sh")
+    )
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in exact_ngram_pairs(docs, "doc_id", "sh", 0.5).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_pairs(docs, "doc_id", "sh", 0.5).collect()
+    }
+    assert pf == exact
+    assert len(pf) > 0
+
+
+def test_prefix_filter_candidate_volume_is_smaller(spark, sf_dir):
+    """The point of the optimization: prefix candidates must be a strict
+    subset of the shared-token candidate volume on a corpus with frequent
+    shingles (here: every token pair the exact join touches)."""
+    from bakery_big_data_spark.operators.dedup import word_shingles
+    from bakery_big_data_spark.plans.base import t as load
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", n=3).alias("sh")
+    )
+    tok = docs.filter(F.size("sh") > 0).select(
+        "doc_id", F.explode("sh").alias("tok")
+    )
+    shared = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        tok.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(docs.select("doc_id", F.size("sh").alias("n")), "doc_id")
+        .filter(F.col("pos") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1)
+    )
+    pf_cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert pf_cands < shared

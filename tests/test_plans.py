@@ -48,6 +48,10 @@ NESTED_LOOP_ALLOWED = {
     # (term, tf, df) frame for the idf numerator — declarative replacement
     # for an eager .count()
     "text_tfidf_top_terms",
+    # deliberate 1-row broadcast: the lazy (N, avgdl) corpus stats crossed
+    # onto the query-term and contribution frames (same class as the tfidf
+    # idf numerator)
+    "text_bm25_retrieval",
     # deliberate 1-row × 1-row cross: the merged-sketch estimate joined to
     # the exact distinct count for the error-bound column
     "sketch_incremental_distinct",

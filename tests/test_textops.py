@@ -25,3 +25,24 @@ def test_adjacent_pairs_short_and_null_docs(spark):
         .collect()
     )
     assert sorted((r.w1, r.w2) for r in rows) == [("a", "b"), ("b", "c")]
+
+
+def test_bm25_retrieved_docs_contain_a_query_term(spark, sf_dir):
+    """Every retrieved doc must share at least one term with its query
+    (inverted-index candidate semantics), ranks are 1..5 without gaps, and
+    scores are non-increasing within a query."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.plans import REGISTRY
+
+    rows = REGISTRY["text_bm25_retrieval"].build(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_source"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(1 <= r["n_terms"] <= 3 for r in rs)
