@@ -205,3 +205,78 @@ def bloom_probe(
             ).alias(out_col)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+#: 60-bit hash space: md5 first 15 hex digits.  2^60 is exactly
+#: representable as a double, so the estimator constant is portable.
+KMV_SPACE = float(1 << 60)
+
+
+def kmv_hash60(key: Column) -> Column:
+    """60-bit engine-portable hash — md5 first 15 hex digits, restatable
+    as ``('0x' || substr(md5(k), 1, 15))::BIGINT`` in DuckDB."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_side_sketches(
+    keyed: DataFrame,
+    side_col: str,
+    key_col: str,
+    k: int = 64,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Bottom-k distinct sketch per ``side_col`` group: the k smallest
+    60-bit hashes of the distinct keys, as one sorted array per side.
+
+    Why KMV next to HLL (Beyer et al. 2007 / theta sketches): same
+    distinct-count job, but the sketch supports SET OPERATIONS — the
+    union of two sketches is the bottom-k of the merged arrays, and
+    intersections estimate via the inclusion fraction — which HLL
+    registers cannot do.  Mergeable across days/partitions like the CMS
+    and HLL rows (bottom-k of bottom-ks = bottom-k of the union).
+
+    Scale shape: one distinct hash-agg on (side, h), then TWO window
+    passes — rank within (side, h mod salt_buckets) keeps every sort
+    partition at ~1/salt_buckets of the side (no single-reducer
+    bottleneck; sort-based windows spill gracefully), and the second
+    pass ranks only the surviving salt_buckets*k rows per side.  The
+    estimator ``(k-1)·M/h_k`` uses one double multiply + divide.
+    """
+    from pyspark.sql.window import Window
+
+    dh = keyed.select(
+        F.col(side_col).alias("side"),
+        kmv_hash60(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    w1 = Window.partitionBy(
+        "side", F.pmod(F.col("h"), F.lit(salt_buckets))
+    ).orderBy("h")
+    survivors = (
+        dh.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy("side").orderBy("h")
+    topk = (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return topk.groupBy("side").agg(
+        F.array_sort(F.collect_list("h")).alias("arr")
+    )
+
+
+def kmv_estimate(arr: Column, k: int) -> Column:
+    """Distinct-count estimate from a bottom-k array: exact when the
+    sketch holds the whole set (< k values), else ``(k-1)·M / h_k``."""
+    return F.when(
+        F.size(arr) < k, F.size(arr).cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(KMV_SPACE))
+        / F.element_at(arr, k).cast("double")
+    )

@@ -582,3 +582,101 @@ def anomaly_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "d", "revenue", "ewma",
         (F.col("revenue") - F.col("ewma")).alias("resid"),
     )
+
+
+@register(
+    "drift_chisquare_daily",
+    """
+    WITH src AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 8) AS bin
+      FROM events
+    ), g AS (
+      SELECT bin, COUNT(*) AS gc FROM src GROUP BY bin
+    ), gt AS (
+      SELECT COUNT(*) AS gn FROM src
+    ), o AS (
+      SELECT event_type, d, bin, COUNT(*) AS oc
+      FROM src GROUP BY event_type, d, bin
+    ), n AS (
+      SELECT event_type, d, COUNT(*) AS nk FROM src GROUP BY event_type, d
+    ), base AS (
+      SELECT n.event_type, n.d, n.nk, g.bin,
+             CAST(COALESCE(o.oc, 0) AS DOUBLE) AS obs,
+             CAST(n.nk AS DOUBLE)
+               * (CAST(g.gc AS DOUBLE) / CAST(gt.gn AS DOUBLE)) AS e
+      FROM n
+      CROSS JOIN g
+      CROSS JOIN gt
+      LEFT JOIN o ON o.event_type = n.event_type AND o.d = n.d
+                 AND o.bin = g.bin
+    ), terms AS (
+      SELECT event_type, d, nk, ((obs - e) * (obs - e)) / e AS term
+      FROM base
+    )
+    SELECT event_type, d, nk AS n_events,
+           CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE) AS chi2,
+           CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE) > 20.09
+             AS is_drifted
+    FROM terms
+    GROUP BY event_type, d, nk
+    """,
+    doc="Train/serve-skew drift detector: per (event_type, day) "
+        "chi-square statistic of the daily event-value histogram against "
+        "the GLOBAL value distribution (9 fixed-width bins, tail-capped "
+        "— FLOOR(value/25) is one double division + exact floor, "
+        "deterministic cross-engine), flagged at the df=8 / p=0.01 "
+        "critical value 20.09.  The ML-observability primitive a feature "
+        "pipeline runs next to its medallion gold: zero-count grid cells "
+        "contribute their full expectation (the classic silent bug — a "
+        "missing LEFT JOIN makes vanished bins look like no drift).  "
+        "Plan: two hash-agg passes over one scan lineage (global + "
+        "per-key histograms), a bins-sized broadcast grid, decimal-exact "
+        "term sum; all shuffles keyed on the series — nothing global but "
+        "the 9-row bin table",
+)
+def drift_chisquare_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.least(
+            F.floor(F.col("value") / F.lit(25.0)).cast("bigint"), F.lit(8)
+        ).alias("bin"),
+    )
+    g = src.groupBy("bin").agg(F.count(F.lit(1)).alias("gc"))
+    gt = src.agg(F.count(F.lit(1)).alias("gn"))
+    o = src.groupBy("event_type", "d", "bin").agg(
+        F.count(F.lit(1)).alias("oc")
+    )
+    n = src.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("nk"))
+    base = (
+        n.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gt))
+        .join(o, ["event_type", "d", "bin"], "left")
+        .select(
+            "event_type",
+            "d",
+            "nk",
+            F.coalesce(F.col("oc"), F.lit(0)).cast("double").alias("obs"),
+            (
+                F.col("nk").cast("double")
+                * (F.col("gc").cast("double") / F.col("gn").cast("double"))
+            ).alias("e"),
+        )
+    )
+    terms = base.select(
+        "event_type",
+        "d",
+        "nk",
+        (
+            ((F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e")))
+            / F.col("e")
+        ).alias("term"),
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(30,6)")).cast("double")
+    return terms.groupBy("event_type", "d", "nk").agg(
+        chi2.alias("chi2"), (chi2 > F.lit(20.09)).alias("is_drifted")
+    ).select(
+        "event_type", "d", F.col("nk").alias("n_events"), "chi2", "is_drifted"
+    )

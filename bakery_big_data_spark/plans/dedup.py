@@ -701,3 +701,90 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _shingled(spark, sf_dir, cache=True)
     return prefix_filter_pairs(docs, "doc_id", "shingles", threshold=0.5)
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])) AS bs
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, len(bs) AS n FROM bg
+    ), tok AS (
+      SELECT doc_id, unnest(bs) AS b FROM bg
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.b = b.b AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), j AS (
+      SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a AS src_id, id_b AS dst_id,
+           CAST(i AS DOUBLE) / na AS containment
+    FROM j WHERE CAST(i AS DOUBLE) / na >= 0.8
+    UNION ALL
+    SELECT id_b, id_a, CAST(i AS DOUBLE) / nb
+    FROM j WHERE CAST(i AS DOUBLE) / nb >= 0.8
+    """,
+    doc="DIRECTED near-containment pairs (|A∩B|/|A| >= 0.8 on trigram "
+        "shingle sets): the asymmetric cousin of Jaccard the dedup "
+        "literature uses to catch SUBSET duplication — a short doc "
+        "quoted/embedded inside a longer one scores high containment but "
+        "LOW Jaccard (the union is dominated by the host), so the "
+        "symmetric rows miss exactly this class.  Both directions emitted "
+        "from ONE undirected shared-shingle intersection join (the "
+        "id_a<id_b count join computed once, two ratio projections) — no "
+        "second join, no doubled shuffle.  Same candidate machinery as "
+        "the exact-Jaccard baseline; at extreme scale the prefix-filter "
+        "route applies unchanged (containment >= t implies a shared "
+        "token among the |A| - ceil(t|A|) + 1 rarest of A)",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _shingled(spark, sf_dir, cache=True)
+    tok = docs.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("_b")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("n"))
+    j = inter.join(
+        sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+        "id_b",
+    )
+    fwd = j.filter(
+        F.col("i").cast("double") / F.col("na") >= 0.8
+    ).select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        (F.col("i").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = j.filter(
+        F.col("i").cast("double") / F.col("nb") >= 0.8
+    ).select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        (F.col("i").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev)

@@ -1088,3 +1088,165 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_a"), F.lit(False)).alias("actually_in"),
         (F.col("in_bloom") & F.col("_a").isNull()).alias("false_positive"),
     )
+
+
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_set_ops",
+    f"""
+    WITH src AS (
+      SELECT DISTINCT
+             CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'a' ELSE 'b' END
+               AS side,
+             user_id
+      FROM events
+    ), dh AS (
+      SELECT DISTINCT side,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM src
+    ), ranked AS (
+      SELECT side, h, ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rn
+      FROM dh
+    ), arrs AS (
+      SELECT side, list_sort(list(h)) AS arr
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY side
+    ), ex AS (
+      SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM src WHERE side = 'a')
+          AS exact_a,
+        (SELECT COUNT(DISTINCT user_id) FROM src WHERE side = 'b')
+          AS exact_b,
+        (SELECT COUNT(DISTINCT user_id) FROM src) AS exact_union,
+        (SELECT COUNT(*) FROM
+           (SELECT user_id FROM src WHERE side = 'a') sa
+           JOIN (SELECT user_id FROM src WHERE side = 'b') sb
+           USING (user_id)) AS exact_intersect
+    ), one AS (
+      SELECT (SELECT arr FROM arrs WHERE side = 'a') AS a_arr,
+             (SELECT arr FROM arrs WHERE side = 'b') AS b_arr
+    ), merged AS (
+      SELECT a_arr, b_arr,
+             list_sort(list_distinct(list_concat(a_arr, b_arr)))
+               [1:{_KMV_K}] AS u_arr
+      FROM one
+    ), probed AS (
+      SELECT a_arr, b_arr, u_arr,
+             len(list_filter(u_arr, x -> list_contains(a_arr, x)
+                                     AND list_contains(b_arr, x)))
+               AS n_both,
+             CASE WHEN len(a_arr) < {_KMV_K}
+                  THEN CAST(len(a_arr) AS DOUBLE)
+                  ELSE (CAST({_KMV_K - 1} AS DOUBLE)
+                        * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(a_arr[{_KMV_K}] AS DOUBLE) END AS est_a,
+             CASE WHEN len(b_arr) < {_KMV_K}
+                  THEN CAST(len(b_arr) AS DOUBLE)
+                  ELSE (CAST({_KMV_K - 1} AS DOUBLE)
+                        * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(b_arr[{_KMV_K}] AS DOUBLE) END AS est_b,
+             CASE WHEN len(list_sort(list_distinct(
+                         list_concat(a_arr, b_arr)))[1:{_KMV_K}]) < {_KMV_K}
+                  THEN CAST(len(list_sort(list_distinct(
+                         list_concat(a_arr, b_arr)))[1:{_KMV_K}]) AS DOUBLE)
+                  ELSE (CAST({_KMV_K - 1} AS DOUBLE)
+                        * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(list_sort(list_distinct(list_concat(
+                           a_arr, b_arr)))[1:{_KMV_K}][{_KMV_K}] AS DOUBLE)
+                  END AS est_union
+      FROM merged
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersect,
+           p.est_a, p.est_b, p.est_union,
+           CASE WHEN len(p.u_arr) < {_KMV_K} THEN CAST(p.n_both AS DOUBLE)
+                ELSE (CAST(p.n_both AS DOUBLE) / CAST({_KMV_K} AS DOUBLE))
+                     * p.est_union END AS est_intersect
+    FROM probed p CROSS JOIN ex
+    """,
+    doc="KMV (bottom-k / theta-style) distinct sketch with SET "
+        "OPERATIONS, certified bit-for-bit including the estimates: the "
+        "k=64 smallest portable 60-bit hashes (md5 15-hex-digit prefix) "
+        "of each half-month user cohort, merged sketch = bottom-k of the "
+        "concatenation, union estimate (k-1)*2^60/h_k, intersection via "
+        "the theta inclusion fraction — the set algebra HLL registers "
+        "cannot do (approx_count_distinct_scale carries the HLL bound "
+        "row; this row carries union/intersect), mergeable across "
+        "days/partitions like the CMS and Bloom rows.  Exact cohort "
+        "sizes ride along so the row certifies the ERROR too.  Scale "
+        "shape (operators/sketches.py::kmv_side_sketches): one distinct "
+        "hash-agg, then salt-bucketed rank -> rank over the "
+        "salt_buckets*k survivors — no single-reducer sort, windows "
+        "spill gracefully; the final assembly is 1-row frames",
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_side_sketches,
+    )
+
+    k = _KMV_K
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+        "user_id",
+    ).distinct()
+    sk = kmv_side_sketches(src, "side", "user_id", k=k, salt_buckets=32)
+    a = sk.filter(F.col("side") == "a").select(F.col("arr").alias("a_arr"))
+    b = sk.filter(F.col("side") == "b").select(F.col("arr").alias("b_arr"))
+    ea = src.filter(F.col("side") == "a").agg(
+        F.countDistinct("user_id").alias("exact_a")
+    )
+    eb = src.filter(F.col("side") == "b").agg(
+        F.countDistinct("user_id").alias("exact_b")
+    )
+    eu = src.agg(F.countDistinct("user_id").alias("exact_union"))
+    ua = src.filter(F.col("side") == "a").select("user_id")
+    ub = src.filter(F.col("side") == "b").select("user_id")
+    ei = ua.join(ub, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_intersect")
+    )
+    row = (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ei))
+    )
+    u_arr = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("a_arr"), F.col("b_arr")))),
+        1,
+        k,
+    )
+    row = row.withColumn("u_arr", u_arr).withColumn(
+        "n_both",
+        F.size(
+            F.filter(
+                F.col("u_arr"),
+                lambda x: F.array_contains(F.col("a_arr"), x)
+                & F.array_contains(F.col("b_arr"), x),
+            )
+        ),
+    ).withColumn("est_union", kmv_estimate(F.col("u_arr"), k))
+    return row.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        kmv_estimate(F.col("a_arr"), k).alias("est_a"),
+        kmv_estimate(F.col("b_arr"), k).alias("est_b"),
+        F.col("est_union"),
+        F.when(
+            F.size(F.col("u_arr")) < k, F.col("n_both").cast("double")
+        )
+        .otherwise(
+            (F.col("n_both").cast("double") / F.lit(float(k)))
+            * F.col("est_union")
+        )
+        .alias("est_intersect"),
+    )

@@ -480,3 +480,31 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn(
         "ztile", F.shiftright(F.col("zkey"), 16).cast("bigint")
     )
+
+
+@register(
+    "bucket_pruned_point_lookup",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_spend')}
+    FROM orders WHERE o_custkey = 42 GROUP BY o_custkey
+    """,
+    doc="Bucket PRUNING on the bucketed orders table — the read-side "
+        "payoff completing bucketed_colocated_join's shuffle story: an "
+        "equality predicate on the bucket key lets Spark scan 1 of the 8 "
+        "buckets (SelectedBucketsCount asserted in tests/test_plans.py), "
+        "so a point lookup on a 100 TB fact table touches 1/8 of the "
+        "files BEFORE row-group statistics even apply — the poor man's "
+        "index every bucketed warehouse table carries for free.  "
+        "Composes with the zero-exchange aggregation (same hash "
+        "distribution)",
+)
+def bucket_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_name, _ = bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name).filter(F.col("o_custkey") == 42)
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_spend"),
+    )

@@ -52,6 +52,7 @@ def write_ordered_json_chunks(
     order_col: str,
     n_chunks: int,
     arrival_rank: list[int] | None = None,
+    json_options: dict[str, str] | None = None,
 ) -> None:
     """Materialize ``df`` as ``n_chunks`` JSON-lines files partitioned by
     contiguous ``order_col`` ranges, with strictly increasing mtimes so
@@ -79,7 +80,9 @@ def write_ordered_json_chunks(
         part = df.filter(F.col(order_col).between(clo, chi))
         tmp = f"{src}/_tmp{ci}"
         part.select(
-            F.to_json(F.struct(*part.columns)).alias("value")
+            F.to_json(F.struct(*part.columns), json_options or {}).alias(
+                "value"
+            )
         ).coalesce(1).write.mode("overwrite").text(tmp)
         pf = next(
             f for f in os.listdir(tmp)

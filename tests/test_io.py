@@ -373,3 +373,63 @@ def test_custom_jsonl_sink_commit_protocol(spark, sf_dir, tmp_path):
     with open(_os.path.join(path, "_staging", "orphan.jsonl"), "w") as fh:
         fh.write('{"event_id": 999999}\n')
     assert read_committed(spark, path).count() == back.count()
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, sf_dir, tmp_path):
+    """64 micro-batch-sized files -> a handful of target-size files with
+    row-identical content, via shuffle-free coalesce."""
+    from bakery_big_data_spark.sources.maintenance import compact_parquet
+    from bakery_big_data_spark.plans.base import t as load
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(64).write.parquet(src)
+    import os
+
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+    n_out = compact_parquet(spark, src, dst, target_bytes=8 << 20)
+    assert n_out < n_in
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+
+
+def test_compaction_clustering_tightens_stats(spark, sf_dir, tmp_path):
+    """The order_by rewrite must leave each output file covering fewer
+    distinct event_types than the fragmented input files (tighter footer
+    min/max -> row-group pruning on the cluster column)."""
+    from bakery_big_data_spark.sources.maintenance import compact_parquet
+    from bakery_big_data_spark.plans.base import t as load
+    import os
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "clustered")
+    load(spark, sf_dir, "events").repartition(16).write.parquet(src)
+    # tiny target so even the sf0.001 table splits into several clustered
+    # files (one file would trivially hold all types)
+    compact_parquet(
+        spark, src, dst, target_bytes=16 << 10, order_by=["event_type"]
+    )
+
+    def max_types_per_file(path):
+        worst = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            n = (
+                spark.read.parquet(os.path.join(path, f))
+                .select("event_type")
+                .distinct()
+                .count()
+            )
+            worst = max(worst, n)
+        return worst
+
+    # every fragmented file sees ~all 5 types; clustered files must not
+    assert max_types_per_file(src) == 5
+    assert max_types_per_file(dst) < 5
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b

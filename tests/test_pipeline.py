@@ -667,3 +667,37 @@ def test_stream_fed_medallion_survives_mid_arrival_crash(spark, sf_dir):
 
     got = fingerprint(run_medallion_stream_fed(spark, sf_dir, crash_base, 2))
     assert got == want
+
+
+def test_streaming_rate_gate_out_of_order(spark, sf_dir):
+    """Shuffled chunk delivery must converge to the same admission ledger
+    as ordered delivery: the admitted set per (user, day) is monotone
+    toward the (ts, event_id)-minimal quota, and late demotion revises
+    earlier admits when earlier-keyed events arrive late.  (Chunks range
+    over event_id while admission orders by ts — so even ordered replay
+    exercises demotion; shuffling the chunks must change nothing.)"""
+    from bakery_big_data_spark.streaming.rate_gate import (
+        run_streaming_rate_gate,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    ordered = {
+        tuple(r)
+        for r in run_streaming_rate_gate(
+            spark, sf_dir, tempfile.mkdtemp(dir=SCRATCH), quota=2, n_chunks=3
+        ).collect()
+    }
+    shuffled = {
+        tuple(r)
+        for r in run_streaming_rate_gate(
+            spark,
+            sf_dir,
+            tempfile.mkdtemp(dir=SCRATCH),
+            quota=2,
+            n_chunks=3,
+            arrival_rank=[2, 0, 1],
+        ).collect()
+    }
+    assert shuffled == ordered
+    admitted = sum(1 for (_, _, _, adm) in ordered if adm)
+    assert 0 < admitted < len(ordered)  # the quota actually bites

@@ -55,6 +55,14 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row × 1-row cross: the merged-sketch estimate joined to
     # the exact distinct count for the error-bound column
     "sketch_incremental_distinct",
+    # deliberate bins-sized (9-row) + 1-row broadcast crosses: the global
+    # histogram grid and total onto the per-(type, day) frame — the full
+    # expected-count grid is the point (zero-observed cells must
+    # contribute their expectation)
+    "drift_chisquare_daily",
+    # deliberate 1-row crosses: two bottom-k sketch rows + four exact
+    # scalar counts assembled into the single certified output row
+    "sketch_kmv_set_ops",
     # deliberate 1-row broadcast: the lazy corpus anchor date (max
     # o_orderdate) crossed onto the per-customer frame for recency, plus
     # scalable_ntile's lazy row-count cross (operators/keys.py)
@@ -322,3 +330,10 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucket_pruned_point_lookup_scans_one_bucket(spark, sf_dir):
+    """The equality predicate on the bucket key must prune the scan to a
+    single bucket — the read-side payoff of bucketing."""
+    plan = _plan(spark, sf_dir, "bucket_pruned_point_lookup")
+    assert "SelectedBucketsCount: 1 out of 8" in plan

@@ -67,3 +67,69 @@ def test_bloom_probe_is_broadcast_join(spark, sf_dir):
     df = REGISTRY["sketch_bloom_semijoin"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_small_side_is_exact(spark):
+    from bakery_big_data_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_side_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", i) for i in range(7)],
+        "side string, uid long",
+    )
+    sk = kmv_side_sketches(df, "side", "uid", k=64)
+    got = {r["side"]: r["arr"] for r in sk.collect()}
+    assert len(got["a"]) == 5 and got["a"] == sorted(got["a"])
+    assert len(got["b"]) == 7
+    est = {
+        r["side"]: r["e"]
+        for r in sk.select(
+            "side", kmv_estimate(F.col("arr"), 64).alias("e")
+        ).collect()
+    }
+    assert est == {"a": 5.0, "b": 7.0}  # below k the sketch IS the set
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """bottom-k of two sides' sketches == bottom-k of the pooled keys —
+    the property that makes per-day sketches combinable."""
+    from bakery_big_data_spark.operators.sketches import kmv_side_sketches
+    from pyspark.sql import functions as F
+
+    k = 8
+    rows = [("a", i) for i in range(0, 200, 2)] + [
+        ("b", i) for i in range(0, 300, 3)
+    ]
+    df = spark.createDataFrame(rows, "side string, uid long")
+    per_side = {
+        r["side"]: r["arr"]
+        for r in kmv_side_sketches(df, "side", "uid", k=k).collect()
+    }
+    merged = sorted(set(per_side["a"]) | set(per_side["b"]))[:k]
+    pooled = kmv_side_sketches(
+        df.select(F.lit("all").alias("side"), "uid"), "side", "uid", k=k
+    ).collect()[0]["arr"]
+    assert merged == list(pooled)
+
+
+def test_kmv_estimator_within_bound(spark):
+    """k=64 over 1000 distinct keys: relative error should be well inside
+    ~3/sqrt(k) (~38%) — a loose but meaningful sanity band."""
+    from bakery_big_data_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_side_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.lit("s").alias("side"), F.col("id").alias("uid")
+    )
+    est = (
+        kmv_side_sketches(df, "side", "uid", k=64)
+        .select(kmv_estimate(F.col("arr"), 64).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - 1000) / 1000 < 0.38
