@@ -68,3 +68,74 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    out_col: str = "hkey",
+    bits: int = 8,
+) -> DataFrame:
+    """Append the Hilbert-curve index of ``(x_col & 2^bits-1,
+    y_col & 2^bits-1)`` — the locality-preserving sibling of the Morton
+    key: CONSECUTIVE Hilbert indices are always edge-adjacent cells (the
+    Z-curve jumps across the plane at every power-of-two boundary), so a
+    range-partitioned writer gets files whose dim-space footprint is a
+    compact blob rather than a rectangle union — tighter min/max stats
+    per file on both dimensions, fewer false-positive file reads.
+
+    Classic per-level fold (rx/ry quadrant bits, Gray-coded digit,
+    conditional reflect + transpose), unrolled over ``bits`` levels as
+    chained projections — every level's state lands in bound columns, so
+    CollapseProject cannot inline the (multiply-referenced, non-cheap)
+    state expressions into an exponential tree; the same two-stage
+    binding discipline as the MinHash band slices.  Integer-only BIGINT
+    arithmetic — bit-identical on any engine; the oracle restates the
+    identical level chain as CTEs.  Bijectivity and step-adjacency are
+    property-tested over the full 2^bits × 2^bits grid.
+    """
+    mask = (1 << bits) - 1
+    out = df.withColumn("_hx", F.col(x_col).bitwiseAND(F.lit(mask))).withColumn(
+        "_hy", F.col(y_col).bitwiseAND(F.lit(mask))
+    ).withColumn("_hd", F.lit(0).cast("bigint"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        out = out.withColumn(
+            "_rx", F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ).withColumn(
+            "_ry", F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        )
+        out = out.withColumn(
+            "_hd",
+            F.col("_hd")
+            + F.lit(s * s).cast("bigint")
+            * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")).cast(
+                "bigint"
+            ),
+        )
+        # reflect (only when ry=0 and rx=1), then transpose (when ry=0)
+        out = out.withColumn(
+            "_nx",
+            F.when(
+                (F.col("_ry") == 0) & (F.col("_rx") == 1),
+                F.lit(s - 1) - F.col("_hx"),
+            ).otherwise(F.col("_hx")),
+        ).withColumn(
+            "_ny",
+            F.when(
+                (F.col("_ry") == 0) & (F.col("_rx") == 1),
+                F.lit(s - 1) - F.col("_hy"),
+            ).otherwise(F.col("_hy")),
+        )
+        out = out.withColumn(
+            "_hx2", F.when(F.col("_ry") == 0, F.col("_ny")).otherwise(F.col("_nx"))
+        ).withColumn(
+            "_hy2", F.when(F.col("_ry") == 0, F.col("_nx")).otherwise(F.col("_ny"))
+        )
+        out = (
+            out.drop("_hx", "_hy", "_rx", "_ry", "_nx", "_ny")
+            .withColumnRenamed("_hx2", "_hx")
+            .withColumnRenamed("_hy2", "_hy")
+        )
+    return out.withColumn(out_col, F.col("_hd")).drop("_hx", "_hy", "_hd")

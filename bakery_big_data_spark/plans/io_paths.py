@@ -508,3 +508,87 @@ def bucket_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
+
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    """Unrolled Hilbert xy2d as a CTE chain restating the exact per-level
+    integer arithmetic of operators/layout.py::with_hilbert_key."""
+    parts = [
+        """
+    WITH l0 AS (
+      SELECT event_id,
+             user_id & 255 AS x,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) & 255 AS y,
+             user_id & 255 AS hx,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) & 255 AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM events WHERE event_id < 2000
+    )"""
+    ]
+    step = 0
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        prev = f"l{step}"
+        step += 1
+        parts.append(
+            f""", la{step} AS (
+      SELECT event_id, x, y, hx, hy, hd,
+             CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+             CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+      FROM {prev}
+    ), l{step} AS (
+      SELECT event_id, x, y,
+             CASE WHEN ry = 0
+                  THEN (CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END)
+                  ELSE hx END AS hx,
+             CASE WHEN ry = 0
+                  THEN (CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END)
+                  ELSE hy END AS hy,
+             hd + {s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS hd
+      FROM la{step}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT event_id, x, y, hd AS hkey,
+           CAST(hd >> 8 AS BIGINT) AS htile
+    FROM l{step}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "layout_hilbert_keys",
+    _hilbert_oracle(8),
+    doc="Hilbert-curve clustering keys — the locality-preserving sibling "
+        "of layout_zorder_keys: consecutive Hilbert indices are ALWAYS "
+        "edge-adjacent cells (property-tested as a bijection with unit "
+        "steps over the full 256x256 grid), where the Z-curve jumps "
+        "across the plane at every power-of-two boundary.  A range-"
+        "partitioned writer therefore gives each file a compact blob in "
+        "(user, day) space instead of a rectangle union — tighter "
+        "footer min/max on BOTH dimensions, fewer false-positive file "
+        "reads at 100 TB.  The 8-level reflect+transpose fold runs as "
+        "chained bound-column projections (CollapseProject cannot "
+        "explode the multiply-referenced state into a 4^8-node tree) "
+        "and the oracle restates the identical level chain as CTEs — "
+        "integer-only, hash-exact",
+)
+def layout_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.layout import with_hilbert_key
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    keyed = ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("x"),
+        day.bitwiseAND(F.lit(255)).alias("y"),
+    )
+    return with_hilbert_key(keyed, "x", "y", out_col="hkey", bits=8).withColumn(
+        "htile", F.shiftright(F.col("hkey"), 8).cast("bigint")
+    )

@@ -241,3 +241,28 @@ def test_prefix_filter_candidate_volume_is_smaller(spark, sf_dir):
         .count()
     )
     assert pf_cands < shared
+
+
+def test_prefix_filter_lossless_at_high_threshold(spark, sf_dir):
+    """t=0.8 (the registered row's regime: ~20% prefixes) must still be
+    lossless against the exact baseline."""
+    from bakery_big_data_spark.operators.dedup import (
+        exact_ngram_pairs,
+        prefix_filter_pairs,
+        word_shingles,
+    )
+    from bakery_big_data_spark.plans.base import t as load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", n=3).alias("sh")
+    )
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in exact_ngram_pairs(docs, "doc_id", "sh", 0.8).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_pairs(docs, "doc_id", "sh", 0.8).collect()
+    }
+    assert pf == exact
+    assert len(pf) > 0

@@ -433,3 +433,50 @@ def test_compaction_clustering_tightens_stats(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, spark.read.parquet(dst).collect()))
     assert a == b
+
+
+def _py_hilbert(x, y, bits):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_bijective_and_adjacent(spark):
+    """Over the full 16x16 grid the Hilbert fold must be a bijection onto
+    0..255 whose CONSECUTIVE indices are edge-adjacent cells — the
+    locality property the Z-curve lacks (and the reason a Hilbert range
+    partition has tighter per-file footprints)."""
+    from bakery_big_data_spark.operators.layout import with_hilbert_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = with_hilbert_key(grid, "x", "y", bits=4).collect()
+    by_d = {r["hkey"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_d) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_key_matches_reference_fold(spark):
+    """bits=8 spot-check against the pure-python reference recurrence."""
+    from bakery_big_data_spark.operators.layout import with_hilbert_key
+
+    pts = [(i * 37 % 256, i * 101 % 256) for i in range(64)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(df, "x", "y", bits=8).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_hilbert(x, y, 8)
