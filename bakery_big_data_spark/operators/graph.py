@@ -192,3 +192,50 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.explode(F.array("lo", "hi", "_c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS over ``edges(src, dst)`` from ``seeds(node)``:
+    returns ``(node, hops)`` — the MINIMUM hop count from any seed, for
+    every node within ``max_hops``; unreached nodes are absent.
+
+    The third iterative-graph primitive next to PageRank (value
+    propagation) and connected components (label fixpoint): frontier
+    expansion on the min-plus semiring.  BFS layering IS the shortest
+    path — each round joins only the PREVIOUS frontier (never the whole
+    reached set) against edges, and a left-anti join against the
+    distance table keeps first (= minimal) discoveries only, so no
+    relaxation or re-visit ever happens.  Fixed ``max_hops`` rounds keep
+    the computation a deterministic finite plan a recursive-CTE oracle
+    can restate; an exhausted frontier makes later rounds empty no-ops.
+
+    Scale: each round is one frontier⋈edges shuffle (frontier-sized
+    build side, broadcastable when the frontier is small) plus an
+    anti-join on the node key; frames are lineage-cut per round
+    (localCheckpoint, or reliable ``checkpoint_dir`` on real clusters —
+    the connected-components/BPE discipline)."""
+    dist = cut_lineage(
+        seeds.select("node").distinct().withColumn(
+            "hops", F.lit(0).cast("bigint")
+        ),
+        checkpoint_dir,
+    )
+    frontier = dist.select("node")
+    for i in range(1, max_hops + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").withColumn(
+            "hops", F.lit(i).cast("bigint")
+        )
+        new = cut_lineage(new, checkpoint_dir)
+        dist = cut_lineage(dist.unionByName(new), checkpoint_dir)
+        frontier = new.select("node")
+    return dist

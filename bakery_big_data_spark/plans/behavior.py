@@ -680,3 +680,52 @@ def drift_chisquare_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "d", F.col("nk").alias("n_events"), "chi2", "is_drifted"
     )
+
+
+_HOP_SLIDE_US = 86_400_000_000  # 1 day
+_HOP_SPANS = 3  # window = 3 days = 3 slides
+
+
+@register(
+    "window_hopping_traffic",
+    f"""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) AS us FROM events
+    ), hops AS (
+      SELECT event_type, value,
+             (us // {_HOP_SLIDE_US} - g.i) * {_HOP_SLIDE_US} AS win_start_us
+      FROM ev, generate_series(0, {_HOP_SPANS - 1}) AS g(i)
+    )
+    SELECT win_start_us, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'revenue')}
+    FROM hops GROUP BY win_start_us, event_type
+    """,
+    doc="HOPPING (sliding) window aggregation — the overlapping-window "
+        "semantics the catalog's tumbling/session rows don't cover: "
+        "3-day windows sliding by 1 day per event_type, via Spark's "
+        "built-in window(ts, '3 days', '1 day'), which expands each row "
+        "into its ceil(window/slide)=3 member windows BEFORE the "
+        "aggregate (so partial aggregation still combines map-side; the "
+        "only cost at 100 TB is the bounded 3x pre-agg row multiplier, "
+        "never a self-join of the rollup).  Window starts are emitted as "
+        "unix microseconds — epoch-aligned integer arithmetic on the "
+        "timestamp's UTC micros — so the oracle reproduces membership "
+        "with a generate_series offset join and the hash is "
+        "timezone-proof.  Streaming analogue: the identical groupBy "
+        "window(...) clause under a watermark (SURVEY §2.9)",
+)
+def window_hopping_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    win = ev.groupBy(
+        F.window("ts", "3 days", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("revenue"),
+    )
+    return win.select(
+        F.unix_micros(F.col("w.start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "revenue",
+    )

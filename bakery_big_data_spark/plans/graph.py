@@ -222,3 +222,98 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select(F.col("node").alias("part_key"), "n_tri", "rk")
     )
+
+
+_BFS_HOPS = 4
+
+
+@register(
+    "graph_bfs_reachability",
+    f"""
+    WITH RECURSIVE edges_all AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), mx AS (
+      SELECT MAX(w) AS mw FROM edges_all
+    ), edges AS (
+      SELECT src, dst FROM edges_all, mx WHERE w * 3 >= mw
+    ), seeds AS (
+      SELECT n_nationkey AS node
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), reach AS (
+      SELECT node, 0 AS d FROM seeds
+      UNION
+      SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.d < {_BFS_HOPS}
+    )
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           CAST(MIN(d) AS BIGINT) AS hops
+    FROM reach JOIN nation n ON n.n_nationkey = reach.node
+    GROUP BY 1, 2
+    """,
+    doc="Multi-source BFS shortest hops (the min-plus iterative primitive "
+        "next to PageRank's value propagation and the CC label fixpoint): "
+        "minimum hop count from any EUROPE nation over the HEAVY trade "
+        "edges — the nation trade graph sparsified to edges with "
+        "w*3 >= max(w), where max(w) enters the plan as a lazy 1-row "
+        "broadcast (never a driver round trip), making the cut "
+        "scale-free.  BFS layering with a per-round left-anti join "
+        "discovers each node exactly once at its minimal depth "
+        "(operators/graph.py::bfs_hops, per-round lineage cuts, fixed "
+        f"{_BFS_HOPS} rounds); the oracle restates it as a depth-bounded "
+        "recursive CTE with MIN(d), so the hash certifies the layering "
+        "IS the shortest path.  Edge construction — the only corpus-"
+        "sized stage — is the same Catalyst/AQE star join as the "
+        "PageRank row",
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.graph import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges_all = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    mx = edges_all.agg(F.max("w").alias("mw"))
+    edges = (
+        edges_all.crossJoin(F.broadcast(mx))
+        .filter(F.col("w") * 3 >= F.col("mw"))
+        .select("src", "dst")
+    )
+    # nation²-bounded: materialize once instead of re-running the star
+    # join every BFS round (the PageRank discipline)
+    edges = cut_lineage(edges, None)
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = t(spark, sf_dir, "region")
+    seeds = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).filter(F.col("r_name") == "EUROPE").select(
+        F.col("n_nationkey").alias("node")
+    )
+    dist = bfs_hops(edges, seeds, max_hops=_BFS_HOPS)
+    return dist.join(
+        F.broadcast(nation), dist["node"] == nation["n_nationkey"]
+    ).select(
+        F.col("node").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        "hops",
+    )

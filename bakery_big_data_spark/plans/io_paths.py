@@ -592,3 +592,96 @@ def layout_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_hilbert_key(keyed, "x", "y", out_col="hkey", bits=8).withColumn(
         "htile", F.shiftright(F.col("hkey"), 8).cast("bigint")
     )
+
+
+def _orc_scratch_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize an ORC copy of an orders slice at an sf-tagged path,
+    keyed on source mtime — the same staleness/rename discipline as the
+    CSV scratch (a driver testdata regeneration rewrites it; concurrent
+    sessions at one sf race benignly on identical data).  Unlike the CSV
+    row there is no text stringification: ORC is a typed columnar format,
+    so doubles round-trip bit-exactly with no decimal staging."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/root/repo/.scratch/orc_roundtrip/orders_orc_{tag}"
+    marker = os.path.join(out_dir, "_tag.txt")
+    src = os.path.join(sf_dir, "orders.parquet")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != tag or os.path.getmtime(
+                src
+            ) >= os.path.getmtime(marker)
+    if stale:
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") <= 8000)
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+            .coalesce(1)
+            .write.option("compression", "zstd")
+            .orc(tmp)
+        )
+        with open(os.path.join(tmp, "_tag.txt"), "w") as fh:
+            fh.write(tag)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:  # lost the race — a concurrent session just won
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+@register(
+    "orc_source_roundtrip",
+    f"""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')},
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey <= 8000
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="ORC source/sink round trip — the catalog's third file format "
+        "next to parquet and CSV (S4/S5 family breadth; Spark's ORC "
+        "reader is native-vectorized with the same predicate-pushdown / "
+        "column-pruning surface as parquet): an orders slice is written "
+        "to zstd ORC by the engine, read back with an EXPLICIT schema, "
+        "and aggregated; the oracle recomputes from the SOURCE parquet, "
+        "so the hash certifies the typed write->read round trip end to "
+        "end (doubles bit-exact — no text staging).  Same sf-tagged, "
+        "mtime-keyed, rename-swapped scratch discipline as the CSV row",
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _orc_scratch_path(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    orc = spark.read.schema(schema).orc(path)
+    return orc.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )

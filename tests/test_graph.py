@@ -94,3 +94,38 @@ def test_pagerank_weight_sensitivity(spark):
     e = _edges(spark, [(1, 2), (1, 3)], weights=[9, 1])
     got = {r["node"]: r["rank"] for r in pagerank(e, 3).collect()}
     assert got[2] > got[3]
+
+
+def _bfs(spark, edge_pairs, seed_nodes, max_hops=4):
+    from bakery_big_data_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(edge_pairs, "src long, dst long")
+    seeds = spark.createDataFrame([(n,) for n in seed_nodes], "node long")
+    return {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=max_hops).collect()
+    }
+
+
+def test_bfs_chain_layers_exactly(spark):
+    # Directed chain 1→2→3→4→5→6: layering must assign the exact hop
+    # count and the max_hops=4 horizon must exclude node 6.
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    assert _bfs(spark, pairs, [1]) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_min_over_multiple_paths(spark):
+    # Long way round (1→2→3→4) and a shortcut (1→4): the anti-join
+    # first-discovery must keep the MINIMUM depth, and a back-edge to
+    # the seed must not relabel it.
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (4, 1)]
+    assert _bfs(spark, pairs, [1]) == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_bfs_multi_source_and_unreachable(spark):
+    # Two seeds race: each node gets the distance from its NEAREST seed;
+    # a disconnected node never appears; direction is respected (7→1
+    # does not make 7 reachable).
+    pairs = [(1, 2), (2, 3), (3, 4), (5, 4), (7, 1)]
+    got = _bfs(spark, pairs, [1, 5])
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}

@@ -78,6 +78,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy total-token count crossed onto
     # the top-20 frame for the CMS error-bound column
     "sketch_count_min_heavy_hitters",
+    # deliberate 4-row broadcast cross: the per-quantile sample estimates
+    # crossed onto events for the exact-rank certification pass
+    "sketch_bottomk_quantiles",
     # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
     # step IS corpus × centroid-frame (operators/similarity.py
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row

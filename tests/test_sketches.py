@@ -133,3 +133,41 @@ def test_kmv_estimator_within_bound(spark):
         .collect()[0]["e"]
     )
     assert abs(est - 1000) / 1000 < 0.38
+
+
+def test_bottomk_quantile_sample_is_mergeable(spark, sf_dir):
+    """Bottom-k-by-hash row sampling must be mergeable: the bottom-k of
+    the full corpus equals the bottom-k of the union of per-half
+    bottom-ks — the property that makes the quantile sketch a sketch
+    (per-partition/day samples fold without revisiting rows)."""
+    from bakery_big_data_spark.operators.sketches import kmv_hash60
+    from bakery_big_data_spark.plans.base import t
+    from pyspark.sql import functions as F
+
+    k = 64
+    ev = t(spark, sf_dir, "events").select(
+        kmv_hash60(F.col("event_id").cast("string")).alias("h"), "value"
+    )
+
+    def bottomk(df):
+        return sorted(
+            ((r["h"], r["value"]) for r in df.collect())
+        )[:k]
+
+    whole = bottomk(ev)
+    lo = bottomk(ev.filter(F.pmod("h", F.lit(2)) == 0))
+    hi = bottomk(ev.filter(F.pmod("h", F.lit(2)) == 1))
+    assert sorted(lo + hi)[:k] == whole
+
+
+def test_bottomk_quantiles_within_dkw(spark, sf_dir):
+    """On the shipped corpora the k=256 sample's rank error sits inside
+    the DKW(0.05) bound for every target quantile (deterministic given
+    the fixed hash — re-pin if the generator changes)."""
+    from bakery_big_data_spark.plans import REGISTRY
+
+    rows = REGISTRY["sketch_bottomk_quantiles"].build(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["rank_err"] <= r["dkw_eps"], (r["quantile"], r["rank_err"])
+        assert r["within_dkw"]
