@@ -237,3 +237,87 @@ def multimodal_video_frame_near_dup(
     )
 
     return video_frame_near_dup(_media(spark, sf_dir))
+
+
+_RMS_THRESHOLD = 98.4  # ~25% of windows on the shipped corpus
+
+
+@register(
+    "multimodal_audio_quiet_segments",
+    f"""
+    WITH rms AS (
+      SELECT doc_id AS media_id,
+             CAST(w AS INT) AS window_idx,
+             sqrt(CAST(list_sum(list_transform(cs_w,
+                      c -> unicode(c) * unicode(c))) AS DOUBLE)
+                  / len(cs_w)) AS rms
+      FROM (
+        SELECT doc_id, w,
+               list_slice(cs, CAST(w * 100 + 1 AS INT),
+                              CAST(w * 100 + 100 AS INT)) AS cs_w
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ''), c -> c <> '') AS cs
+              FROM documents),
+             UNNEST(generate_series(0,
+                    CAST(CEIL(len(cs) / 100.0) AS INT) - 1)) AS u(w)
+      )
+      WHERE len(cs_w) > 0
+    ), quiet AS (
+      SELECT media_id, window_idx, rms,
+             window_idx - ROW_NUMBER() OVER (PARTITION BY media_id
+                                             ORDER BY window_idx) AS island
+      FROM rms WHERE rms < {_RMS_THRESHOLD}
+    )
+    SELECT media_id,
+           CAST(MIN(window_idx) AS INT) AS seg_start,
+           CAST(MAX(window_idx) AS INT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CAST(rms AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS avg_rms
+    FROM quiet
+    GROUP BY media_id, island
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Silence/low-energy SEGMENT extraction over the audio stream — "
+        "the segmentation layer every speech pipeline runs before ASR: "
+        "windows whose RMS sits below the threshold are merged into "
+        "maximal contiguous runs (>=2 windows) via gaps-and-islands "
+        "(window_idx - row_number per media), emitting per-segment "
+        "(start, end, length, decimal-exact mean RMS).  Composition row: "
+        "the Arrow mapInPandas RMS kernel underneath is the certified "
+        "multimodal_audio_window_rms path; everything above it is "
+        "codegen'd relational (one media-partitioned window pass + one "
+        "hash agg, no Python).  sqrt is IEEE-correctly-rounded in both "
+        "engines, so the threshold compare and the segment set are "
+        "bit-stable cross-engine",
+)
+def multimodal_audio_quiet_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rms = audio_window_rms(_media(spark, sf_dir), window=100)
+    quiet = rms.filter(F.col("rms") < _RMS_THRESHOLD).withColumn(
+        "island",
+        F.col("window_idx")
+        - F.row_number().over(
+            Window.partitionBy("media_id").orderBy("window_idx")
+        ),
+    )
+    return (
+        quiet.groupBy("media_id", "island")
+        .agg(
+            F.min("window_idx").alias("seg_start"),
+            F.max("window_idx").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+            (
+                F.sum(F.col("rms").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_rms"),
+        )
+        .filter(F.col("n_windows") >= 2)
+        .select(
+            "media_id", "seg_start", "seg_end", "n_windows", "avg_rms"
+        )
+    )

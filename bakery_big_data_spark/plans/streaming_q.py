@@ -924,3 +924,70 @@ def streaming_rate_limit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("ok")
     return spark.read.parquet(f"{base}/decisions_out")
+
+
+_HOP_US = 86_400_000_000  # 1-day slide
+_HOP_WIN_US = 3 * _HOP_US  # 3-day windows
+
+
+@register(
+    "streaming_hopping_window_parity",
+    f"""
+    WITH src AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events WHERE event_id < {_N}
+    ), m AS (
+      SELECT MAX(us) AS mx_us FROM src
+    ), hops AS (
+      SELECT event_type,
+             (us // {_HOP_US} - g.i) * {_HOP_US} AS win_start_us
+      FROM src, generate_series(0, 2) AS g(i)
+    )
+    SELECT win_start_us, event_type, COUNT(*) AS n_events
+    FROM hops, m
+    GROUP BY win_start_us, event_type, mx_us
+    HAVING win_start_us + {_HOP_WIN_US} <= mx_us - 600000000
+    """,
+    doc="Watermarked HOPPING-window aggregation, STREAM-RUN — the "
+        "streaming sibling of window_hopping_traffic: the JSON-lines "
+        "stream drains under availableNow through "
+        "withWatermark('ts','10 minutes') + window('ts','3 days','1 day') "
+        "in append mode into a checkpointed sink.  Overlap meets "
+        "watermark semantics: each row pre-expands into its 3 member "
+        "windows BEFORE the stateful agg (state = open windows x types, "
+        "bounded), and append emits a window exactly when the final "
+        "watermark (max event time - 10 min) passes its END — so "
+        "overlapping windows close in slide-sized ripples, one per day "
+        "of watermark advance.  The oracle states membership with a "
+        "generate_series offset join and the cutoff as integer micro "
+        "arithmetic (timezone-proof), certifying the streaming "
+        "runtime's emission set bit-for-bit",
+)
+def streaming_hopping_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, tag + "_hop")
+    src, out, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    if _needs_rebuild(src, sf_dir):
+        _reset_scratch(base)
+        ev = t(spark, sf_dir, "events").filter(F.col("event_id") < _N)
+        ev.select(
+            F.to_json(F.struct(*ev.columns), JSON_OPTIONS).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(src)
+    agg = windowed_counts(
+        read_json_stream(spark, src),
+        watermark_delay="10 minutes",
+        window_size="3 days",
+        slide="1 day",
+    )
+    q = start_append_sink(
+        agg, out, ckpt, available_now=True, query_name="hop_parity"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.unix_micros(F.col("window_start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+    )

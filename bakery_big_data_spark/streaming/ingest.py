@@ -252,18 +252,29 @@ def windowed_counts(
     events: DataFrame,
     watermark_delay: str = "10 minutes",
     window_size: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """T1: watermarked tumbling-window aggregation.
+    """T1: watermarked tumbling- (or, with ``slide``, HOPPING-) window
+    aggregation.
 
     In append mode a window emits only once the watermark
     (max event time − delay) passes its end — late rows beyond the bound
     are dropped instead of reopening state.  (The reference declares the
     watermark on its inventory stream, stream_to_bronze.py:157-163, with
     the 48 h late-data bound; batch reconciliation handles the rest.)
+    With ``slide`` < ``window_size`` each row pre-expands into its
+    ceil(window/slide) member windows before the stateful aggregation —
+    state size stays O(open windows × keys), the same append/expiry
+    semantics per window.
     """
+    win = (
+        F.window("ts", window_size)
+        if slide is None
+        else F.window("ts", window_size, slide)
+    )
     return (
         events.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("w.start").alias("window_start"),
