@@ -729,3 +729,65 @@ def window_hopping_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "revenue",
     )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t0,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t1
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(t1 - t0 AS BIGINT)) AS BIGINT) AS held_us,
+           CAST(SUM(CAST(FLOOR(value * CAST(t1 - t0 AS DOUBLE))
+                         AS DECIMAL(30,0))) AS DOUBLE)
+             / CAST(SUM(CAST(t1 - t0 AS BIGINT)) AS DOUBLE) AS twa
+    FROM seg
+    WHERE t1 IS NOT NULL AND t1 > t0
+    GROUP BY user_id
+    """,
+    doc="TIME-WEIGHTED average — the irregular-series mean every "
+        "sensor/pricing pipeline needs (a plain AVG over-weights bursty "
+        "samples): each observation's value is held until the user's "
+        "next event, so twa = sum(value*dt)/sum(dt) over the LEAD "
+        "segments (zero-length segments excluded; single-event users "
+        "have no holding interval and drop out).  One user-partitioned "
+        "window pass + one hash agg, scalable in the number of series; "
+        "numeric discipline: the usual decimal-sum convention does NOT "
+        "work here (value*dt addends are not exactly representable at 6 "
+        "decimals, and Spark's string-based vs DuckDB's binary-based "
+        "double->DECIMAL rounding then diverges per addend — measured), "
+        "so each weighted term is FLOOR(value * dt_us): one IEEE "
+        "multiply + floor on identical doubles, an exact integer below "
+        "2^53, summed exactly as DECIMAL(30,0); the final twa is a "
+        "single exact-integer divide, bit-stable cross-engine",
+)
+def timeseries_time_weighted_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t0"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+    dt = F.col("t1") - F.col("t0")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dt).alias("held_us"),
+        (
+            F.sum(
+                F.floor(F.col("value") * dt.cast("double")).cast(
+                    "decimal(30,0)"
+                )
+            ).cast("double")
+            / F.sum(dt).cast("double")
+        ).alias("twa"),
+    )

@@ -1398,3 +1398,100 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_QSK_EPS).cast("double").alias("dkw_eps"),
         (err <= F.lit(_QSK_EPS).cast("double")).alias("within_dkw"),
     )
+
+
+_MB_MIN_SUPPORT = 3
+
+
+@register(
+    "market_basket_rules",
+    f"""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM pp
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS s FROM pp GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MB_MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           ia.s AS n_a, ib.s AS n_b,
+           CAST(p.support AS DOUBLE) / CAST(ia.s AS DOUBLE) AS conf_a_b,
+           CAST(p.support AS DOUBLE) / CAST(ib.s AS DOUBLE) AS conf_b_a,
+           (CAST(p.support AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(ia.s AS DOUBLE) * CAST(ib.s AS DOUBLE)) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+    doc="Association-rule mining (market basket) over order contents: "
+        "part pairs co-ordered in >= 3 baskets with support, both "
+        "directed confidences, and lift — the recommendation primitive "
+        "next to the co-purchase graph rows (triangles count structure; "
+        "this row quantifies rule strength).  Scale shape: candidate "
+        "pairs come from the per-basket self-join (O(Σ basket²), the "
+        "A-priori candidate step — never part×part), item supports are "
+        "one hash agg joined back on the part key, and the basket "
+        "count is a lazy 1-row broadcast; every per-row ratio is a "
+        "single IEEE divide on exact BIGINT counts, so the hash "
+        "certifies the statistics bit-for-bit",
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = pp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = pp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = pp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = pp.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _MB_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ka"), F.col("s").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("kb"), F.col("s").alias("n_b")
+    )
+    out = (
+        pair.join(ia, F.col("part_a") == F.col("ka"))
+        .join(ib, F.col("part_b") == F.col("kb"))
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "support",
+        "n_a",
+        "n_b",
+        (F.col("support").cast("double") / F.col("n_a").cast("double")).alias(
+            "conf_a_b"
+        ),
+        (F.col("support").cast("double") / F.col("n_b").cast("double")).alias(
+            "conf_b_a"
+        ),
+        (
+            (F.col("support").cast("double") * F.col("n_orders").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )

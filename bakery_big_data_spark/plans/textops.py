@@ -970,3 +970,64 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+_PHRASES = [("batch", "batch"), ("merge", "slow"), ("spark", "table")]
+
+
+@register(
+    "text_phrase_search",
+    """
+    WITH split AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, ws[g.i] AS tok, g.i AS pos
+      FROM split, UNNEST(generate_series(1, len(ws))) AS g(i)
+    ), phr AS (
+      SELECT * FROM (VALUES ('batch', 'batch'), ('merge', 'slow'),
+                            ('spark', 'table')) p(w1, w2)
+    )
+    SELECT p.w1 || ' ' || p.w2 AS phrase, a.doc_id,
+           COUNT(*) AS n_hits
+    FROM phr p
+    JOIN toks a ON a.tok = p.w1
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               AND b.tok = p.w2
+    GROUP BY 1, 2
+    """,
+    doc="POSITIONAL phrase search — the IR primitive BM25's bag-of-words "
+        "scoring cannot express: exact two-word phrase occurrences "
+        "(overlap-counting, so 'batch batch batch' scores 2) found by "
+        "self-joining the positional inverted index (doc_id, term, pos) "
+        "on adjacency (same doc, pos+1).  Scale shape: the index is one "
+        "posexplode projection; the first-word side is cut to the tiny "
+        "broadcast phrase list BEFORE the positional join, which is "
+        "co-partitioned on doc_id — candidate volume is occurrences of "
+        "the RARER word, never the corpus; 0- vs 1-based split positions "
+        "cancel in the adjacency predicate, making the oracle offset-"
+        "proof",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    phrases = spark.createDataFrame(_PHRASES, "w1 string, w2 string")
+    a = toks.join(
+        F.broadcast(phrases), F.col("tok") == F.col("w1")
+    ).select("doc_id", F.col("pos").alias("pa"), "w1", "w2")
+    b = toks.select(
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        F.col("tok").alias("tb"),
+    )
+    hits = a.join(
+        b,
+        (F.col("db") == F.col("doc_id"))
+        & (F.col("pb") == F.col("pa") + 1)
+        & (F.col("tb") == F.col("w2")),
+    )
+    return hits.groupBy(
+        F.concat_ws(" ", "w1", "w2").alias("phrase"), "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))

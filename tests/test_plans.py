@@ -81,6 +81,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 4-row broadcast cross: the per-quantile sample estimates
     # crossed onto events for the exact-rank certification pass
     "sketch_bottomk_quantiles",
+    # deliberate 1-row broadcast: the lazy basket-count N crossed onto the
+    # qualified rule pairs for the lift denominator
+    "market_basket_rules",
     # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
     # step IS corpus × centroid-frame (operators/similarity.py
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row
