@@ -868,3 +868,152 @@ def streaming_semantic_ingest_gate(
         with open(marker, "w") as fh:
             fh.write("ok")
     return spark.read.parquet(f"{base}/decisions_out")
+
+
+_PCA_ITERS = 4
+
+
+def _pca_oracle(iters: int) -> str:
+    """Unrolled power-iteration oracle: scatter-matrix build + ``iters``
+    matrix-vector rounds, restating the identical floor-quantized
+    integer sums (the embedding_label_centroids convention — DECIMAL
+    rounding of full-precision floats can tie at decimal midpoints
+    where Spark half-up and DuckDB half-even split; floor cannot)."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), xl AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS val
+      FROM e
+    ), mu AS (
+      SELECT j,
+             CAST(SUM(CAST(FLOOR(val * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+               / COUNT(*) AS m
+      FROM xl GROUP BY j
+    ), cx AS (
+      SELECT xl.vec_id, xl.j, xl.val - mu.m AS c
+      FROM xl JOIN mu ON xl.j = mu.j
+    ), smat AS (
+      SELECT a.j AS j, b.j AS k,
+             CAST(SUM(CAST(FLOOR(a.c * b.c * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS s
+      FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+      GROUP BY a.j, b.j
+    ), v0 AS (
+      SELECT j AS k, 0.125 AS vk FROM mu
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", w{i} AS (
+      SELECT s.j,
+             CAST(SUM(CAST(FLOOR(s.s * v.vk * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS w
+      FROM smat s JOIN v{i - 1} v ON s.k = v.k
+      GROUP BY s.j
+    ), n{i} AS (
+      SELECT sqrt(CAST(SUM(CAST(FLOOR(w * w * 1e12) AS BIGINT)) AS DOUBLE)
+                  / 1e12) AS nrm
+      FROM w{i}
+    ), v{i} AS (
+      SELECT j AS k, w / nrm AS vk FROM w{i}, n{i}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(v.k AS INT) AS dim_idx, v.vk AS component,
+           n.nrm AS eigenvalue
+    FROM v{iters} v, n{iters} n
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_power_iteration",
+    _pca_oracle(_PCA_ITERS),
+    doc="Distributed PCA — top principal component of the embedding "
+        "corpus via scatter-matrix aggregation + fixed-round power "
+        "iteration, every float op hash-certified.  The 100 TB-relevant "
+        "stage is the SCATTER MATRIX: each row expands to its dim^2 "
+        "centered outer products inside one codegen'd projection "
+        "(nested transform + flatten, no join, no shuffle before the "
+        "agg), and the (j,k)-keyed hash aggregation combines map-side, "
+        "so the shuffle carries at most dim^2 partials per partition "
+        "regardless of corpus size.  The iteration then runs on the "
+        "dim^2-row frame (lineage-cut per round, the PageRank "
+        "discipline).  Numeric discipline: means, scatter cells, "
+        "matvec sums, and the norm all floor-quantize addends at 1e-12 "
+        "to exact BIGINTs (the embedding_label_centroids convention — "
+        "full-precision float addends are where decimal half-up vs "
+        "half-even rounding diverges), so the oracle's unrolled "
+        f"{_PCA_ITERS}-round CTE chain certifies the trained component "
+        "and eigenvalue bit-for-bit.  Sign/convergence are pinned by "
+        "the fixed all-positive start vector and fixed round count",
+)
+def embedding_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.operators.checkpointing import cut_lineage
+
+    q = F.lit(1e12)
+
+    def qsum(col):
+        return F.sum(F.floor(col * q).cast("bigint")).cast("double") / q
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    xl = emb.select(F.posexplode("v").alias("j", "val"))
+    mu = xl.groupBy("j").agg(
+        (qsum(F.col("val")) / F.count(F.lit(1))).alias("m")
+    )
+    mu_arr = mu.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "m"))),
+            lambda s: s["m"],
+        ).alias("mu")
+    )
+    centered = emb.crossJoin(F.broadcast(mu_arr)).select(
+        F.zip_with("v", "mu", lambda a, b: a - b).alias("c")
+    )
+    outer = F.transform(
+        F.col("c"),
+        lambda xj, j: F.transform(
+            F.col("c"),
+            lambda xk, k: F.struct(
+                j.alias("j"), k.alias("k"), (xj * xk).alias("p")
+            ),
+        ),
+    )
+    pairs = centered.select(F.explode(F.flatten(outer)).alias("s")).select(
+        F.col("s.j").alias("j"), F.col("s.k").alias("k"), F.col("s.p").alias("p")
+    )
+    smat = pairs.groupBy("j", "k").agg(qsum(F.col("p")).alias("s"))
+    smat = cut_lineage(smat, None)  # dim²-bounded; reused every round
+
+    v = mu.select(F.col("j").alias("k"), F.lit(0.125).alias("vk"))
+    v = cut_lineage(v, None)
+    nrm = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            smat.join(v, "k")
+            .groupBy("j")
+            .agg(qsum(F.col("s") * F.col("vk")).alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(qsum(F.col("w") * F.col("w"))).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("j").alias("k"),
+            (F.col("w") / F.col("nrm")).alias("vk"),
+            "nrm",
+        )
+        v = cut_lineage(v, None)
+    return v.select(
+        F.col("k").cast("int").alias("dim_idx"),
+        F.col("vk").alias("component"),
+        F.col("nrm").alias("eigenvalue"),
+    )

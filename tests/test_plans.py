@@ -84,6 +84,10 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy basket-count N crossed onto the
     # qualified rule pairs for the lift denominator
     "market_basket_rules",
+    # deliberate 1-row broadcasts: the 64-dim mean array crossed onto the
+    # corpus for centering, and the per-round norm crossed onto the
+    # 64-row vector frame
+    "embedding_pca_power_iteration",
     # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
     # step IS corpus × centroid-frame (operators/similarity.py
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row

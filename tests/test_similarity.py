@@ -119,3 +119,50 @@ def test_semantic_dedup_catches_planted_duplicates(spark):
     assert got[2] == (1, False)
     assert got[5] == (1, False)
     assert got[9] == (9, True)
+
+
+def test_pca_power_iteration_matches_reference_fold(spark, sf_dir):
+    """Parity with a pure-numpy fold of the SAME fixed-round algorithm
+    (the BPE reference-fold pattern): identical centering, scatter
+    matrix, matvec, and normalization — up to the 1e-12 floor
+    quantization the certified plan applies per addend.  Also asserts
+    the power-iteration invariants: unit-norm output and a Rayleigh
+    estimate that is sane for the scatter spectrum.  (The corpus is
+    near-isotropic — tiny spectral gap — so a fixed-round run is a
+    TRAINING-STEP parity row like the 4-round PageRank, not a claim of
+    convergence to the exact eigenvector.)"""
+    import numpy as np
+
+    from bakery_big_data_spark.plans import REGISTRY
+    from bakery_big_data_spark.plans.base import t
+
+    rows = (
+        REGISTRY["embedding_pca_power_iteration"]
+        .build(spark, sf_dir)
+        .orderBy("dim_idx")
+        .collect()
+    )
+    v = np.array([r["component"] for r in rows])
+    lam = rows[0]["eigenvalue"]
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in t(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    S = Xc.T @ Xc
+    ref = np.full(64, 0.125)
+    for _ in range(4):
+        w = S @ ref
+        ref = w / np.linalg.norm(w)
+    ref_lam = float(np.linalg.norm(S @ ref / np.linalg.norm(ref)))
+    assert np.allclose(v, ref, atol=1e-6)
+    evals = np.linalg.eigvalsh(S)
+    assert evals[0] - 1e-9 <= lam <= evals[-1] + 1e-9
+    assert abs(lam - ref_lam) / ref_lam < 0.05
