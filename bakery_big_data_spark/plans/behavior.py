@@ -791,3 +791,86 @@ def timeseries_time_weighted_avg(
             / F.sum(dt).cast("double")
         ).alias("twa"),
     )
+
+
+@register(
+    "trend_linear_fit_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS t,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(SUM(t * t) AS DOUBLE) AS st2,
+             CAST(SUM(CAST(FLOOR(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+             CAST(SUM(CAST(FLOOR(CAST(t AS DOUBLE) * y * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS sty,
+             CAST(SUM(CAST(FLOOR(y * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+               AS sy2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           (n * sty - st * sy) / (n * st2 - st * st) AS slope,
+           sy / n - (n * sty - st * sy) / (n * st2 - st * st) * st / n
+             AS intercept,
+           ((n * sty - st * sy) * (n * sty - st * sy))
+             / ((n * st2 - st * st) * (n * sy2 - sy * sy)) AS r2
+    FROM sums
+    """,
+    doc="Per-series linear TREND detection: closed-form OLS of daily "
+        "revenue against the epoch-day index for every event_type — "
+        "slope, intercept, and r² from one daily rollup plus one "
+        "five-sum aggregation (n, Σt, Σt², Σty, Σy, Σy²), the classic "
+        "sufficient-statistics shape: both passes are map-side "
+        "combinable hash aggs, nothing is ever sorted or windowed.  "
+        "Integer sums (t, t²) stay exact BIGINTs; the float sums (y, "
+        "ty, y²) floor-quantize addends at 1e-6 (daily revenues and "
+        "epoch-day products are not 6dp-representable — the TWA "
+        "lesson), so slope/intercept/r² are single IEEE expressions on "
+        "identical inputs, hash-exact cross-engine",
+)
+def trend_linear_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("y")
+    )
+
+    def q6(col):
+        return F.sum(F.floor(col * F.lit(1e6)).cast("bigint")).cast(
+            "double"
+        ) / F.lit(1e6)
+
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("st2"),
+        q6(F.col("y")).alias("sy"),
+        q6(F.col("t").cast("double") * F.col("y")).alias("sty"),
+        q6(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    den = F.col("n") * F.col("st2") - F.col("st") * F.col("st")
+    slope = num / den
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * F.col("st") / F.col("n")).alias(
+            "intercept"
+        ),
+        (
+            (num * num)
+            / (den * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")))
+        ).alias("r2"),
+    )

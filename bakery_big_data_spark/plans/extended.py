@@ -1495,3 +1495,231 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("lift"),
     )
+
+
+_GD_ROUNDS = 8
+_GD_LR = 0.1
+
+
+def _gd_oracle(rounds: int, lr: float) -> str:
+    """Unrolled gradient-descent oracle on the sufficient-statistic row:
+    per-magnitude floor quantizers keep every sum an exact int64 (q/d at
+    1e9, y at 1e4, squares at 1e8/1e9/1e1, standardized moments at 1e9 —
+    int64→double conversion is a correctly-rounded hardware op in both
+    engines, unlike int128), so each round is pure IEEE arithmetic on
+    identical scalars."""
+    head = """
+    WITH raw AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS q,
+             CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE)
+               AS d,
+             CAST(l_extendedprice AS DOUBLE)
+               * (1.0 - CAST(l_discount AS DOUBLE)) AS y
+      FROM lineitem
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(q * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sq,
+             CAST(SUM(CAST(FLOOR(d * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sd,
+             CAST(SUM(CAST(FLOOR(y * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sy,
+             CAST(SUM(CAST(FLOOR(q * q * 1e1) AS BIGINT)) AS DOUBLE) / 1e1
+               AS sq2,
+             CAST(SUM(CAST(FLOOR(d * d * 1e3) AS BIGINT)) AS DOUBLE) / 1e3
+               AS sd2,
+             CAST(SUM(CAST(FLOOR(y * y * 1e1) AS BIGINT)) AS DOUBLE) / 1e1
+               AS sy2
+      FROM raw
+    ), mus AS (
+      SELECT n, sq / n AS mq, sd / n AS md, sy / n AS my,
+             sqrt(sq2 / n - (sq / n) * (sq / n)) AS vq,
+             sqrt(sd2 / n - (sd / n) * (sd / n)) AS vd,
+             sqrt(sy2 / n - (sy / n) * (sy / n)) AS vy
+      FROM stats
+    ), xs AS (
+      SELECT (q - mq) / vq AS x1, (d - md) / vd AS x2,
+             (y - my) / vy AS ys
+      FROM raw, mus
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(x1 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS s1,
+             CAST(SUM(CAST(FLOOR(x2 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS s2,
+             CAST(SUM(CAST(FLOOR(x1 * x1 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS s11,
+             CAST(SUM(CAST(FLOOR(x1 * x2 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS s12,
+             CAST(SUM(CAST(FLOOR(x2 * x2 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS s22,
+             CAST(SUM(CAST(FLOOR(ys * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS b0,
+             CAST(SUM(CAST(FLOOR(x1 * ys * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS b1,
+             CAST(SUM(CAST(FLOOR(x2 * ys * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS b2,
+             CAST(SUM(CAST(FLOOR(ys * ys * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS syy
+      FROM xs
+    ), r0 AS (
+      SELECT n, s1 / n AS a1, s2 / n AS a2, s11 / n AS a11, s12 / n AS a12,
+             s22 / n AS a22, b0 / n AS c0, b1 / n AS c1, b2 / n AS c2,
+             syy / n AS cyy,
+             0.0 AS w0, 0.0 AS w1, 0.0 AS w2
+      FROM mom
+    )"""
+    rounds_sql = []
+    for i in range(1, rounds + 1):
+        rounds_sql.append(
+            f""", r{i} AS (
+      SELECT n, a1, a2, a11, a12, a22, c0, c1, c2, cyy,
+             w0 - {lr!r} * ((w0 + a1 * w1 + a2 * w2) - c0) AS w0,
+             w1 - {lr!r} * ((a1 * w0 + a11 * w1 + a12 * w2) - c1) AS w1,
+             w2 - {lr!r} * ((a2 * w0 + a12 * w1 + a22 * w2) - c2) AS w2
+      FROM r{i - 1}
+    )"""
+        )
+    tail = f"""
+    SELECT CAST(n AS BIGINT) AS n_rows, w0, w1, w2,
+           (w0 * w0 + a11 * w1 * w1 + a22 * w2 * w2
+            + 2 * (a1 * w0 * w1 + a2 * w0 * w2 + a12 * w1 * w2))
+           - 2 * (c0 * w0 + c1 * w1 + c2 * w2) + cyy AS mse
+    FROM r{rounds}
+    """
+    return head + "".join(rounds_sql) + tail
+
+
+@register(
+    "ml_linear_regression_gd",
+    _gd_oracle(_GD_ROUNDS, _GD_LR),
+    doc="Distributed LINEAR-MODEL TRAINING, hash-certified end to end: "
+        "standardized OLS on lineitem (net revenue price*(1-disc) ~ "
+        "gross price + absolute discount — an exact linear ground "
+        "truth y = x1 - x2, so the fit is verifiable: MSE must fall "
+        "from 1.0 toward 0 and does) by batch gradient descent — but run on SUFFICIENT "
+        "STATISTICS: the gradient of squared loss is (X'X)w - X'y, so "
+        "ONE corpus pass aggregates the 3x3 moment matrix and moment "
+        "vector (map-side combinable), and every GD round after that is "
+        "a handful of scalar IEEE ops on a 1-row frame — per-round cost "
+        "independent of corpus size, the shape that makes iterative "
+        "training tractable at 100 TB (contrast: naive GD re-scans the "
+        "corpus every round).  Numeric discipline: per-magnitude floor "
+        "quantizers keep every sum an exact int64 whose double "
+        "conversion is a correctly-rounded hardware op in both engines "
+        "(1e12-style quantizers would overflow int64 on the squares at "
+        "bench scale); the oracle unrolls all rounds as CTEs, so the "
+        "trained weights AND the closed-form standardized MSE are "
+        "bit-identical.  Fixed rounds + zero init pin determinism (the "
+        "PageRank/PCA training-step contract)",
+)
+def ml_linear_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ep = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    li = t(spark, sf_dir, "lineitem").select(
+        ep.alias("q"),
+        (ep * disc).alias("d"),
+        (ep * (F.lit(1.0) - disc)).alias("y"),
+    )
+
+    def qs(col, scale):
+        return F.sum(F.floor(col * F.lit(scale)).cast("bigint")).cast(
+            "double"
+        ) / F.lit(scale)
+
+    stats = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        qs(F.col("q"), 1e4).alias("sq"),
+        qs(F.col("d"), 1e4).alias("sd"),
+        qs(F.col("y"), 1e4).alias("sy"),
+        qs(F.col("q") * F.col("q"), 1e1).alias("sq2"),
+        qs(F.col("d") * F.col("d"), 1e3).alias("sd2"),
+        qs(F.col("y") * F.col("y"), 1e1).alias("sy2"),
+    ).select(
+        "n",
+        (F.col("sq") / F.col("n")).alias("mq"),
+        (F.col("sd") / F.col("n")).alias("md"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        F.sqrt(
+            F.col("sq2") / F.col("n")
+            - (F.col("sq") / F.col("n")) * (F.col("sq") / F.col("n"))
+        ).alias("vq"),
+        F.sqrt(
+            F.col("sd2") / F.col("n")
+            - (F.col("sd") / F.col("n")) * (F.col("sd") / F.col("n"))
+        ).alias("vd"),
+        F.sqrt(
+            F.col("sy2") / F.col("n")
+            - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("vy"),
+    )
+    xs = li.crossJoin(F.broadcast(stats)).select(
+        ((F.col("q") - F.col("mq")) / F.col("vq")).alias("x1"),
+        ((F.col("d") - F.col("md")) / F.col("vd")).alias("x2"),
+        ((F.col("y") - F.col("my")) / F.col("vy")).alias("ys"),
+    )
+    mom = xs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        qs(F.col("x1"), 1e9).alias("s1"),
+        qs(F.col("x2"), 1e9).alias("s2"),
+        qs(F.col("x1") * F.col("x1"), 1e9).alias("s11"),
+        qs(F.col("x1") * F.col("x2"), 1e9).alias("s12"),
+        qs(F.col("x2") * F.col("x2"), 1e9).alias("s22"),
+        qs(F.col("ys"), 1e9).alias("b0"),
+        qs(F.col("x1") * F.col("ys"), 1e9).alias("b1"),
+        qs(F.col("x2") * F.col("ys"), 1e9).alias("b2"),
+        qs(F.col("ys") * F.col("ys"), 1e9).alias("syy"),
+    )
+    r = mom.select(
+        "n",
+        (F.col("s1") / F.col("n")).alias("a1"),
+        (F.col("s2") / F.col("n")).alias("a2"),
+        (F.col("s11") / F.col("n")).alias("a11"),
+        (F.col("s12") / F.col("n")).alias("a12"),
+        (F.col("s22") / F.col("n")).alias("a22"),
+        (F.col("b0") / F.col("n")).alias("c0"),
+        (F.col("b1") / F.col("n")).alias("c1"),
+        (F.col("b2") / F.col("n")).alias("c2"),
+        (F.col("syy") / F.col("n")).alias("cyy"),
+        F.lit(0.0).alias("w0"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+    )
+    lr = F.lit(_GD_LR)
+    for _ in range(_GD_ROUNDS):
+        g0 = (F.col("w0") + F.col("a1") * F.col("w1") + F.col("a2") * F.col("w2")) - F.col("c0")
+        g1 = (
+            F.col("a1") * F.col("w0")
+            + F.col("a11") * F.col("w1")
+            + F.col("a12") * F.col("w2")
+        ) - F.col("c1")
+        g2 = (
+            F.col("a2") * F.col("w0")
+            + F.col("a12") * F.col("w1")
+            + F.col("a22") * F.col("w2")
+        ) - F.col("c2")
+        r = r.select(
+            "n", "a1", "a2", "a11", "a12", "a22", "c0", "c1", "c2", "cyy",
+            (F.col("w0") - lr * g0).alias("w0"),
+            (F.col("w1") - lr * g1).alias("w1"),
+            (F.col("w2") - lr * g2).alias("w2"),
+        )
+    mse = (
+        F.col("w0") * F.col("w0")
+        + F.col("a11") * F.col("w1") * F.col("w1")
+        + F.col("a22") * F.col("w2") * F.col("w2")
+        + F.lit(2.0)
+        * (
+            F.col("a1") * F.col("w0") * F.col("w1")
+            + F.col("a2") * F.col("w0") * F.col("w2")
+            + F.col("a12") * F.col("w1") * F.col("w2")
+        )
+    ) - F.lit(2.0) * (
+        F.col("c0") * F.col("w0")
+        + F.col("c1") * F.col("w1")
+        + F.col("c2") * F.col("w2")
+    ) + F.col("cyy")
+    return r.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        "w0",
+        "w1",
+        "w2",
+        mse.alias("mse"),
+    )

@@ -88,6 +88,9 @@ NESTED_LOOP_ALLOWED = {
     # corpus for centering, and the per-round norm crossed onto the
     # 64-row vector frame
     "embedding_pca_power_iteration",
+    # deliberate 1-row broadcast: the standardization stats (means/stds)
+    # crossed onto the corpus before the sufficient-statistic pass
+    "ml_linear_regression_gd",
     # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
     # step IS corpus × centroid-frame (operators/similarity.py
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row
