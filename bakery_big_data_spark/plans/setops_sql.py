@@ -257,3 +257,57 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey <= 2000
         """
     )
+
+
+#: Shared recursive-CTE body — Spark 4 runs it natively (WITH RECURSIVE
+#: landed in Spark 4.0); DuckDB runs the identical text.  UNION ALL
+#: recursion (Spark doesn't support UNION-distinct recursion yet) with a
+#: hard depth bound, folded to min-hop by the outer aggregate.
+_RCTE_BODY = """
+    WITH RECURSIVE edges_all AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ), mx AS (
+      SELECT MAX(w) AS mw FROM edges_all
+    ), edges AS (
+      SELECT src, dst FROM edges_all, mx WHERE w * 3 >= mw
+    ), reach(node, d) AS (
+      SELECT CAST(10 AS INT), 0
+      UNION ALL
+      SELECT CAST(e.dst AS INT), r.d + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.d < 3
+    )
+    SELECT CAST(node AS INT) AS nationkey, CAST(MIN(d) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_cte_reachability",
+    _RCTE_BODY,
+    doc="Spark 4 NATIVE recursive CTE (WITH RECURSIVE, new SQL surface "
+        "in 4.x — the declarative sibling of the DataFrame-loop "
+        "iteration rows): min-hop reachability from one seed nation "
+        "over the heavy trade edges, written ONCE and executed "
+        "verbatim by both engines — the Spark side is the same SQL "
+        "text the oracle runs, so the hash certifies Spark's recursive "
+        "execution (UnionLoop) end to end, including the UNION ALL "
+        "path multiplicities folded by the outer MIN(d).  Depth-"
+        "bounded (d < 3) because UNION ALL recursion enumerates paths, "
+        "not nodes — on the nation-bounded graph that is ≤ 25³ rows; "
+        "the scalable node-frontier formulation (anti-join layering, "
+        "no path enumeration) is graph_bfs_reachability, and the pair "
+        "documents the trade",
+)
+def sql_recursive_cte_reachability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    for name in ("lineitem", "orders", "customer", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_RCTE_BODY)
