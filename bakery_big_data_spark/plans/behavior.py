@@ -874,3 +874,117 @@ def trend_linear_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (den * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")))
         ).alias("r2"),
     )
+
+
+@register(
+    "timeseries_ohlc_bars",
+    """
+    SELECT event_type,
+           CAST(ts AS DATE) AS d,
+           FIRST(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           LAST(value ORDER BY ts, event_id) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_ticks
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    doc="Daily OHLC bars per series — the financial/sensor downsampling "
+        "pattern, and the max_by/min_by aggregate surface (SQL:2023 "
+        "ANY_VALUE-family ordered-arg aggregates) the window rows don't "
+        "cover: open/close are arg-min/arg-max of value by the total "
+        "(ts, event_id) order — ONE hash aggregation, no window, no "
+        "sort, map-side combinable (each partial keeps its best struct; "
+        "merge compares keys) — where the window formulation would "
+        "shuffle every tick into a per-day sort.  The struct tiebreak "
+        "makes the answer total-order deterministic, so the oracle's "
+        "ordered aggregates FIRST/LAST(value ORDER BY ts, event_id) "
+        "hash identically",
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ts_key = F.struct("ts", "event_id")
+    return ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.min_by("value", ts_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ts_key).alias("close"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("volume"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@register(
+    "skew_profile_keys",
+    """
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_keys FROM per_key
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rk
+      FROM per_key
+    )
+    SELECT t.n_keys,
+           t.n AS n_rows,
+           CAST((SELECT SUM(CAST(c AS DECIMAL(30,0)) * c) FROM per_key)
+                AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) AS hhi,
+           CAST((SELECT MAX(c) FROM per_key) AS DOUBLE)
+             / CAST(t.n AS DOUBLE) AS top1_share,
+           CAST((SELECT CAST(SUM(c) AS BIGINT) FROM ranked WHERE rk <= 10)
+                AS DOUBLE)
+             / CAST(t.n AS DOUBLE) AS top10_share,
+           CAST(t.n AS DOUBLE)
+             / (CAST(t.n_keys AS DOUBLE)
+                * CAST((SELECT MAX(c) FROM per_key) AS DOUBLE))
+             AS balance_ratio
+    FROM tot t
+    """,
+    doc="Key-skew PROFILER for shuffle planning — the diagnostic that "
+        "decides whether a join/agg key needs salting BEFORE the job "
+        "runs at 100 TB: per-key counts in one hash agg, then the "
+        "Herfindahl concentration index Σ(c/n)² (a log-free skew "
+        "measure, unlike entropy — catalog ln() ban), the top-1/top-10 "
+        "key shares, and n/(keys·max) balance ratio (1.0 = perfectly "
+        "uniform; the inverse of the hottest reducer's overload "
+        "factor).  The top-10 cut ranks ONLY the per-key rollup "
+        "(O(distinct keys), never raw rows).  Exact integer counts, "
+        "single IEEE divides — hash-exact",
+)
+def skew_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_key = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.col("user_id"))
+    ranked = per_key.withColumn("rk", F.row_number().over(w))
+    top10 = ranked.filter(F.col("rk") <= 10).agg(
+        F.sum("c").alias("s10")
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum(F.col("c").cast("decimal(30,0)") * F.col("c"))
+        .cast("double")
+        .alias("sc2"),
+        F.max("c").alias("cmax"),
+    )
+    nd = F.col("n_rows").cast("double")
+    return agg.crossJoin(F.broadcast(top10)).select(
+        "n_keys",
+        "n_rows",
+        (F.col("sc2") / (nd * nd)).alias("hhi"),
+        (F.col("cmax").cast("double") / nd).alias("top1_share"),
+        (F.col("s10").cast("double") / nd).alias("top10_share"),
+        (
+            nd
+            / (F.col("n_keys").cast("double") * F.col("cmax").cast("double"))
+        ).alias("balance_ratio"),
+    )

@@ -91,6 +91,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the standardization stats (means/stds)
     # crossed onto the corpus before the sufficient-statistic pass
     "ml_linear_regression_gd",
+    # deliberate 1-row x 1-row cross: the top-10-keys total joined onto
+    # the skew-summary scalars
+    "skew_profile_keys",
     # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
     # step IS corpus × centroid-frame (operators/similarity.py
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row
