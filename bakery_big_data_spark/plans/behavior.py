@@ -894,10 +894,13 @@ def trend_linear_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pattern, and the max_by/min_by aggregate surface (SQL:2023 "
         "ANY_VALUE-family ordered-arg aggregates) the window rows don't "
         "cover: open/close are arg-min/arg-max of value by the total "
-        "(ts, event_id) order — ONE hash aggregation, no window, no "
-        "sort, map-side combinable (each partial keeps its best struct; "
-        "merge compares keys) — where the window formulation would "
-        "shuffle every tick into a per-day sort.  The struct tiebreak "
+        "(ts, event_id) order — ONE aggregation, no window: each "
+        "partial keeps its best struct and merge compares keys, so the "
+        "shuffle carries only per-(type, day) partials.  Honest plan "
+        "note: struct-keyed min_by has no fixed-width buffer, so Spark "
+        "plans SortAggregate — a per-partition sort on the GROUP key "
+        "(spill-safe, partial agg intact), still far cheaper than the "
+        "window formulation's shuffle of every tick.  The struct tiebreak "
         "makes the answer total-order deterministic, so the oracle's "
         "ordered aggregates FIRST/LAST(value ORDER BY ts, event_id) "
         "hash identically",
