@@ -1723,3 +1723,96 @@ def ml_linear_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w2",
         mse.alias("mse"),
     )
+
+
+_JS_DEPTH = 4
+_JS_WIDTH = 512
+
+
+@register(
+    "sketch_cms_selfjoin_size",
+    f"""
+    WITH keyed AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM keyed
+    ), freq AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS f FROM keyed GROUP BY k
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(f * f) AS BIGINT) AS exact_f2
+      FROM freq
+    ), hashed AS (
+      SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT & 2147483647 AS h
+      FROM keyed
+    ), cells AS (
+      SELECT t.i AS row,
+             (({_cms_case([1, 1566083941, 998244353, 1103515245])} * h
+               + {_cms_case([0, 97531, 12345, 424243])})
+              % 2147483647) % {_JS_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed, unnest(range(0, {_JS_DEPTH})) AS t(i)
+      GROUP BY 1, 2
+    ), per_row AS (
+      SELECT row, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      FROM cells GROUP BY row
+    ), est AS (
+      SELECT CAST(MIN(s2) AS BIGINT) AS est_f2 FROM per_row
+    )
+    SELECT n.n_rows, exact.n_keys, exact.exact_f2, est.est_f2,
+           est.est_f2 >= exact.exact_f2 AS is_upper_bounded_below,
+           CAST(est.est_f2 - exact.exact_f2 AS DOUBLE)
+             / (CAST(n.n_rows AS DOUBLE) * CAST(n.n_rows AS DOUBLE)
+                / {_JS_WIDTH}.0) AS excess_vs_bound_unit
+    FROM n, exact, est
+    """,
+    doc="JOIN-SIZE ESTIMATION from sketches — the query-optimizer "
+        "statistic (AMS/CMS inner product): the self-join cardinality "
+        "on l_partkey (the second frequency moment F2 = Σf(k)², i.e. "
+        "the row count of lineitem⋈lineitem on the key — and the "
+        "denominator of HHI, complementing skew_profile_keys) estimated "
+        "as min over sketch rows of Σ_w cell², from the SAME portable "
+        "Carter-Wegman 4x512 Count-Min grid as the heavy-hitters row — "
+        "mergeable, fixed {d}x{w} state, one map-side-combinable "
+        "aggregation; never a join, never a per-key rollup at probe "
+        "time.  Estimator guarantees certified ON the row: "
+        "est ≥ exact always (collisions only add), and the excess is "
+        "reported in units of the CMS bound N²/width.  Exact F2 rides "
+        "along from one per-key rollup; all integer arithmetic — "
+        "hash-exact with zero float hazards",
+)
+def sketch_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.sketches import count_min_build
+
+    keyed = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    n = keyed.agg(F.count(F.lit(1)).alias("n_rows"))
+    freq = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("f"))
+    exact = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("f") * F.col("f")).alias("exact_f2"),
+    )
+    cells = count_min_build(keyed, "k", depth=_JS_DEPTH, width=_JS_WIDTH)
+    est = (
+        cells.groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
+        .agg(F.min("s2").alias("est_f2"))
+    )
+    out = (
+        n.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(est))
+    )
+    nd = F.col("n_rows").cast("double")
+    return out.select(
+        "n_rows",
+        "n_keys",
+        "exact_f2",
+        "est_f2",
+        (F.col("est_f2") >= F.col("exact_f2")).alias(
+            "is_upper_bounded_below"
+        ),
+        (
+            (F.col("est_f2") - F.col("exact_f2")).cast("double")
+            / (nd * nd / F.lit(float(_JS_WIDTH)))
+        ).alias("excess_vs_bound_unit"),
+    )

@@ -94,6 +94,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row x 1-row cross: the top-10-keys total joined onto
     # the skew-summary scalars
     "skew_profile_keys",
+    # deliberate 1-row crosses: row count, exact-F2, and sketch estimate
+    # assembled into the single certified output row
+    "sketch_cms_selfjoin_size",
     # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
     # step IS corpus × centroid-frame (operators/similarity.py
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row
