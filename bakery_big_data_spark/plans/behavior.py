@@ -816,11 +816,11 @@ def timeseries_time_weighted_avg(
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n_days,
-           (n * sty - st * sy) / (n * st2 - st * st) AS slope,
-           sy / n - (n * sty - st * sy) / (n * st2 - st * st) * st / n
-             AS intercept,
+           (n * sty - st * sy) / NULLIF(n * st2 - st * st, 0) AS slope,
+           sy / n - (n * sty - st * sy) / NULLIF(n * st2 - st * st, 0)
+                    * st / n AS intercept,
            ((n * sty - st * sy) * (n * sty - st * sy))
-             / ((n * st2 - st * st) * (n * sy2 - sy * sy)) AS r2
+             / NULLIF((n * st2 - st * st) * (n * sy2 - sy * sy), 0) AS r2
     FROM sums
     """,
     doc="Per-series linear TREND detection: closed-form OLS of daily "
@@ -861,7 +861,12 @@ def trend_linear_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
     den = F.col("n") * F.col("st2") - F.col("st") * F.col("st")
-    slope = num / den
+    # degenerate series (single day: den = 0; constant y: r2 den = 0)
+    # yield NULL, the dstd convention — an unguarded divide raises
+    # DIVIDE_BY_ZERO under ANSI (caught by the adversarial-regeneration
+    # guard on a one-day corpus)
+    slope = F.when(den != 0, num / den)
+    r2_den = den * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
     return sums.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
@@ -869,10 +874,7 @@ def trend_linear_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sy") / F.col("n") - slope * F.col("st") / F.col("n")).alias(
             "intercept"
         ),
-        (
-            (num * num)
-            / (den * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")))
-        ).alias("r2"),
+        F.when(r2_den != 0, (num * num) / r2_den).alias("r2"),
     )
 
 

@@ -72,6 +72,23 @@ QUERIES = [
     "dedup_semantic_embedding",
     "dedup_cross_doc_spans",
     "dedup_semantic_recall",
+    # round-8 continuation rows — each has a corpus-shape edge this
+    # synthetic corpus hits directly: empty/one-word docs (phrase
+    # adjacency, prefix filter, audio windows), duplicate (user, ts)
+    # pairs (OHLC open/close tiebreak, zero-length TWA segments),
+    # n < k (bottom-k quantile sample), < 10 distinct keys (top-10
+    # share), single-day series (trend OLS zero denominator), a zero
+    # embedding vector (PCA centering)
+    "text_phrase_search",
+    "dedup_prefix_filter_pairs",
+    "multimodal_audio_quiet_segments",
+    "timeseries_ohlc_bars",
+    "timeseries_time_weighted_avg",
+    "window_hopping_traffic",
+    "sketch_bottomk_quantiles",
+    "skew_profile_keys",
+    "trend_linear_fit_daily",
+    "embedding_pca_power_iteration",
 ]
 
 
