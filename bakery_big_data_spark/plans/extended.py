@@ -1816,3 +1816,185 @@ def sketch_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nd * nd / F.lit(float(_JS_WIDTH)))
         ).alias("excess_vs_bound_unit"),
     )
+
+
+@register(
+    "sketch_cms_join_size_estimate",
+    f"""
+    WITH h1 AS (
+      SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647 AS h
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-07-01'
+    ), h2 AS (
+      SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647 AS h
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-07-01'
+    ), c1 AS (
+      SELECT t.i AS row,
+             (({_cms_case([1, 1566083941, 998244353, 1103515245])} * h
+               + {_cms_case([0, 97531, 12345, 424243])})
+              % 2147483647) % {_JS_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM h1, unnest(range(0, {_JS_DEPTH})) AS t(i) GROUP BY 1, 2
+    ), c2 AS (
+      SELECT t.i AS row,
+             (({_cms_case([1, 1566083941, 998244353, 1103515245])} * h
+               + {_cms_case([0, 97531, 12345, 424243])})
+              % 2147483647) % {_JS_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM h2, unnest(range(0, {_JS_DEPTH})) AS t(i) GROUP BY 1, 2
+    ), per_row AS (
+      SELECT c1.row, CAST(SUM(c1.cnt * c2.cnt) AS BIGINT) AS ip
+      FROM c1 JOIN c2 ON c1.row = c2.row AND c1.bucket = c2.bucket
+      GROUP BY c1.row
+    ), est AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est_join FROM per_row
+    ), sizes AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM h1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM h2) AS n2
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join
+      FROM (SELECT l_partkey FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-07-01') a
+      JOIN (SELECT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-07-01') b
+        ON a.l_partkey = b.l_partkey
+    )
+    SELECT s.n1, s.n2, exact.exact_join, est.est_join,
+           est.est_join >= exact.exact_join AS is_bounded_below,
+           CAST(est.est_join - exact.exact_join AS DOUBLE)
+             / (CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE)
+                / {_JS_WIDTH}.0) AS excess_vs_bound_unit
+    FROM sizes s, exact, est
+    """,
+    doc="PRE-FLIGHT join-size prediction for a PLANNED join — the "
+        "two-stream CMS inner product (the optimizer statistic behind "
+        "broadcast-vs-shuffle and skew decisions): H1-half-year and "
+        "H2-half-year lineitems each build the portable 4x512 Count-Min "
+        "grid independently (one map-side-combinable agg per stream, "
+        "mergeable, fixed state), and the join cardinality on l_partkey "
+        "is estimated as min over rows of the cellwise inner product — "
+        "WITHOUT executing the join.  The exact join count rides along "
+        "to certify the classic guarantee on-row: est >= exact always "
+        "(collisions only add) and the excess is reported in N1*N2/width "
+        "bound units.  At 100 TB the sketches are table-statistics you "
+        "keep per partition and merge; the estimate costs two scans "
+        "and a 2048-cell join, never a shuffle of either side.  "
+        "All-integer arithmetic — zero float hazards",
+)
+def sketch_cms_join_size_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.operators.sketches import count_min_build
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k"), "l_shipdate"
+    )
+    cut = F.lit("1998-07-01").cast("timestamp")
+    h1 = li.filter(F.col("l_shipdate") < cut).select("k")
+    h2 = li.filter(F.col("l_shipdate") >= cut).select("k")
+    c1 = count_min_build(h1, "k", depth=_JS_DEPTH, width=_JS_WIDTH)
+    c2 = count_min_build(h2, "k", depth=_JS_DEPTH, width=_JS_WIDTH).select(
+        F.col("row").alias("row2"),
+        F.col("bucket").alias("bucket2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    est = (
+        c1.join(
+            c2,
+            (F.col("row") == F.col("row2"))
+            & (F.col("bucket") == F.col("bucket2")),
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("ip"))
+        .agg(F.min("ip").alias("est_join"))
+    )
+    n1 = h1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = h2.agg(F.count(F.lit(1)).alias("n2"))
+    a = h1.select(F.col("k").alias("ka"))
+    b = h2.select(F.col("k").alias("kb"))
+    exact = a.join(b, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).alias("exact_join")
+    )
+    out = (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+    )
+    return out.select(
+        "n1",
+        "n2",
+        "exact_join",
+        "est_join",
+        (F.col("est_join") >= F.col("exact_join")).alias("is_bounded_below"),
+        (
+            (F.col("est_join") - F.col("exact_join")).cast("double")
+            / (
+                F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+                / F.lit(float(_JS_WIDTH))
+            )
+        ).alias("excess_vs_bound_unit"),
+    )
+
+
+_RI_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _RI_EDGES:
+        parts.append(
+            f"""
+    SELECT '{name}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT)
+             AS n_orphans,
+           CAST(COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS DOUBLE)
+             / COUNT(*) AS orphan_rate
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "audit_referential_integrity",
+    _ri_oracle(),
+    doc="Referential-integrity AUDIT across every foreign-key edge of "
+        "the warehouse schema — the pre-publication data-quality gate a "
+        "medallion silver layer runs before promoting to gold: one row "
+        "per FK edge with child cardinality, orphan count (children "
+        "whose parent key has no match), and orphan rate, via LEFT "
+        "anti-pattern joins (Catalyst broadcasts the dim parents; the "
+        "fact-fact edges shuffle on the key like any equi-join).  "
+        "Complements the column-rule quality engine (§2.11), which "
+        "validates rows in isolation — this validates the RELATIONSHIPS "
+        "between tables.  Exact integer counts, one IEEE divide",
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, fk, parent, pk in _RI_EDGES:
+        c = t(spark, sf_dir, child).select(F.col(fk).alias("_fk"))
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
+        joined = c.join(p, F.col("_fk") == F.col("_pk"), "left")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.count_if(F.col("_pk").isNull()).alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("fk_edge"),
+            "n_child_rows",
+            "n_orphans",
+            (
+                F.col("n_orphans").cast("double") / F.col("n_child_rows")
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

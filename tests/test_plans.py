@@ -97,6 +97,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row crosses: row count, exact-F2, and sketch estimate
     # assembled into the single certified output row
     "sketch_cms_selfjoin_size",
+    # deliberate 1-row crosses: stream sizes, exact join count, and the
+    # inner-product estimate assembled into the single certified row
+    "sketch_cms_join_size_estimate",
     # deliberate n_clusters-row (16) broadcast crosses: Lloyd's assignment
     # step IS corpus × centroid-frame (operators/similarity.py
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row
