@@ -280,3 +280,87 @@ def kmv_estimate(arr: Column, k: int) -> Column:
         (F.lit(float(k - 1)) * F.lit(KMV_SPACE))
         / F.element_at(arr, k).cast("double")
     )
+
+
+# ---- Misra-Gries deterministic heavy hitters -------------------------------
+
+
+def _mg_compress(acc: dict, k: int) -> dict:
+    """Reduce a counter dict to at most ``k`` entries, Misra-Gries style:
+    subtract the (k+1)-th largest count from everything and keep the
+    strictly positive remainder (at most ``k`` keys survive, since the
+    (k+1)-th largest itself hits zero)."""
+    if len(acc) <= k:
+        return acc
+    import heapq
+
+    d = heapq.nlargest(k + 1, acc.values())[-1]
+    return {g: c - d for g, c in acc.items() if c > d}
+
+
+def misra_gries_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """DETERMINISTIC mergeable heavy-hitter summary (Misra & Gries 1982;
+    mergeability per Agarwal et al. 2013, "Mergeable summaries", PODS) —
+    the counter-based complement to the hash-based Count-Min row: no hash
+    functions, no probability; the guarantee is worst-case.
+
+    Contract, for a stream of N keys summarized with parameter ``k``:
+
+    - ``est(x) <= true(x)`` for every key (under-counts only);
+    - ``true(x) - est(x) <= N/(k+1)`` for every key, including absent
+      keys (``est = 0``) — hence every key with ``true > N/(k+1)`` is
+      guaranteed IN the summary;
+    - the summary holds at most ``k`` entries.
+
+    Merge-tree safety: each compression (batch-fold inside a partition,
+    and the final cross-partition merge) combines counter dicts by
+    addition and subtracts the (k+1)-th largest combined value.  Every
+    unit subtracted is subtracted from k+1 distinct keys simultaneously,
+    so total decrement D satisfies (k+1)·D <= N regardless of the merge
+    tree's shape — the N/(k+1) bound survives arbitrary partitioning
+    (the multi-way form of Agarwal et al.'s Lemma 1).
+
+    Shape at 100 TB: stage 1 is an Arrow ``mapInPandas`` holding at most
+    ``8k`` counters per task (bounded memory — the entire point vs an
+    exact GROUP BY over an unbounded key space) and emitting <= k rows
+    per partition; stage 2 ships k rows/partition to a key-summed merge
+    and one take-ordered over the <= k·P-row partial frame.  No stage
+    ever materializes per-key state proportional to key cardinality.
+    """
+
+    def partial(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for g, c in pdf["g"].value_counts().items():
+                acc[g] = acc.get(g, 0) + int(c)
+            if len(acc) > 8 * k:
+                acc = _mg_compress(acc, k)
+        acc = _mg_compress(acc, k)
+        if acc:
+            yield pd.DataFrame(
+                {"g": list(acc.keys()), "cnt": list(acc.values())}
+            )
+
+    parts = df.select(F.col(key_col).alias("g")).mapInPandas(
+        partial, "g string, cnt long"
+    )
+    summed = parts.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+    # (k+1)-th largest combined counter (0 when fewer than k+1 survive):
+    # a take-ordered over the <= k*P-row partial frame, never the stream.
+    drow = (
+        summed.orderBy(F.col("cnt").desc())
+        .limit(k + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) == k + 1, F.min("cnt"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    return (
+        summed.crossJoin(F.broadcast(drow))
+        .select("g", (F.col("cnt") - F.col("d")).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )

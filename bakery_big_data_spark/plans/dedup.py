@@ -419,6 +419,49 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_base_occ(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, occ) for the 5-token cross-doc span family: ``base`` carries
+    per-doc token/span counts, ``occ`` one (doc_id, pos, g) row per span
+    position (memoized per (session, sf) — shared by the span-statistics
+    and span-interval queries)."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = d.select(
+        "doc_id",
+        n.alias("n"),
+        F.greatest(n - 4, F.lit(0)).alias("n_spans"),
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"), F.array_join(F.slice(ws, i, 5), " ").alias("g")
+            ),
+        ).alias("_spans"),
+    )
+    occ = _SIG_CACHE.get_or_build(
+        spark,
+        (sf_dir, "cross_doc_occ"),
+        lambda: base.select("doc_id", F.explode("_spans").alias("s"))
+        .select("doc_id", "s.pos", "s.g")
+        .persist(),
+    )
+    return base, occ
+
+
+def _span_dup_positions(occ: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every span position whose VALUE occurs more than
+    once corpus-wide."""
+    cnt = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return occ.join(cnt.filter(F.col("c") > 1).select("g"), "g")
+
+
+
+
 @register(
     "dedup_cross_doc_spans",
     """
@@ -472,32 +515,8 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "back -> per-doc coverage agg",
 )
 def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    ws = F.split(F.col("text"), " ")
-    n = F.size(ws)
-    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
-        F.array().cast("array<int>")
-    )
-    base = d.select(
-        "doc_id",
-        n.alias("n"),
-        F.greatest(n - 4, F.lit(0)).alias("n_spans"),
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                i.alias("pos"), F.array_join(F.slice(ws, i, 5), " ").alias("g")
-            ),
-        ).alias("_spans"),
-    )
-    occ = _SIG_CACHE.get_or_build(
-        spark,
-        (sf_dir, "cross_doc_occ"),
-        lambda: base.select("doc_id", F.explode("_spans").alias("s"))
-        .select("doc_id", "s.pos", "s.g")
-        .persist(),
-    )
-    cnt = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-    dup = occ.join(cnt.filter(F.col("c") > 1).select("g"), "g")
+    base, occ = _span_base_occ(spark, sf_dir)
+    dup = _span_dup_positions(occ)
     dupstats = dup.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans")
     )
@@ -791,3 +810,95 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i").cast("double") / F.col("nb")).alias("containment"),
     )
     return fwd.unionAll(rev)
+
+
+@register(
+    "dedup_span_intervals",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), base AS (
+      SELECT doc_id, ws, len(ws) AS n FROM docs
+    ), occ AS (
+      SELECT doc_id, i AS pos,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                   || ws[i+3] || ' ' || ws[i+4] AS g
+      FROM base, UNNEST(generate_series(1, n - 4)) AS u(i)
+    ), cnt AS (
+      SELECT g, COUNT(*) AS c FROM occ GROUP BY g
+    ), dup AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN cnt ON o.g = cnt.g
+      WHERE cnt.c > 1
+    ), ord AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL
+                       OR pos - LAG(pos) OVER w > 5
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM ord
+    ), iv AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 4 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(MAX(e - s + 1) AS BIGINT) AS longest_run,
+           CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+    FROM iv GROUP BY doc_id
+    """,
+    doc="MAXIMAL duplicated-span INTERVALS — the statistic span-REMOVAL "
+        "needs (Lee et al. 2022, 'Deduplicating training data makes "
+        "language models better', removes every duplicated substring "
+        "over a length floor; removal operates on merged intervals, not "
+        "raw window hits): the flagged 5-token positions of "
+        "dedup_cross_doc_spans merged per doc into maximal runs via "
+        "gap-and-islands (an island breaks when the next flagged pos "
+        "starts past the previous window's token coverage, gap > 5), "
+        "emitting per doc the interval count, the LONGEST duplicated "
+        "run in tokens, and total covered tokens — the last is "
+        "definitionally equal to dedup_cross_doc_spans' "
+        "explode-distinct coverage, a cross-query invariant the test "
+        "suite asserts.  Plan: the shared memoized (doc,pos,g) span "
+        "frame -> span-value hash-agg membership join (the one corpus "
+        "shuffle) -> per-doc lag + running-sum windows (PARTITIONED by "
+        "doc, never global) -> two-level agg.  At 100 TB ship "
+        "xxhash64(span) as the membership key so the shuffle carries "
+        "8-byte keys, not text",
+)
+def dedup_span_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _, occ = _span_base_occ(spark, sf_dir)
+    dup = _span_dup_positions(occ)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    ord_ = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            prev.isNull() | (F.col("pos") - prev > 5), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    isl = ord_.select(
+        "doc_id",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    iv = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(4)).alias("e")
+    )
+    ln = F.col("e") - F.col("s") + F.lit(1)
+    return iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.max(ln).cast("bigint").alias("longest_run"),
+        F.sum(ln).cast("bigint").alias("covered_tokens"),
+    )

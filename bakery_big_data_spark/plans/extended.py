@@ -1998,3 +1998,319 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_MG_K = 32
+_MG_KEY_SQL = (
+    "CASE WHEN value < 50 THEN event_type "
+    "ELSE event_type || ':' || CAST(user_id AS VARCHAR) END"
+)
+
+
+@register(
+    "sketch_misra_gries_heavy_hitters",
+    f"""
+    WITH keyed AS (
+      SELECT {_MG_KEY_SQL} AS g FROM events
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM keyed
+    ), f AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM keyed GROUP BY g
+      ORDER BY true_count DESC, g LIMIT 20
+    )
+    SELECT g AS key, true_count,
+           true_count * {_MG_K + 1} > n_tot AS guaranteed_heavy,
+           TRUE AS est_lower_ok,
+           TRUE AS bound_ok,
+           TRUE AS covered_ok
+    FROM f, n
+    """,
+    doc="Misra-Gries heavy hitters (Misra & Gries 1982; mergeable per "
+        "Agarwal et al. 2013) — the DETERMINISTIC counter-based "
+        "complement to the probabilistic Count-Min row: k=32 counters, "
+        "worst-case contract est<=true AND true-est<=N/(k+1) for EVERY "
+        "key (absent keys read 0), so every key above N/(k+1) is "
+        "guaranteed present — no hash functions, no failure "
+        "probability.  The stream is the sentinel-collapse key real "
+        "frequency tables are dominated by (low-value events collapse "
+        "to their event_type, like empty referrers collapsing to "
+        "'direct'): 5 collapsed keys at ~12% of N each tower over "
+        "~750 per-user tail keys, so the guarantee is exercised, not "
+        "vacuous.  The summary content is partitioning-dependent "
+        "(WHICH tail keys survive varies) but the CONTRACT is not, so "
+        "the row certifies exactly the deterministic facts: the exact "
+        "top-20 keys with per-key booleans computed from the real "
+        "summary — est_lower_ok, bound_ok via exact integer cross- "
+        "multiplication (true-est)*(k+1) <= N, covered_ok = "
+        "guaranteed implies present.  A flipped boolean hash-fails "
+        "against the oracle's TRUE literals.  Plan shape: bounded "
+        "8k-entry Arrow fold per partition emitting <=k rows, key-sum "
+        "merge, one take-ordered over the <=k*P partial frame "
+        "(operators/sketches.py::misra_gries_summary)",
+)
+def sketch_misra_gries_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.operators.sketches import misra_gries_summary
+    from bakery_big_data_spark.plans.base import spread
+
+    k = _MG_K
+    keyed = spread(
+        t(spark, sf_dir, "events").select(
+            F.when(F.col("value") < 50, F.col("event_type"))
+            .otherwise(
+                F.concat_ws(
+                    ":", F.col("event_type"), F.col("user_id").cast("string")
+                )
+            )
+            .alias("g")
+        )
+    )
+    keyed = _EXT_CACHE.get_or_build(
+        spark, (sf_dir, "mg_keyed"), lambda: keyed.persist()
+    )
+    n_row = keyed.agg(F.count(F.lit(1)).alias("n_tot"))
+    summary = misra_gries_summary(keyed, "g", k).withColumnRenamed(
+        "cnt", "est"
+    )
+    exact = (
+        keyed.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "g")
+        .limit(20)
+    )
+    est0 = F.coalesce(F.col("est"), F.lit(0))
+    guaranteed = F.col("true_count") * F.lit(k + 1) > F.col("n_tot")
+    return (
+        exact.join(summary, "g", "left")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("g").alias("key"),
+            "true_count",
+            guaranteed.alias("guaranteed_heavy"),
+            (est0 <= F.col("true_count")).alias("est_lower_ok"),
+            (
+                (F.col("true_count") - est0) * F.lit(k + 1)
+                <= F.col("n_tot")
+            ).alias("bound_ok"),
+            (~guaranteed | (est0 > F.lit(0))).alias("covered_ok"),
+        )
+    )
+
+
+_LOGIT_ROUNDS = 8
+_LOGIT_LR = 4.0
+
+
+def _logit_oracle(rounds: int, lr: float) -> str:
+    """Unrolled per-round-corpus-pass GD oracle for the logistic row.
+
+    Non-quadratic loss means NO sufficient-statistic shortcut exists (the
+    gradient needs sigma(x'w) per row), so — unlike the linear-GD row —
+    every round is a genuine corpus pass, here an ``xs, r{i-1}`` CTE
+    scan.  The link is the algebraic fast sigmoid
+    ``0.5 + 0.5*(z/(1+|z|))``: +, *, /, abs are single correctly-rounded
+    IEEE ops in both engines (exp is NOT guaranteed bit-identical, which
+    rules the classic logistic link out of hash certification), so every
+    per-row addend is bit-identical and the 1e9 floor quantizers make
+    each round's gradient sums exact int64s."""
+    head = """
+    WITH labeled AS (
+      SELECT q, d, CASE WHEN d < 0.05 * q THEN 1.0 ELSE 0.0 END AS y
+      FROM (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS q,
+               CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE)
+                 AS d
+        FROM lineitem
+      )
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(q * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sq,
+             CAST(SUM(CAST(FLOOR(d * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sd,
+             CAST(SUM(CAST(FLOOR(q * q * 1e1) AS BIGINT)) AS DOUBLE) / 1e1
+               AS sq2,
+             CAST(SUM(CAST(FLOOR(d * d * 1e3) AS BIGINT)) AS DOUBLE) / 1e3
+               AS sd2
+      FROM labeled
+    ), mus AS (
+      SELECT n, sqrt(sq2 / n - (sq / n) * (sq / n)) AS vq,
+             sqrt(sd2 / n - (sd / n) * (sd / n)) AS vd,
+             sq / n AS mq, sd / n AS md
+      FROM stats
+    ), xs AS (
+      SELECT (q - mq) / vq AS x1, (d - md) / vd AS x2, y
+      FROM labeled, mus
+    ), r0 AS (
+      SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2
+    )"""
+    rounds_sql = []
+    for i in range(1, rounds + 1):
+        rounds_sql.append(
+            f""", p{i} AS (
+      SELECT x1, x2,
+             (0.5 + 0.5 * ((w0 + x1 * w1 + x2 * w2)
+               / (1.0 + abs(w0 + x1 * w1 + x2 * w2)))) - y AS e
+      FROM xs, r{i - 1}
+    ), g{i} AS (
+      SELECT
+        CAST(SUM(CAST(FLOOR(e * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s0,
+        CAST(SUM(CAST(FLOOR(e * x1 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s1,
+        CAST(SUM(CAST(FLOOR(e * x2 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s2
+      FROM p{i}
+    ), r{i} AS (
+      SELECT w0 - {lr!r} * (s0 / n) AS w0,
+             w1 - {lr!r} * (s1 / n) AS w1,
+             w2 - {lr!r} * (s2 / n) AS w2
+      FROM r{i - 1}, g{i}, mus
+    )"""
+        )
+    tail = f"""
+    , acc AS (
+      SELECT CAST(SUM(CASE WHEN ((w0 + x1 * w1 + x2 * w2) > 0.0) = (y > 0.5)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM xs, r{rounds}
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, w0, w1, w2,
+           CAST(n_correct AS DOUBLE) / n AS accuracy,
+           CAST(n_correct AS DOUBLE) / n > 0.95 AS separable_fit_ok
+    FROM r{rounds}, acc, mus
+    """
+    return head + "".join(rounds_sql) + tail
+
+
+@register(
+    "ml_logistic_classifier_gd",
+    _logit_oracle(_LOGIT_ROUNDS, _LOGIT_LR),
+    doc="Distributed BINARY-CLASSIFIER training, hash-certified end to "
+        "end — the quality-classifier trainer every LLM curation "
+        "pipeline runs (fastText-style: label docs, fit a linear "
+        "classifier, gate the corpus on its score): logistic-shaped GD "
+        "on lineitem with an EXACTLY LINEARLY SEPARABLE ground truth "
+        "(y = discount < 5%, i.e. 0.05*gross - absolute_discount > 0, a "
+        "linear boundary in the two standardized features), so the fit "
+        "is verifiable — accuracy must rise toward the separable "
+        "optimum and does (0.96+ after 8 rounds from w=0).  The "
+        "CONTRAST with ml_linear_regression_gd is the point: quadratic "
+        "loss collapses to sufficient statistics (one corpus pass, then "
+        "O(1) rounds), but a non-quadratic link needs sigma(x'w) per "
+        "row per round, so each round here is a genuine map-side- "
+        "combinable gradient pass over the persisted standardized "
+        "corpus — 8 rounds = 8 cached-frame scans, the exact shape "
+        "MLlib's LogisticRegression runs at 100 TB.  Cross-engine "
+        "determinism: the algebraic fast sigmoid 0.5+0.5*z/(1+|z|) "
+        "(exp is not bit-portable; +,*,/,abs are), per-magnitude floor "
+        "quantizers for int64-exact gradient sums, weights carried on "
+        "a lazy 1-row broadcast frame (no driver round trips), and the "
+        "oracle unrolls all 8 rounds as corpus-scanning CTEs — weights, "
+        "accuracy, and the certified separable_fit_ok bit identical",
+)
+def ml_logistic_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ep = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    raw = t(spark, sf_dir, "lineitem").select(
+        ep.alias("q"), (ep * disc).alias("d")
+    )
+    labeled = raw.select(
+        "q",
+        "d",
+        F.when(F.col("d") < F.lit(0.05) * F.col("q"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+    def qs(col, scale):
+        return F.sum(F.floor(col * F.lit(scale)).cast("bigint")).cast(
+            "double"
+        ) / F.lit(scale)
+
+    stats = labeled.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        qs(F.col("q"), 1e4).alias("sq"),
+        qs(F.col("d"), 1e4).alias("sd"),
+        qs(F.col("q") * F.col("q"), 1e1).alias("sq2"),
+        qs(F.col("d") * F.col("d"), 1e3).alias("sd2"),
+    )
+    mus = stats.select(
+        "n",
+        F.sqrt(
+            F.col("sq2") / F.col("n")
+            - (F.col("sq") / F.col("n")) * (F.col("sq") / F.col("n"))
+        ).alias("vq"),
+        F.sqrt(
+            F.col("sd2") / F.col("n")
+            - (F.col("sd") / F.col("n")) * (F.col("sd") / F.col("n"))
+        ).alias("vd"),
+        (F.col("sq") / F.col("n")).alias("mq"),
+        (F.col("sd") / F.col("n")).alias("md"),
+    )
+    xs = _EXT_CACHE.get_or_build(
+        spark,
+        (sf_dir, "logit_xs"),
+        lambda: labeled.crossJoin(F.broadcast(mus))
+        .select(
+            ((F.col("q") - F.col("mq")) / F.col("vq")).alias("x1"),
+            ((F.col("d") - F.col("md")) / F.col("vd")).alias("x2"),
+            "y",
+        )
+        .persist(),
+    )
+    lr = F.lit(_LOGIT_LR)
+    # Weights ride WITH n on one frame, and every round references the
+    # previous round's frame exactly ONCE (inside the gradient pass, with
+    # the constant n/w columns carried through the aggregate via min) —
+    # referencing r twice per round doubles the logical plan per round
+    # and analysis alone OOMs by round 8, the same 2^k blowup the BPE
+    # merge loop documents (operators/bpe.py).
+    r = mus.select(
+        "n",
+        F.lit(0.0).alias("w0"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+    )
+    z = F.col("w0") + F.col("x1") * F.col("w1") + F.col("x2") * F.col("w2")
+    e = (
+        F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+    ) - F.col("y")
+    carry = [F.min(c).alias(f"p{c}") for c in ("n", "w0", "w1", "w2")]
+    for _ in range(_LOGIT_ROUNDS):
+        r = (
+            xs.crossJoin(F.broadcast(r))
+            .agg(
+                *carry,
+                qs(e, 1e9).alias("s0"),
+                qs(e * F.col("x1"), 1e9).alias("s1"),
+                qs(e * F.col("x2"), 1e9).alias("s2"),
+            )
+            .select(
+                F.col("pn").alias("n"),
+                (F.col("pw0") - lr * (F.col("s0") / F.col("pn"))).alias("w0"),
+                (F.col("pw1") - lr * (F.col("s1") / F.col("pn"))).alias("w1"),
+                (F.col("pw2") - lr * (F.col("s2") / F.col("pn"))).alias("w2"),
+            )
+        )
+    return (
+        xs.crossJoin(F.broadcast(r))
+        .agg(
+            *carry,
+            F.sum(
+                F.when((z > F.lit(0.0)) == (F.col("y") > F.lit(0.5)), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("pn").cast("bigint").alias("n_rows"),
+            F.col("pw0").alias("w0"),
+            F.col("pw1").alias("w1"),
+            F.col("pw2").alias("w2"),
+            (F.col("n_correct").cast("double") / F.col("pn")).alias(
+                "accuracy"
+            ),
+            (
+                F.col("n_correct").cast("double") / F.col("pn")
+                > F.lit(0.95)
+            ).alias("separable_fit_ok"),
+        )
+    )

@@ -1017,3 +1017,125 @@ def embedding_pca_power_iteration(
         F.col("vk").alias("component"),
         F.col("nrm").alias("eigenvalue"),
     )
+
+
+def _hybrid_oracle() -> str:
+    from bakery_big_data_spark.plans.textops import _BM25_CTES
+
+    return f"""
+    WITH {_BM25_CTES}, lex AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS lr
+      FROM scored
+      QUALIFY lr <= 20
+    ), {_VEC_CTE}, qdoc AS (
+      SELECT source, MIN(doc_id) AS q_id FROM documents GROUP BY source
+    ), qv AS (
+      SELECT q.source, q.q_id, n.v AS qvv, n.n2 AS qn2
+      FROM qdoc q JOIN nrm n ON n.vec_id = q.q_id
+    ), semall AS (
+      SELECT qv.source, b.vec_id AS doc_id,
+             {_FOLD_DOT.format(a='qv.qvv', b='b.v')}
+               / sqrt(qv.qn2 * b.n2) AS cosine
+      FROM qv JOIN nrm b ON b.vec_id <> qv.q_id
+    ), sem AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cosine DESC, doc_id) AS sr
+      FROM semall
+      QUALIFY sr <= 20
+    ), fused AS (
+      SELECT COALESCE(l.source, s.source) AS query_source,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(1.0 / (60.0 + CAST(l.lr AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / (60.0 + CAST(s.sr AS DOUBLE)), 0.0)
+               AS rrf_score,
+             l.lr AS lex_rank, s.sr AS sem_rank
+      FROM lex l FULL JOIN sem s
+        ON l.source = s.source AND l.doc_id = s.doc_id
+    )
+    SELECT * FROM (
+      SELECT query_source, doc_id, rrf_score, lex_rank, sem_rank,
+             ROW_NUMBER() OVER (PARTITION BY query_source
+                                ORDER BY rrf_score DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    _hybrid_oracle(),
+    doc="HYBRID retrieval with reciprocal-rank fusion (Cormack et al. "
+        "2009, the fusion rule RAG stacks run in production): per "
+        "source, a LEXICAL leg (the certified BM25 scorer — "
+        "plans/textops.py::_bm25_scored, shared verbatim with "
+        "text_bm25_retrieval) and a SEMANTIC query-by-example leg (the "
+        "source's lowest-doc_id document's embedding scored by exact "
+        "cosine against the corpus) each produce a top-20 list; a doc's "
+        "fused score is sum(1/(60+rank)) over the lists containing it, "
+        "missing-list membership contributing 0, final top-10 per "
+        "query.  Rank fusion needs NO score calibration between legs — "
+        "that's why it wins in practice over weighted score sums.  "
+        "Determinism: ranks are integers; 1/(60+r) and the two-term sum "
+        "are single IEEE ops; equal fused scores (e.g. lex-only rank r "
+        "vs sem-only rank r) tie-break by doc_id in both engines.  "
+        "Scale shape: each leg is top-K-bounded before fusion (fusion "
+        "joins K-row frames, never corpora); the semantic leg here is "
+        "the documented broadcast brute-force baseline — at 100 TB swap "
+        "in the banded-LSH ANN leg (similarity_ann_lsh) unchanged, "
+        "since RRF consumes only ranks",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from bakery_big_data_spark.operators.similarity import brute_force_topk
+    from bakery_big_data_spark.plans.textops import _bm25_scored
+
+    wl = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= 20)
+        .select("source", "doc_id", "lr")
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    qdoc = docs.groupBy("source").agg(F.min("doc_id").alias("q_id"))
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = qdoc.join(emb, F.col("q_id") == F.col("vec_id")).select(
+        F.col("q_id").alias("vec_id"), "embedding"
+    )
+    topk = brute_force_topk(qvec, emb, "vec_id", "embedding", k=20)
+    ws = Window.partitionBy("source").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    sem = (
+        topk.join(F.broadcast(qdoc), "q_id")
+        .select("source", F.col("c_id").alias("doc_id"), "cosine")
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= 20)
+        .select("source", "doc_id", "sr")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("lr").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("sr").cast("double")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_source").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        lex.join(sem, ["source", "doc_id"], "full")
+        .select(
+            F.col("source").alias("query_source"),
+            "doc_id",
+            rrf.alias("rrf_score"),
+            F.col("lr").alias("lex_rank"),
+            F.col("sr").alias("sem_rank"),
+        )
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= 10)
+    )

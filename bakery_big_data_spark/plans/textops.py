@@ -822,10 +822,10 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(d, "doc_id", "text", num_merges=8)
 
 
-@register(
-    "text_bm25_retrieval",
-    """
-    WITH tok AS (
+#: BM25 scoring CTE chain through ``scored`` (source-query construction,
+#: rational idf, decimal-summed per-doc scores) — shared verbatim by the
+#: certified text_bm25_retrieval row and the hybrid-RRF lexical leg.
+_BM25_CTES = """tok AS (
       SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
       FROM documents
     ), dls AS (
@@ -872,7 +872,13 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_terms,
              CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE) AS score
       FROM contrib GROUP BY source, doc_id
-    ), ranked AS (
+    )"""
+
+
+@register(
+    "text_bm25_retrieval",
+    f"""
+    WITH {_BM25_CTES}, ranked AS (
       SELECT source, doc_id, n_terms, score,
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY score DESC, doc_id) AS rk
@@ -896,6 +902,27 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query-partitioned candidate aggregate only",
 )
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    wr = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("source").alias("query_source"),
+            "doc_id",
+            "n_terms",
+            "score",
+            "rk",
+        )
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, n_terms, score) — the Spark mirror of _BM25_CTES."""
     from pyspark.sql.window import Window
 
     d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
@@ -952,23 +979,9 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("source", "doc_id", (idf * tfp).alias("c"))
     )
-    scored = contrib.groupBy("source", "doc_id").agg(
+    return contrib.groupBy("source", "doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum(F.col("c").cast(DEC)).cast("double").alias("score"),
-    )
-    wr = Window.partitionBy("source").orderBy(
-        F.col("score").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= 5)
-        .select(
-            F.col("source").alias("query_source"),
-            "doc_id",
-            "n_terms",
-            "score",
-            "rk",
-        )
     )
 
 

@@ -266,3 +266,23 @@ def test_prefix_filter_lossless_at_high_threshold(spark, sf_dir):
     }
     assert pf == exact
     assert len(pf) > 0
+
+
+def test_span_intervals_cover_equals_cross_doc_union(spark, sf_dir):
+    """Cross-query invariant: the gap-and-islands interval lengths of
+    dedup_span_intervals must sum, per doc, to exactly the explode-distinct
+    token-coverage of dedup_cross_doc_spans — two independent formulations
+    of the same union-of-windows measure."""
+    from bakery_big_data_spark.plans import REGISTRY
+
+    iv = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in REGISTRY["dedup_span_intervals"].build(spark, sf_dir).collect()
+    }
+    cov = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in REGISTRY["dedup_cross_doc_spans"].build(spark, sf_dir).collect()
+        if r["covered_tokens"] > 0
+    }
+    assert iv == cov
+    assert len(iv) > 0

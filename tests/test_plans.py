@@ -105,6 +105,18 @@ NESTED_LOOP_ALLOWED = {
     # lloyd_centroids / lloyd_ivf_topk) — bounded side is the 16-row
     # centroid table, never corpus × corpus
     "similarity_ivf_topk",
+    # deliberate 1-row broadcasts: the standardization stats cross (the
+    # linreg pattern) plus one weights-frame cross per GD round — the
+    # per-round corpus gradient pass IS corpus × 1-row weight state
+    "ml_logistic_classifier_gd",
+    # deliberate 1-row broadcasts: the (k+1)-th-largest decrement onto the
+    # <=k*P-row partial-summary frame, and the lazy stream total onto the
+    # top-20 frame for the bound columns
+    "sketch_misra_gries_heavy_hitters",
+    # the semantic leg is the documented 5-query broadcast brute-force
+    # baseline (same class as similarity_topk_bruteforce); the 100 TB
+    # swap-in is the banded-LSH leg, which RRF consumes unchanged
+    "retrieval_hybrid_rrf",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but

@@ -259,3 +259,92 @@ def test_scalable_prefix_sum_matches_window_hypothesis(spark, rows):
         ).collect()
     }
     assert got == expected
+
+
+def test_misra_gries_contract_partition_invariant(spark, sf_dir):
+    """The MG CONTRACT must hold under any partitioning (summary CONTENT may
+    differ — that's the algorithm, not a bug): size <= k, est <= true for
+    every surviving key, true - est <= N/(k+1) for EVERY key (absent keys
+    read est = 0), and every key above N/(k+1) present.  k = 8 on the
+    sentinel-collapsed event key stresses heavy truncation (cardinality is
+    hundreds)."""
+    from bakery_big_data_spark.operators.sketches import misra_gries_summary
+
+    k = 8
+    keyed = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.when(F.col("value") < 50, F.col("event_type"))
+            .otherwise(
+                F.concat_ws(
+                    ":", F.col("event_type"), F.col("user_id").cast("string")
+                )
+            )
+            .alias("g")
+        )
+    )
+    exact = {
+        r["g"]: r["c"]
+        for r in keyed.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(exact.values())
+    bound = n / (k + 1)
+    for parts in (1, 3, 13):
+        summary = {
+            r["g"]: r["cnt"]
+            for r in misra_gries_summary(
+                keyed.repartition(parts), "g", k
+            ).collect()
+        }
+        assert len(summary) <= k, (parts, len(summary))
+        for g, est in summary.items():
+            assert est <= exact[g], (parts, g)
+        for g, true in exact.items():
+            est = summary.get(g, 0)
+            assert true - est <= bound, (parts, g, true, est)
+            if true > bound:
+                assert g in summary, (parts, g)
+
+
+def test_logistic_gd_matches_numpy_reference(spark, sf_dir):
+    """The distributed 8-round GD must be BIT-IDENTICAL to a single-machine
+    numpy fold running the same update rule with the same int64 floor
+    quantizers — per-row IEEE ops and exact integer sums leave no room for
+    'close enough'."""
+    import numpy as np
+
+    from bakery_big_data_spark.plans import REGISTRY
+
+    row = REGISTRY["ml_logistic_classifier_gd"].build(spark, sf_dir).collect()[0]
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    q = pdf["l_extendedprice"].to_numpy(np.float64)
+    d = q * pdf["l_discount"].to_numpy(np.float64)
+    y = np.where(d < 0.05 * q, 1.0, 0.0)
+    n = float(len(q))
+
+    def qsum(v, scale):
+        return float(np.floor(v * scale).astype(np.int64).sum()) / scale
+
+    sq, sd = qsum(q, 1e4), qsum(d, 1e4)
+    sq2, sd2 = qsum(q * q, 1e1), qsum(d * d, 1e3)
+    mq, md = sq / n, sd / n
+    vq = np.sqrt(sq2 / n - (sq / n) * (sq / n))
+    vd = np.sqrt(sd2 / n - (sd / n) * (sd / n))
+    x1, x2 = (q - mq) / vq, (d - md) / vd
+    w0 = w1 = w2 = 0.0
+    for _ in range(8):
+        z = w0 + x1 * w1 + x2 * w2
+        e = (0.5 + 0.5 * (z / (1.0 + np.abs(z)))) - y
+        s0, s1, s2 = qsum(e, 1e9), qsum(e * x1, 1e9), qsum(e * x2, 1e9)
+        w0, w1, w2 = w0 - 4.0 * (s0 / n), w1 - 4.0 * (s1 / n), w2 - 4.0 * (s2 / n)
+    z = w0 + x1 * w1 + x2 * w2
+    n_correct = int(((z > 0.0) == (y > 0.5)).sum())
+
+    assert (row["w0"], row["w1"], row["w2"]) == (w0, w1, w2)
+    assert row["accuracy"] == n_correct / n
+    assert row["n_rows"] == int(n)

@@ -89,6 +89,13 @@ QUERIES = [
     "skew_profile_keys",
     "trend_linear_fit_daily",
     "embedding_pca_power_iteration",
+    # round-8 second-window rows: MG heavy hitters (cardinality 5 < k —
+    # the no-truncation path; every value below the sentinel threshold),
+    # hybrid RRF (zero-norm query vector drops src0's semantic leg, a
+    # source whose representative doc has NO embedding row drops src2's —
+    # the fusion must survive lex-only sources)
+    "sketch_misra_gries_heavy_hitters",
+    "retrieval_hybrid_rrf",
 ]
 
 
@@ -201,6 +208,10 @@ TPCH_QUERIES = [
     "union_by_name_evolution",
     "window_distribution_ranks",
     "window_range_frame",
+    # GD trainers: 100%/0% discounts stress the separable label rule
+    # (d = q exactly at full discount) and the moment quantizers
+    "ml_linear_regression_gd",
+    "ml_logistic_classifier_gd",
 ]
 
 
