@@ -12,7 +12,11 @@ from bakery_big_data_spark.operators.asof import asof_join
 from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.plans.base import dsum, register, sql_dsum, t
 
-_EXT_CACHE = PlanCache(max_entries=2)
+# Holds the CMS bigram stream, the MG sentinel-keyed stream, and the
+# logistic standardized corpus — one artifact per family, sized so a full
+# catalog sweep at one SF never LRU-thrashes mid-sweep (the _SIG_CACHE
+# rationale; eviction unpersists, so the only cost of a miss is a rebuild).
+_EXT_CACHE = PlanCache(max_entries=4)
 
 
 @register(
@@ -2103,8 +2107,9 @@ _LOGIT_ROUNDS = 8
 _LOGIT_LR = 4.0
 
 
-def _logit_oracle(rounds: int, lr: float) -> str:
-    """Unrolled per-round-corpus-pass GD oracle for the logistic row.
+def _logit_cte_chain(rounds: int, lr: float) -> str:
+    """Unrolled per-round-corpus-pass GD CTE chain (through ``r{rounds}``)
+    for the logistic rows.
 
     Non-quadratic loss means NO sufficient-statistic shortcut exists (the
     gradient needs sigma(x'w) per row), so — unlike the linear-GD row —
@@ -2114,7 +2119,8 @@ def _logit_oracle(rounds: int, lr: float) -> str:
     IEEE ops in both engines (exp is NOT guaranteed bit-identical, which
     rules the classic logistic link out of hash certification), so every
     per-row addend is bit-identical and the 1e9 floor quantizers make
-    each round's gradient sums exact int64s."""
+    each round's gradient sums exact int64s.  Shared by the training row
+    (weights/accuracy tail) and the calibration row (reliability tail)."""
     head = """
     WITH labeled AS (
       SELECT q, d, CASE WHEN d < 0.05 * q THEN 1.0 ELSE 0.0 END AS y
@@ -2165,7 +2171,13 @@ def _logit_oracle(rounds: int, lr: float) -> str:
       FROM r{i - 1}, g{i}, mus
     )"""
         )
-    tail = f"""
+    return head + "".join(rounds_sql)
+
+
+def _logit_oracle(rounds: int, lr: float) -> str:
+    return (
+        _logit_cte_chain(rounds, lr)
+        + f"""
     , acc AS (
       SELECT CAST(SUM(CASE WHEN ((w0 + x1 * w1 + x2 * w2) > 0.0) = (y > 0.5)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
@@ -2176,7 +2188,32 @@ def _logit_oracle(rounds: int, lr: float) -> str:
            CAST(n_correct AS DOUBLE) / n > 0.95 AS separable_fit_ok
     FROM r{rounds}, acc, mus
     """
-    return head + "".join(rounds_sql) + tail
+    )
+
+
+def _calibration_oracle(rounds: int, lr: float) -> str:
+    return (
+        _logit_cte_chain(rounds, lr)
+        + f"""
+    , preds AS (
+      SELECT 0.5 + 0.5 * ((w0 + x1 * w1 + x2 * w2)
+               / (1.0 + abs(w0 + x1 * w1 + x2 * w2))) AS p, y
+      FROM xs, r{rounds}
+    ), binned AS (
+      SELECT CAST(LEAST(FLOOR(p * 10.0), 9.0) AS BIGINT) AS decile, p, y
+      FROM preds
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(SUM(CAST(FLOOR(p * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             / COUNT(*) AS mean_predicted,
+           CAST(SUM(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS observed_rate
+    FROM binned GROUP BY decile
+    """
+    )
 
 
 @register(
@@ -2206,6 +2243,42 @@ def _logit_oracle(rounds: int, lr: float) -> str:
         "accuracy, and the certified separable_fit_ok bit identical",
 )
 def ml_logistic_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xs, r = _logit_trained(spark, sf_dir)
+    z = F.col("w0") + F.col("x1") * F.col("w1") + F.col("x2") * F.col("w2")
+    carry = [F.min(c).alias(f"p{c}") for c in ("n", "w0", "w1", "w2")]
+    return (
+        xs.crossJoin(F.broadcast(r))
+        .agg(
+            *carry,
+            F.sum(
+                F.when((z > F.lit(0.0)) == (F.col("y") > F.lit(0.5)), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("pn").cast("bigint").alias("n_rows"),
+            F.col("pw0").alias("w0"),
+            F.col("pw1").alias("w1"),
+            F.col("pw2").alias("w2"),
+            (F.col("n_correct").cast("double") / F.col("pn")).alias(
+                "accuracy"
+            ),
+            (
+                F.col("n_correct").cast("double") / F.col("pn")
+                > F.lit(0.95)
+            ).alias("separable_fit_ok"),
+        )
+    )
+
+
+def _logit_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(persisted standardized corpus ``xs``, trained 1-row weights frame
+    ``(n, w0, w1, w2)`` after the 8-round GD loop) — the Spark mirror of
+    ``_logit_cte_chain``, shared by the training and calibration rows."""
     ep = F.col("l_extendedprice").cast("double")
     disc = F.col("l_discount").cast("double")
     raw = t(spark, sf_dir, "lineitem").select(
@@ -2289,28 +2362,125 @@ def ml_logistic_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("pw2") - lr * (F.col("s2") / F.col("pn"))).alias("w2"),
             )
         )
-    return (
-        xs.crossJoin(F.broadcast(r))
-        .agg(
-            *carry,
-            F.sum(
-                F.when((z > F.lit(0.0)) == (F.col("y") > F.lit(0.5)), 1)
-                .otherwise(0)
+    return xs, r
+
+
+@register(
+    "ml_classifier_calibration",
+    _calibration_oracle(_LOGIT_ROUNDS, _LOGIT_LR),
+    doc="Model CALIBRATION / reliability table for the trained "
+        "classifier — the evaluation half of the quality-classifier "
+        "story (a curation gate thresholds on the score, so it needs "
+        "the score to MEAN something): the 8-round-GD weights of "
+        "ml_logistic_classifier_gd applied back over the corpus, "
+        "predictions bucketed into score deciles, and per decile the "
+        "row count, positive count, mean predicted probability "
+        "(int64-quantized exact sum), and observed positive rate — the "
+        "reliability-diagram table.  One extra corpus pass after "
+        "training (map-side-combinable decile agg); the oracle re-runs "
+        "the full unrolled training chain (shared verbatim via "
+        "_logit_cte_chain) plus the binning pass, so weights AND "
+        "calibration are certified end to end.  Decile edges are "
+        "floor(10p) on bit-identical doubles; the separable ground "
+        "truth shows up as the diagnostic pattern a reliability table "
+        "exists to reveal: extreme deciles near-pure, mid deciles "
+        "mixed",
+)
+def ml_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xs, r = _logit_trained(spark, sf_dir)
+    z = F.col("w0") + F.col("x1") * F.col("w1") + F.col("x2") * F.col("w2")
+    p = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+    preds = xs.crossJoin(F.broadcast(r)).select(p.alias("p"), "y")
+    binned = preds.select(
+        F.least(F.floor(F.col("p") * F.lit(10.0)), F.lit(9.0))
+        .cast("bigint")
+        .alias("decile"),
+        "p",
+        "y",
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("y") > F.lit(0.5), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        (
+            F.sum(F.floor(F.col("p") * F.lit(1e9)).cast("bigint")).cast(
+                "double"
             )
-            .cast("bigint")
-            .alias("n_correct"),
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("mean_predicted"),
+        (
+            F.sum(F.when(F.col("y") > F.lit(0.5), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("observed_rate"),
+    )
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _column_profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS DOUBLE)
+             / COUNT(*) AS null_rate,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM events"""
         )
-        .select(
-            F.col("pn").cast("bigint").alias("n_rows"),
-            F.col("pw0").alias("w0"),
-            F.col("pw1").alias("w1"),
-            F.col("pw2").alias("w2"),
-            (F.col("n_correct").cast("double") / F.col("pn")).alias(
-                "accuracy"
-            ),
-            (
-                F.col("n_correct").cast("double") / F.col("pn")
-                > F.lit(0.95)
-            ).alias("separable_fit_ok"),
-        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "audit_column_profile",
+    _column_profile_oracle(),
+    doc="COLUMN-PROFILE audit (the ANALYZE-TABLE statistics pass every "
+        "warehouse runs before query planning and every curation "
+        "pipeline runs before trusting a new feed): one row per column "
+        "of the events table with row count, NULL count/rate, and "
+        "exact distinct cardinality.  Completes the data-quality "
+        "triangle — §2.11 validates rows against rules, "
+        "audit_referential_integrity validates relationships BETWEEN "
+        "tables, this validates the DISTRIBUTION of each column.  Plan "
+        "shape: ONE scan — all six null counters and all six "
+        "COUNT(DISTINCT)s in a single Aggregate (Catalyst plans the "
+        "multi-distinct via Expand, rows x distinct-aggs, still "
+        "map-side partial and one shuffle — the standard engine shape "
+        "for ANALYZE; per-column passes would scan the table 6x), then "
+        "a stack() unpivot of the 1-row wide frame into the long "
+        "audit format.  At 100 TB swap exact distincts for HLL "
+        "(approx_count_distinct_scale certifies the bound) — the plan "
+        "shape is identical minus the Expand",
+)
+def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (column_name, n_null, n_distinct)"
+        ),
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        (F.col("n_null").cast("double") / F.col("n_rows")).alias(
+            "null_rate"
+        ),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )

@@ -109,6 +109,9 @@ NESTED_LOOP_ALLOWED = {
     # linreg pattern) plus one weights-frame cross per GD round — the
     # per-round corpus gradient pass IS corpus × 1-row weight state
     "ml_logistic_classifier_gd",
+    # same trained-weights 1-row cross, plus one scoring pass for the
+    # reliability binning
+    "ml_classifier_calibration",
     # deliberate 1-row broadcasts: the (k+1)-th-largest decrement onto the
     # <=k*P-row partial-summary frame, and the lazy stream total onto the
     # top-20 frame for the bound columns

@@ -348,3 +348,37 @@ def test_logistic_gd_matches_numpy_reference(spark, sf_dir):
     assert (row["w0"], row["w1"], row["w2"]) == (w0, w1, w2)
     assert row["accuracy"] == n_correct / n
     assert row["n_rows"] == int(n)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=300),
+    parts=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_misra_gries_contract_hypothesis(spark, vals, parts):
+    """MG contract on ARBITRARY streams and partitionings (hypothesis):
+    size <= k, est <= true, true - est <= N/(k+1) for every key, heavy
+    keys always present.  k=4 forces truncation on almost every draw."""
+    from bakery_big_data_spark.operators.sketches import misra_gries_summary
+
+    k = 4
+    if not vals:
+        return
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "g string"
+    ).repartition(parts)
+    summary = {
+        r["g"]: r["cnt"] for r in misra_gries_summary(df, "g", k).collect()
+    }
+    exact: dict = {}
+    for v in vals:
+        exact[str(v)] = exact.get(str(v), 0) + 1
+    n = len(vals)
+    assert len(summary) <= k
+    for g, est in summary.items():
+        assert est <= exact[g]
+    for g, true in exact.items():
+        est = summary.get(g, 0)
+        assert (true - est) * (k + 1) <= n
+        if true * (k + 1) > n:
+            assert g in summary

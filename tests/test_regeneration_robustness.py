@@ -96,6 +96,9 @@ QUERIES = [
     # the fusion must survive lex-only sources)
     "sketch_misra_gries_heavy_hitters",
     "retrieval_hybrid_rrf",
+    # NULL props + duplicate values stress the per-column distinct/null
+    # counters
+    "audit_column_profile",
 ]
 
 
@@ -212,6 +215,7 @@ TPCH_QUERIES = [
     # (d = q exactly at full discount) and the moment quantizers
     "ml_linear_regression_gd",
     "ml_logistic_classifier_gd",
+    "ml_classifier_calibration",
 ]
 
 
