@@ -993,3 +993,312 @@ def skew_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_keys").cast("double") * F.col("cmax").cast("double"))
         ).alias("balance_ratio"),
     )
+
+
+_AB_Z = 1.96  # two-sided 95%
+
+
+def _wilson_sql(p: str, n: str) -> tuple[str, str]:
+    """(lower, upper) Wilson score interval SQL for rate ``p`` over ``n``
+    trials — fixed operation order, shared verbatim by both bounds."""
+    z = repr(_AB_Z)
+    center = f"({p} + {z} * {z} / (2.0 * {n})) / (1.0 + {z} * {z} / {n})"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / {n}"
+        f" + {z} * {z} / (4.0 * {n} * {n})))"
+        f" / (1.0 + {z} * {z} / {n})"
+    )
+    return f"{center} - {half}", f"{center} + {half}"
+
+
+def _ab_oracle() -> str:
+    lo_c, hi_c = _wilson_sql("rate_c", "n_c")
+    lo_t, hi_t = _wilson_sql("rate_t", "n_t")
+    return f"""
+    WITH counts AS (
+      SELECT
+        CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+             AS BIGINT) AS n_c,
+        CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+             AS BIGINT) AS n_t,
+        CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0
+                                      AND event_type = 'purchase'
+                                 THEN user_id END) AS BIGINT) AS conv_c,
+        CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1
+                                      AND event_type = 'purchase'
+                                 THEN user_id END) AS BIGINT) AS conv_t
+      FROM events
+    ), rates AS (
+      SELECT n_c, n_t, conv_c, conv_t,
+             CAST(conv_c AS DOUBLE) / n_c AS rate_c,
+             CAST(conv_t AS DOUBLE) / n_t AS rate_t
+      FROM counts
+    )
+    SELECT n_c, n_t, conv_c, conv_t, rate_c, rate_t,
+           {lo_c} AS wilson_lo_c, {hi_c} AS wilson_hi_c,
+           {lo_t} AS wilson_lo_t, {hi_t} AS wilson_hi_t,
+           rate_t - rate_c AS abs_uplift,
+           ({lo_t}) > ({hi_c}) OR ({lo_c}) > ({hi_t}) AS cis_disjoint
+    FROM rates
+    """
+
+
+@register(
+    "ab_test_conversion_lift",
+    _ab_oracle(),
+    doc="A/B EXPERIMENT readout — the analysis every behavioral "
+        "warehouse runs on every launch: users hash-split into "
+        "control/treatment (user_id parity — in production the same "
+        "key-derived hash-split as curation_hash_split), per-variant "
+        "user-level conversion (distinct converters / distinct users, "
+        "so multi-purchase users count once), Wilson 95% score "
+        "intervals (the small-sample-safe interval — never escapes "
+        "[0,1], unlike the normal approximation), absolute uplift, and "
+        "a conservative disjoint-CIs significance flag.  ONE scan: all "
+        "four distinct counters in a single conditional aggregate "
+        "(Catalyst Expand, the audit_column_profile shape).  The "
+        "interval arithmetic is a fixed chain of IEEE ops (sqrt is "
+        "correctly-rounded in both engines; z = 1.96 literal) shared "
+        "verbatim between both bounds and both variants, so every "
+        "bound is bit-identical cross-engine",
+)
+def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    is_c = F.col("user_id") % 2 == 0
+    is_t = F.col("user_id") % 2 == 1
+    pur = F.col("event_type") == "purchase"
+    counts = ev.agg(
+        F.countDistinct(F.when(is_c, F.col("user_id"))).alias("n_c"),
+        F.countDistinct(F.when(is_t, F.col("user_id"))).alias("n_t"),
+        F.countDistinct(F.when(is_c & pur, F.col("user_id"))).alias(
+            "conv_c"
+        ),
+        F.countDistinct(F.when(is_t & pur, F.col("user_id"))).alias(
+            "conv_t"
+        ),
+    )
+    rates = counts.select(
+        "n_c",
+        "n_t",
+        "conv_c",
+        "conv_t",
+        (F.col("conv_c").cast("double") / F.col("n_c")).alias("rate_c"),
+        (F.col("conv_t").cast("double") / F.col("n_t")).alias("rate_t"),
+    )
+
+    def wilson(p, n):
+        z = F.lit(_AB_Z)
+        center = (p + z * z / (F.lit(2.0) * n)) / (
+            F.lit(1.0) + z * z / n
+        )
+        half = (
+            z
+            * F.sqrt(
+                p * (F.lit(1.0) - p) / n
+                + z * z / (F.lit(4.0) * n * n)
+            )
+        ) / (F.lit(1.0) + z * z / n)
+        return center - half, center + half
+
+    lo_c, hi_c = wilson(F.col("rate_c"), F.col("n_c"))
+    lo_t, hi_t = wilson(F.col("rate_t"), F.col("n_t"))
+    return rates.select(
+        "n_c",
+        "n_t",
+        "conv_c",
+        "conv_t",
+        "rate_c",
+        "rate_t",
+        lo_c.alias("wilson_lo_c"),
+        hi_c.alias("wilson_hi_c"),
+        lo_t.alias("wilson_lo_t"),
+        hi_t.alias("wilson_hi_t"),
+        (F.col("rate_t") - F.col("rate_c")).alias("abs_uplift"),
+        ((lo_t > hi_c) | (lo_c > hi_t)).alias("cis_disjoint"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'purchase'
+      ) WHERE rn = 1
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), attributed AS (
+      SELECT p.event_id, p.value, t.event_type AS channel
+      FROM purchases p ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM purchases
+    )
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS DOUBLE) / n_total AS purchase_share
+    FROM attributed, n
+    GROUP BY channel, n_total
+    """,
+    doc="LAST-TOUCH revenue ATTRIBUTION — the marketing-analytics "
+        "question behavioral warehouses exist to answer: each purchase "
+        "credited to the user's latest preceding non-purchase event "
+        "(ties at one timestamp resolved to the highest event_id, a "
+        "deterministic winner), purchases with no prior touch bucketed "
+        "'unattributed'; per channel: purchase count, decimal-summed "
+        "revenue, share of all purchases.  Runs on the as-of machinery "
+        "(operators/asof.py — union + partitioned running-last, ONE "
+        "shuffle keyed by user, linear scan, no range/theta join "
+        "regardless of lookback depth); the oracle states the same "
+        "semantics with DuckDB's native ASOF LEFT JOIN — two engines, "
+        "two as-of implementations, one hash",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from bakery_big_data_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("channel"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    n_row = purchases.agg(F.count(F.lit(1)).alias("n_total"))
+    attributed = asof_join(
+        purchases, touches, "user_id", "ts", "ts", ["channel"]
+    )
+    return (
+        attributed.crossJoin(F.broadcast(n_row))
+        .groupBy(
+            F.coalesce(F.col("channel"), F.lit("unattributed")).alias(
+                "channel"
+            ),
+            "n_total",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "channel",
+            "n_purchases",
+            "revenue",
+            (F.col("n_purchases").cast("double") / F.col("n_total")).alias(
+                "purchase_share"
+            ),
+        )
+    )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ), tr AS (
+      SELECT day, revenue,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER w
+                            AS DOUBLE) / 7.0
+                  ELSE NULL END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT day, revenue, trend,
+             revenue - trend AS detrended,
+             CAST((day - DATE '1990-01-01') % 7 AS BIGINT) AS dow
+      FROM tr
+    ), seas AS (
+      -- single-day / short series: every trend is NULL, COUNT = 0 — the
+      -- NULLIF keeps ANSI division from raising (the trend-OLS lesson)
+      SELECT dow,
+             CAST(SUM(CAST(detrended AS DECIMAL(30,6))) AS DOUBLE)
+               / NULLIF(COUNT(detrended), 0) AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT d.day, d.revenue, d.trend, d.dow, s.seasonal,
+           d.detrended - s.seasonal AS residual
+    FROM det d JOIN seas s ON d.dow = s.dow
+    """,
+    doc="Classical SEASONAL DECOMPOSITION of the daily revenue series "
+        "(trend + weekly seasonal + residual — the moving-average "
+        "decomposition every forecasting pipeline starts from): trend = "
+        "centered 7-day moving average (exact decimal window sum / 7, "
+        "NULL at the edges where the frame is short — stated, not "
+        "fudged), weekly seasonal = per-day-of-week mean of the "
+        "detrended series (decimal-exact sum / non-null count; dow via "
+        "integer day-diff mod 7, immune to the engines' different "
+        "dayofweek() conventions), residual = detrended - seasonal.  "
+        "Plan shape: one groupBy to days, then ONE unpartitioned window "
+        "over the AGGREGATE-BOUNDED daily frame (O(days), the shape the "
+        "plan guard allows), one tiny dow aggregate broadcast back.  "
+        "Complements trend_linear_fit_daily (parametric OLS) with the "
+        "non-parametric decomposition",
+)
+def timeseries_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "revenue",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum(F.col("revenue").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            / F.lit(7.0),
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day",
+        "revenue",
+        "trend",
+        (F.col("revenue") - F.col("trend")).alias("detrended"),
+        (
+            F.datediff(F.col("day"), F.lit("1990-01-01").cast("date"))
+            .cast("bigint")
+            % 7
+        ).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.col("detrended").cast("decimal(30,6)")).cast("double")
+            / F.nullif(F.count("detrended"), F.lit(0))
+        ).alias("seasonal")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        "revenue",
+        "trend",
+        "dow",
+        "seasonal",
+        (F.col("detrended") - F.col("seasonal")).alias("residual"),
+    )

@@ -152,3 +152,97 @@ def idle_session_flush(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---- Spark 4 transformWithStateInPandas (arbitrary composite state) --------
+
+TWS_OUTPUT_DDL = (
+    "user_id LONG, n_events LONG, total_cents LONG, n_types LONG"
+)
+
+
+def running_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user running profile via the Spark 4
+    ``transformWithStateInPandas`` ARBITRARY-STATE API — the successor to
+    ``applyInPandasWithState`` this module's other operators use, and the
+    surface worth certifying separately because its state model is
+    different in kind: named TYPED state variables per key (here a
+    ``ValueState`` for the running totals and a ``MapState`` holding the
+    distinct event-type set) managed individually against the state
+    store, instead of one monolithic state tuple; TTL per variable and
+    timers come with the same handle.
+
+    Emits one row per touched user per micro-batch with post-update
+    (n_events, total_cents, n_types).  Value mass is accumulated as
+    int64 CENTS (``floor(value*100)`` — bit-identical in any engine from
+    the same double), so the running sum is order-independent and the
+    final emission is exactly comparable to a batch aggregate no matter
+    how deliveries were micro-batched.
+
+    Scale: same contract as the rest of this module — state is keyed and
+    store-backed (transformWithState REQUIRES the RocksDB provider; the
+    caller sets ``spark.sql.streaming.stateStore.providerClass``),
+    per-batch work proportional to touched keys; the MapState set is
+    bounded by the event-type vocabulary per key.
+
+    ENVIRONMENT GATE: executing this operator needs the ``protobuf``
+    package (the transformWithState Python state-server protocol is
+    protobuf-based; absent in this sandbox, so no pip), which is why it
+    carries no registered catalog row — the stateful certification rows
+    run on ``applyInPandasWithState`` above.  PLAN CONSTRUCTION is
+    dependency-free and covered by tests/test_stateful_streaming.py;
+    the end-to-end drain test auto-skips when protobuf is missing and
+    certifies batch parity (int64-cents totals, distinct-type counts)
+    when it is available.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n LONG, cents LONG"
+            )
+            self._seen = handle.getMapState("seen", "t STRING", "one INT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy(np.float64) * 100.0)
+                    .astype(np.int64)
+                    .sum()
+                )
+                for tpe in pdf["event_type"].unique():
+                    k = (str(tpe),)
+                    if not self._seen.containsKey(k):
+                        self._seen.updateValue(k, (1,))
+            self._totals.update((n, cents))
+            n_types = sum(1 for _ in self._seen.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Profile(),
+        outputStructType=TWS_OUTPUT_DDL,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -120,6 +120,9 @@ NESTED_LOOP_ALLOWED = {
     # baseline (same class as similarity_topk_bruteforce); the 100 TB
     # swap-in is the banded-LSH leg, which RRF consumes unchanged
     "retrieval_hybrid_rrf",
+    # deliberate 1-row broadcast: the lazy total-purchase count crossed
+    # onto the attributed frame for the share denominator
+    "attribution_last_touch",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but

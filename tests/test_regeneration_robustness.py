@@ -99,6 +99,12 @@ QUERIES = [
     # NULL props + duplicate values stress the per-column distinct/null
     # counters
     "audit_column_profile",
+    # 3-user corpus: tiny-n Wilson intervals (the small-sample case the
+    # interval exists for)
+    "ab_test_conversion_lift",
+    # duplicate (user, ts) purchase/touch ties must resolve to the same
+    # deterministic winner in both as-of implementations
+    "attribution_last_touch",
 ]
 
 
@@ -216,6 +222,9 @@ TPCH_QUERIES = [
     "ml_linear_regression_gd",
     "ml_logistic_classifier_gd",
     "ml_classifier_calibration",
+    # same-date corpus: every trend NULL, seasonal COUNT = 0 — the NULLIF
+    # guard (the trend-OLS single-day lesson, recurring shape)
+    "timeseries_seasonal_decompose",
 ]
 
 

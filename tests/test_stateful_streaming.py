@@ -188,3 +188,112 @@ def test_idle_session_flush_matches_batch_sessionization(
         .collect()
     }
     assert flushed == expected
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_plan_construction_is_dependency_free(spark, sf_dir):
+    """The transformWithStateInPandas operator must BUILD its streaming
+    plan without the protobuf runtime dependency (the state-server
+    protocol only loads at execution) — the plumbing contract the env
+    gate in streaming/stateful.py promises."""
+    from bakery_big_data_spark.streaming.stateful import (
+        TWS_OUTPUT_DDL,
+        running_user_profile_tws,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS event_id",
+        "timestamp AS ts",
+        "value % 5 AS user_id",
+        "CASE WHEN value % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+        "CAST(value AS DOUBLE) / 7.0 AS value",
+    )
+    out = running_user_profile_tws(stream)
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<"
+        + TWS_OUTPUT_DDL.replace(" LONG", ":bigint").replace(", ", ",")
+        + ">"
+    )
+
+
+def test_tws_profile_matches_batch_aggregate(spark, sf_dir):
+    """End-to-end drain of the transformWithStateInPandas profile across
+    4 micro-batches == the batch aggregate (int64-cents totals are
+    order-independent, so micro-batching cannot change them).  Auto-skips
+    where the protobuf state-server dependency is unavailable."""
+    import pytest
+
+    if not _has_protobuf():
+        pytest.skip("google.protobuf unavailable — transformWithState "
+                    "cannot execute in this environment (documented gate)")
+
+    import time
+
+    from bakery_big_data_spark.streaming.ingest import start_append_sink
+    from bakery_big_data_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    for i in range(4):
+        _write_json(spark, sf_dir, src, i * 100, (i + 1) * 100)
+        time.sleep(0.05)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        saved = spark.conf.get(provider_key)
+    except Exception:
+        saved = None
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = read_json_stream(spark, src, max_files_per_trigger=1)
+        q = start_append_sink(
+            running_user_profile_tws(stream),
+            out,
+            ckpt,
+            available_now=True,
+            query_name="tws_parity",
+        )
+        q.awaitTermination()
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    landed = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    final = {
+        (r["user_id"], r["n_events"], r["total_cents"], r["n_types"])
+        for r in landed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    batch = {
+        (r["user_id"], r["n"], r["c"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("bigint"))
+            .cast("bigint")
+            .alias("c"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert final == batch
