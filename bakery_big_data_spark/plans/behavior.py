@@ -1302,3 +1302,105 @@ def timeseries_seasonal_decompose(
         "seasonal",
         (F.col("detrended") - F.col("seasonal")).alias("residual"),
     )
+
+
+@register(
+    "sessions_peak_concurrency",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), se AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sessions AS (
+      SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+      FROM se GROUP BY user_id, sid
+    ), bounds AS (
+      SELECT s_us AS us, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT e_us + 1, -1 FROM sessions
+    ), run AS (
+      SELECT us, delta,
+             CAST(SUM(delta) OVER (ORDER BY us, delta
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS conc
+      FROM bounds
+    )
+    SELECT CAST(us // 86400000000 AS BIGINT) AS day_idx,
+           CAST(MAX(GREATEST(conc, conc - delta)) AS BIGINT)
+             AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions_started
+    FROM run GROUP BY 1
+    """,
+    doc="PEAK CONCURRENCY gauge via the classic SWEEP-LINE: gap-30min "
+        "sessions (the sessionize_events islands) become (+1 at start, "
+        "-1 just after end) boundary events; one global running sum "
+        "ordered by (instant, delta) — ends sort before starts at a "
+        "shared instant, so touching sessions never double-count — "
+        "gives the live concurrency at every boundary, and "
+        "GREATEST(conc, conc - delta) folds the carried-in plateau so "
+        "a day whose first boundary is an end still reports the "
+        "overnight peak.  Capacity planning's favorite number, exact.  "
+        "Plan shape: the only global window runs over the SESSION-"
+        "boundary frame (2 rows per session, aggregate-bounded — never "
+        "the raw event stream); at 100 TB sessions/day is thousands of "
+        "times smaller than events/day.  Tie-permutation safe: rows "
+        "within an (instant, delta) tie are identical, so the conc "
+        "multiset and the daily MAX are order-invariant",
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    g = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(gap_us <= 1800 * 1_000_000, 0).otherwise(1).alias(
+            "new_session"
+        ),
+    )
+    ws = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    se = g.select(
+        "user_id", "us", F.sum("new_session").over(ws).alias("sid")
+    )
+    sessions = se.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    bounds = sessions.select(
+        F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(
+            (F.col("e_us") + F.lit(1)).alias("us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wr = Window.orderBy("us", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = bounds.select(
+        "us", "delta", F.sum("delta").over(wr).cast("bigint").alias("conc")
+    )
+    return (
+        run.groupBy(
+            F.expr("us div 86400000000").cast("bigint").alias("day_idx")
+        )
+        .agg(
+            F.max(F.greatest(F.col("conc"), F.col("conc") - F.col("delta")))
+            .cast("bigint")
+            .alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions_started"),
+        )
+    )

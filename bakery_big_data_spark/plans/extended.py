@@ -2484,3 +2484,146 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )
+
+
+#: Candidate FDs (determinant -> dependent), all on non-null columns so
+#: Spark's multi-arg countDistinct (drops any-NULL rows) and DuckDB's
+#: COUNT(DISTINCT (a,b)) (counts NULL-bearing row values) cannot diverge.
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderdate", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("customer", "c_custkey", "c_mktsegment"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        parts.append(
+            f"""
+    SELECT '{tbl}.{det} -> {dep}' AS fd,
+           CAST(COUNT(DISTINCT {det}) AS BIGINT) AS n_determinants,
+           CAST(COUNT(DISTINCT ({det}, {dep})) AS BIGINT) AS n_pairs,
+           COUNT(DISTINCT ({det}, {dep})) = COUNT(DISTINCT {det}) AS holds,
+           CAST(COUNT(DISTINCT ({det}, {dep})) - COUNT(DISTINCT {det})
+                AS BIGINT) AS n_extra_mappings
+    FROM {tbl}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "audit_functional_dependencies",
+    _fd_oracle(),
+    doc="FUNCTIONAL-DEPENDENCY audit (the Metanome-style profiling "
+        "question 'does column A determine column B' — the check that "
+        "catches a denormalized dim whose attributes silently drifted "
+        "per key): for each candidate FD, compare "
+        "COUNT(DISTINCT det) with COUNT(DISTINCT (det, dep)) — the FD "
+        "holds iff every determinant maps to exactly one dependent, and "
+        "the surplus counts the extra mappings.  One distinct-agg pair "
+        "per candidate, exact integers; candidates restricted to "
+        "non-null columns so the engines' different NULL conventions "
+        "for composite distincts cannot diverge (documented).  "
+        "Completes the audit family: row rules (§2.11), FK edges "
+        "(referential integrity), column distributions (profile), and "
+        "now INTRA-table column relationships",
+)
+def audit_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = None
+    for tbl, det, dep in _FD_CANDIDATES:
+        d = t(spark, sf_dir, tbl)
+        row = d.agg(
+            F.countDistinct(det).alias("n_determinants"),
+            F.countDistinct(det, dep).alias("n_pairs"),
+        ).select(
+            F.lit(f"{tbl}.{det} -> {dep}").alias("fd"),
+            F.col("n_determinants").cast("bigint").alias("n_determinants"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_pairs") == F.col("n_determinants")).alias("holds"),
+            (F.col("n_pairs") - F.col("n_determinants"))
+            .cast("bigint")
+            .alias("n_extra_mappings"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+import math as _math
+
+_BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def _benford_oracle() -> str:
+    expect = " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d - 1]!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM digits
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_amounts,
+           CAST(COUNT(*) AS DOUBLE) / n_tot AS observed_p,
+           CAST((CASE digit {expect} END) AS DOUBLE) AS benford_p,
+           ABS(CAST(COUNT(*) AS DOUBLE) / n_tot
+               - CAST((CASE digit {expect} END) AS DOUBLE)) AS abs_dev
+    FROM digits, n
+    GROUP BY digit, n_tot
+    """
+
+
+@register(
+    "audit_benford_first_digit",
+    _benford_oracle(),
+    doc="BENFORD first-digit audit over order amounts — the classic "
+        "forensic-accounting screen (fabricated or constrained amounts "
+        "fail the log distribution; TPC-H's uniform-ish pricing "
+        "deviates visibly, which is exactly what the audit should "
+        "report): per leading digit the count, observed share, the "
+        "Benford expectation log10(1+1/d) (computed once in Python and "
+        "embedded as the SAME literal in plan and oracle — no runtime "
+        "log10, which is not correctly-rounded across libms), and the "
+        "absolute deviation.  One scan, one 9-group aggregate",
+)
+def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n_row = digits.agg(F.count(F.lit(1)).alias("n_tot"))
+    expect = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expect = F.when(
+            F.col("digit") == d, F.lit(_BENFORD_P[d - 1])
+        ).otherwise(expect)
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_amounts"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "digit",
+            F.col("n_amounts").cast("bigint").alias("n_amounts"),
+            (F.col("n_amounts").cast("double") / F.col("n_tot")).alias(
+                "observed_p"
+            ),
+            expect.alias("benford_p"),
+            F.abs(
+                F.col("n_amounts").cast("double") / F.col("n_tot") - expect
+            ).alias("abs_dev"),
+        )
+    )

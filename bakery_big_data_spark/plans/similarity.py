@@ -1139,3 +1139,122 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wf))
         .filter(F.col("rk") <= 10)
     )
+
+
+@register(
+    "clustering_silhouette_eval",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, dim, v[dim] AS val
+      FROM e, UNNEST(generate_series(1, 64)) AS u(dim)
+    ), nl AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label
+    ), cent AS (
+      SELECT ex.label AS clabel, dim,
+             (CAST(SUM(CAST(FLOOR(val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+               / MAX(nl.n) AS c
+      FROM ex JOIN nl ON nl.label = ex.label
+      GROUP BY ex.label, dim
+    ), d2 AS (
+      SELECT ex.vec_id, ex.label AS own, cent.clabel,
+             CAST(SUM(CAST(FLOOR((val - c) * (val - c) * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9 AS dist2
+      FROM ex JOIN cent ON ex.dim = cent.dim
+      GROUP BY ex.vec_id, ex.label, cent.clabel
+    ), ab AS (
+      SELECT vec_id, own,
+             MAX(CASE WHEN clabel = own THEN dist2 END) AS a2,
+             MIN(CASE WHEN clabel <> own THEN dist2 END) AS b2
+      FROM d2 GROUP BY vec_id, own
+    ), s AS (
+      SELECT vec_id, own,
+             CASE WHEN GREATEST(sqrt(a2), sqrt(b2)) = 0.0 THEN 0.0
+                  ELSE (sqrt(b2) - sqrt(a2))
+                       / GREATEST(sqrt(a2), sqrt(b2))
+             END AS sil
+      FROM ab
+    )
+    SELECT own AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           (CAST(SUM(CAST(FLOOR(sil * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+             / COUNT(*) AS avg_silhouette
+    FROM s GROUP BY own
+    """,
+    doc="CLUSTERING EVALUATION via the simplified (centroid-based) "
+        "silhouette (Rousseeuw 1987; the centroid form is the standard "
+        "at-scale variant — O(n*k) distances instead of O(n^2) "
+        "pairwise): per point, a = distance to its own label centroid, "
+        "b = distance to the nearest other centroid, s = (b-a)/max(a,b) "
+        "(0 when both are 0); per label the point count and mean "
+        "silhouette — the evaluation half of the IVF/KMeans story, the "
+        "number you read before trusting a quantizer or a label "
+        "assignment.  Determinism discipline: centroid means, per-"
+        "(point,centroid) squared distances, and the silhouette mean "
+        "all accumulate as int64 floor-quantized sums (order-"
+        "independent; sqrt is correctly-rounded IEEE in both engines), "
+        "so every value is bit-identical.  Plan shape: one posexplode "
+        "-> (label,dim) map-side-combinable centroid agg (k*64 rows, "
+        "broadcast back) -> one shuffle keyed (vec,clabel) for the "
+        "distance agg -> per-vec pivot -> per-label mean.  At 100 TB "
+        "the distance stage is the only corpus-sized pass and it is "
+        "embarrassingly parallel",
+)
+def clustering_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("v").alias("dim", "val")
+    )
+    nl = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+    def qs(col, scale):
+        return F.sum(F.floor(col * F.lit(scale)).cast("bigint")).cast(
+            "double"
+        ) / F.lit(scale)
+
+    cent = (
+        ex.join(F.broadcast(nl), "label")
+        .groupBy(F.col("label").alias("clabel"), "dim")
+        .agg((qs(F.col("val"), 1e6) / F.max("n")).alias("c"))
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", F.col("label").alias("own"), "clabel")
+        .agg(
+            qs(
+                (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")),
+                1e9,
+            ).alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("clabel") == F.col("own"), F.col("dist2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("own"), F.col("dist2"))).alias(
+            "b2"
+        ),
+    )
+    big = F.greatest(F.sqrt(F.col("a2")), F.sqrt(F.col("b2")))
+    s = ab.select(
+        "own",
+        F.when(big == F.lit(0.0), F.lit(0.0))
+        .otherwise((F.sqrt(F.col("b2")) - F.sqrt(F.col("a2"))) / big)
+        .alias("sil"),
+    )
+    return s.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (qs(F.col("sil"), 1e9) / F.count(F.lit(1))).alias(
+            "avg_silhouette"
+        ),
+    )

@@ -123,6 +123,9 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy total-purchase count crossed
     # onto the attributed frame for the share denominator
     "attribution_last_touch",
+    # deliberate 1-row broadcast: the lazy amount total crossed onto the
+    # 9-digit frame for the observed-share denominator
+    "audit_benford_first_digit",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but

@@ -105,6 +105,12 @@ QUERIES = [
     # duplicate (user, ts) purchase/touch ties must resolve to the same
     # deterministic winner in both as-of implementations
     "attribution_last_touch",
+    # duplicate (user, ts) events → zero-length sessions, shared sweep
+    # instants; single-event sessions end where they start
+    "sessions_peak_concurrency",
+    # zero vector + single-point labels: a2 = 0 (point IS its centroid),
+    # silhouette guard at max(a,b) = 0
+    "clustering_silhouette_eval",
 ]
 
 
@@ -225,6 +231,9 @@ TPCH_QUERIES = [
     # same-date corpus: every trend NULL, seasonal COUNT = 0 — the NULLIF
     # guard (the trend-OLS single-day lesson, recurring shape)
     "timeseries_seasonal_decompose",
+    # key-with-no-rows FDs, single-row groups, all-same amounts
+    "audit_functional_dependencies",
+    "audit_benford_first_digit",
 ]
 
 
