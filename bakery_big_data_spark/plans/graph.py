@@ -317,3 +317,102 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         "hops",
     )
+
+
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle(rounds: int) -> str:
+    head = """
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(1000000 // COUNT(*) + 1 AS BIGINT) AS cost
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ), d0 AS (
+      SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+    )"""
+    rounds_sql = []
+    for i in range(1, rounds + 1):
+        rounds_sql.append(
+            f""", d{i} AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.cost AS dist
+        FROM d{i - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    tail = f"""
+    SELECT d.node, n.n_name, d.dist
+    FROM d{rounds} d JOIN nation n ON n.n_nationkey = d.node
+    """
+    return head + "".join(rounds_sql) + tail
+
+
+@register(
+    "graph_sssp_weighted",
+    _sssp_oracle(_SSSP_ROUNDS),
+    doc="WEIGHTED single-source shortest paths over the nation trade "
+        "graph (Bellman-Ford, 4 relaxation rounds — completes the graph "
+        "family: PageRank = importance, triangles = clustering, BFS = "
+        "unweighted hops, this = weighted min-plus): edge cost = "
+        "1000000 div trade_count + 1 (heavier trade lanes are shorter), "
+        "ALL-INTEGER arithmetic so every relaxation is exact in both "
+        "engines; 4 rounds bound path length exactly like the oracle's "
+        "unrolled CTE chain.  Plan shape: the corpus-sized work is ONE "
+        "star join building the nation^2-bounded edge aggregate "
+        "(lineage-cut once, the PageRank discipline); each round is a "
+        "frontier-join + map-side-combinable MIN keyed by edge dst, and "
+        "every round's tiny distance frame is lineage-cut so the "
+        "union-plus-join recursion cannot double the plan per round "
+        "(the 2^k lesson, third appearance)",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            (F.expr("1000000 div count(1)") + F.lit(1))
+            .cast("bigint")
+            .alias("cost")
+        )
+    )
+    edges = cut_lineage(edges, None)
+    d = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            d.join(edges, d["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+        d = cut_lineage(d, None)
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return d.join(
+        F.broadcast(nation), d["node"] == nation["n_nationkey"]
+    ).select("node", "n_name", "dist")

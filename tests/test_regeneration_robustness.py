@@ -234,6 +234,8 @@ TPCH_QUERIES = [
     # key-with-no-rows FDs, single-row groups, all-same amounts
     "audit_functional_dependencies",
     "audit_benford_first_digit",
+    # empty-nation / no-lineitem orders: sparse disconnected trade graph
+    "graph_sssp_weighted",
 ]
 
 
