@@ -42,7 +42,7 @@ from bakery_big_data_spark.plans import graph  # noqa: F401
 #: ~30 core slots stay fixed round over round; the rest rotate through the
 #: long tail so every family eventually gets a driver row (44 registered
 #: queries had never carried one entering r08).  r08 rotation, per the r07
-#: verdict's priority list — 16 first-timers in: the six rows the judge
+#: verdict's priority list — 18 first-timers in: the six rows the judge
 #: pre-verified MATCH (streaming_semantic_ingest_gate,
 #: streaming_curation_parity, sketch_count_min_heavy_hitters,
 #: bpe_encode_token_counts, dedup_minhash_recall,
@@ -51,7 +51,12 @@ from bakery_big_data_spark.plans import graph  # noqa: F401
 #: embedding_random_projection, contrastive_negative_sampling,
 #: anomaly_zscore_daily, session_window_agg, window_distribution_ranks,
 #: sql_exists_subquery, join_asof_tolerance, and the INNER stream-stream
-#: join.  Rotated out (all driver-green in r07, each with in-window
+#: join — plus, from the second-window session, the two brand-new
+#: families sketch_misra_gries_heavy_hitters (for join_inner_broadcast_dim,
+#: whose broadcast-dim semantics join_multiway_star runs in-window) and
+#: ml_logistic_classifier_gd (for cdc_apply_changes, whose MERGE/CDC
+#: machinery late_arrival_reconciliation + medallion_incremental_parity
+#: run in-window).  Rotated out (all driver-green in r07, each with in-window
 #: family kin): percentile_quantiles (quantile_exact_scalable +
 #: window_distribution_ranks), join_semi_anti_membership +
 #: sql_correlated_min_subquery (sql_exists_subquery covers semi/anti AND
@@ -86,8 +91,11 @@ DRIVER_WINDOW: list[str] = [
     # joins (J1-J8).  J8 semi/anti and the SQL surface (S9/J5) ride
     # sql_exists_subquery (correlated EXISTS/NOT EXISTS == semi/anti);
     # J2 left-outer NULL-extension runs inside the medallion left joins
-    # and the interval stream-stream join's outer siblings (local kin)
-    "join_inner_broadcast_dim",
+    # and the interval stream-stream join's outer siblings (local kin).
+    # J1's broadcast-dim equi join rotates to kin: join_multiway_star IS
+    # three broadcast dim legs; the freed slot gives the NEW
+    # deterministic-sketch family (Misra-Gries) its first driver row.
+    "sketch_misra_gries_heavy_hitters",
     "join_multiway_star",
     "er_fuzzy_clusters",
     "sql_exists_subquery",
@@ -103,10 +111,14 @@ DRIVER_WINDOW: list[str] = [
     "pivot_status_matrix",
     # as-of tolerance join — J7 family first-timer
     "join_asof_tolerance",
-    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths
+    # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths.
+    # cdc_apply_changes rotates to kin (late_arrival_reconciliation runs
+    # the same parquet-native MERGE machinery; medallion_incremental_
+    # parity runs the CDC-fed IVM path); the freed slot gives the NEW
+    # classifier-training family its first driver row.
     "streaming_dead_letter_routing",
     "late_arrival_reconciliation",
-    "cdc_apply_changes",
+    "ml_logistic_classifier_gd",
     "medallion_incremental_parity",
     "medallion_dim_user_scd2",
     # behavioral analytics: gapfill stays the rep; anomaly detection and
