@@ -1404,3 +1404,80 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sessions_started"),
         )
     )
+
+
+@register(
+    "timeseries_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(day) AS maxd FROM daily
+    )
+    SELECT d.day,
+           d.revenue AS actual,
+           n.revenue AS fc_naive,
+           s.revenue AS fc_seasonal,
+           ABS(d.revenue - n.revenue) AS err_naive,
+           ABS(d.revenue - s.revenue) AS err_seasonal,
+           ABS(d.revenue - s.revenue) < ABS(d.revenue - n.revenue)
+             AS seasonal_wins
+    FROM daily d
+    LEFT JOIN daily n ON n.day = d.day - 1
+    LEFT JOIN daily s ON s.day = d.day - 7
+    CROSS JOIN mx
+    WHERE d.day > mx.maxd - 28
+    """,
+    doc="FORECAST BACKTEST — the evaluation loop every forecasting "
+        "pipeline runs before trusting a model: over the last 28 days "
+        "of the daily revenue series, score the two standard baselines "
+        "(naive = yesterday, seasonal-naive = same weekday last week) "
+        "against actuals, with per-day absolute errors and the "
+        "which-model-wins bit.  Any real model must beat both to earn "
+        "deployment; the decomposition row supplies the seasonal "
+        "structure these baselines exploit.  Exact decimal daily sums, "
+        "date-integer arithmetic (no interval/timezone skew), NULL-"
+        "propagating errors where a lag day is absent.  Plan: one "
+        "groupBy to days, two self-joins on the AGGREGATE-BOUNDED "
+        "daily frame (broadcast, O(days)), lazy 1-row max-date cross",
+)
+def timeseries_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    mx = daily.agg(F.max("day").alias("maxd"))
+    n = daily.select(
+        F.col("day").alias("n_day"), F.col("revenue").alias("fc_naive")
+    )
+    s = daily.select(
+        F.col("day").alias("s_day"), F.col("revenue").alias("fc_seasonal")
+    )
+    err_n = F.abs(F.col("actual") - F.col("fc_naive"))
+    err_s = F.abs(F.col("actual") - F.col("fc_seasonal"))
+    return (
+        daily.select("day", F.col("revenue").alias("actual"))
+        .join(F.broadcast(n), F.date_sub(F.col("day"), 1) == F.col("n_day"), "left")
+        .join(F.broadcast(s), F.date_sub(F.col("day"), 7) == F.col("s_day"), "left")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.date_sub(F.col("maxd"), 28))
+        .select(
+            "day",
+            "actual",
+            "fc_naive",
+            "fc_seasonal",
+            err_n.alias("err_naive"),
+            err_s.alias("err_seasonal"),
+            (err_s < err_n).alias("seasonal_wins"),
+        )
+    )

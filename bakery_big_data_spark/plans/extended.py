@@ -2627,3 +2627,101 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "pareto_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM lineitem l GROUP BY l.l_partkey
+    ), tot AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE) AS total
+      FROM rev
+    ), ranked AS (
+      SELECT partkey, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
+                    OVER (ORDER BY revenue DESC, partkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+      FROM rev
+    ), classed AS (
+      SELECT partkey, revenue,
+             CASE WHEN cum <= 0.8 * total THEN 'A'
+                  WHEN cum <= 0.95 * total THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked, tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE)
+             AS class_revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE)
+             / (SELECT total FROM tot) AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+    doc="PARETO / ABC CLASSIFICATION of parts by net revenue — the "
+        "inventory-analytics classic (A = the head until 80% of "
+        "cumulative revenue, B to 95%, C the tail): exact decimal "
+        "revenue per part, one descending running decimal sum (ties "
+        "broken by part key), class boundaries compared in double "
+        "against 0.8/0.95 of the exact total — identical compares in "
+        "both engines because every operand is bit-identical.  Plan "
+        "shape: the corpus-sized stage is the per-part revenue "
+        "aggregate; the running sum and classing run over the "
+        "AGGREGATE-BOUNDED part frame (O(parts), the allowed global-"
+        "window shape), final 3-row class rollup",
+)
+def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(30,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "partkey",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum"),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "revenue",
+        "total",
+        F.when(F.col("cum") <= F.lit(0.8) * F.col("total"), "A")
+        .when(F.col("cum") <= F.lit(0.95) * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class", "total").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("class_revenue"),
+    ).select(
+        "abc_class",
+        "n_parts",
+        "class_revenue",
+        (F.col("class_revenue") / F.col("total")).alias("revenue_share"),
+    )

@@ -126,6 +126,12 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy amount total crossed onto the
     # 9-digit frame for the observed-share denominator
     "audit_benford_first_digit",
+    # deliberate 1-row broadcast: the lazy revenue total crossed onto the
+    # part frame for class boundaries
+    "pareto_abc_classification",
+    # deliberate 1-row broadcast: the lazy max-date cross bounding the
+    # 28-day backtest window
+    "timeseries_forecast_backtest",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but

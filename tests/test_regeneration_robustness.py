@@ -236,6 +236,10 @@ TPCH_QUERIES = [
     "audit_benford_first_digit",
     # empty-nation / no-lineitem orders: sparse disconnected trade graph
     "graph_sssp_weighted",
+    # all-same-date corpus: every lag day absent (NULL forecasts), one
+    # test day; single-part revenue concentrations
+    "timeseries_forecast_backtest",
+    "pareto_abc_classification",
 ]
 
 
