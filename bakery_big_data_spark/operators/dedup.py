@@ -315,6 +315,14 @@ def connected_components(
     executor loss; results are bit-identical across modes.
     """
     from bakery_big_data_spark.operators.checkpointing import cut_lineage
+    # materialize the UNDIRECTED pairs first: the directed edge list is a
+    # unionAll whose two legs would each re-execute the full
+    # candidate-generation lineage (the blocked fuzzy join ran TWICE —
+    # half of er_fuzzy_clusters' r08 wall); cutting before the union runs
+    # it once, and the per-round joins then scan materialized blocks.
+    # Lineage-cut rather than persist so blocks are GC-released, not
+    # pinned forever.
+    pairs = cut_lineage(pairs.select("id_a", "id_b"), checkpoint_dir)
     edges = (
         pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
         .unionAll(
@@ -323,16 +331,16 @@ def connected_components(
             )
         )
     )
-    # materialized once: every iteration's join would otherwise re-execute
-    # the full candidate-generation lineage; lineage-cut rather than
-    # persist so the blocks are GC-released, not pinned forever
-    edges = cut_lineage(edges, checkpoint_dir)
-    init = vertices.select(F.col(id_col), F.col(id_col).alias("canonical_id"))
-    labels = cut_lineage(init, checkpoint_dir)
-    for _ in range(max_iter):
+    def hop(lbl: DataFrame) -> DataFrame:
+        """One min-label propagation step.  Convergence is detected IN the
+        projection (labels only ever decrease, so "changed" == "some
+        neighbor label was strictly smaller") — the old separate
+        new-vs-old join-count re-executed the round's join+agg a second
+        time and doubled the per-round wall (r08 verdict:
+        er_fuzzy_clusters 1.5 -> 2.9 s)."""
         nbr_labels = (
             edges.join(
-                labels.select(
+                lbl.select(
                     F.col(id_col).alias("_src"),
                     F.col("canonical_id").alias("_nbr_label"),
                 ),
@@ -341,20 +349,37 @@ def connected_components(
             .groupBy(F.col("_dst").alias(id_col))
             .agg(F.min("_nbr_label").alias("_best_nbr"))
         )
-        stepped = labels.join(nbr_labels, id_col, "left").select(
+        return lbl.join(nbr_labels, id_col, "left").select(
             F.col(id_col),
             F.least(
                 F.col("canonical_id"),
                 F.coalesce(F.col("_best_nbr"), F.col("canonical_id")),
             ).alias("canonical_id"),
+            (F.col("_best_nbr") < F.col("canonical_id")).alias("_changed"),
         )
+
+    init = vertices.select(F.col(id_col), F.col(id_col).alias("canonical_id"))
+    labels = cut_lineage(init, checkpoint_dir)
+    # TWO hops per lineage cut: the cut (a full materialization) and the
+    # convergence count are the per-round fixed costs, so pairing hops
+    # halves them; the uncut intermediate hop only squares the bounded
+    # plan (4 references to the materialized ``labels``, not 2^k — the
+    # r08 OOM class needs unbounded compounding).  Convergence after the
+    # SECOND hop alone is exact: labels are monotone non-increasing, so
+    # one full step changing nothing is the fixpoint regardless of what
+    # the first hop did.  ``max_iter`` still bounds HOPS, as before.
+    hops_done = 0
+    changed = -1
+    while hops_done < max_iter:
+        stepped = hop(labels)
+        hops_done += 1
+        if hops_done < max_iter:
+            stepped = hop(stepped.select(id_col, "canonical_id"))
+            hops_done += 1
         new_labels = cut_lineage(stepped, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        # the hop projections above select explicit columns, so the extra
+        # _changed column never enters the next round's shuffle
         labels = new_labels  # old frontier's blocks are GC-released
         if changed == 0:
             break
@@ -363,10 +388,10 @@ def connected_components(
         # that still row-counts correctly — fail loudly instead (deep
         # chains mean max_iter was sized below the graph diameter)
         raise RuntimeError(
-            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"connected_components: no fixpoint after {max_iter} hops "
             f"({changed} labels still changing) — raise max_iter"
         )
-    return labels
+    return labels.select(F.col(id_col), F.col("canonical_id"))
 
 
 def _simhash_votes(text: "Column | str") -> Column:

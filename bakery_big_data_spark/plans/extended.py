@@ -624,9 +624,16 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distance; then the THRESHOLD form of levenshtein — banded DP, O(len)
     # instead of O(len²) per pair, returning -1 above the bound (for
     # surviving pairs the band returns the true distance, so the output
-    # column is identical to the unbounded DP's)
+    # column is identical to the unbounded DP's).  The DP runs on the
+    # SUFFIXES after the shared block prefix: common-prefix stripping is
+    # an exact Levenshtein identity (lev(P||s, P||t) == lev(s, t) — the
+    # standard trimming optimization every edit-distance library applies),
+    # and the blk equi-join guarantees the first 16 chars are equal, so
+    # the per-pair DP touches ~2 chars instead of ~18
     len_gap = F.abs(F.length("name_a") - F.length("name_b"))
-    dist = F.levenshtein("name_a", "name_b", 1)
+    dist = F.levenshtein(
+        F.substring("name_a", 17, 2**30), F.substring("name_b", 17, 2**30), 1
+    )
     return pairs.filter((len_gap <= 1) & (dist >= 0)).select(
         "key_a", "key_b", dist.alias("edit_dist")
     )
@@ -672,7 +679,11 @@ def er_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "blk")
     b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk")
     len_gap = F.abs(F.length("name_a") - F.length("name_b"))
-    dist = F.levenshtein("name_a", "name_b", 1)
+    # suffix-only banded DP — exact via common-prefix stripping, see
+    # fuzzy_name_match_blocked above
+    dist = F.levenshtein(
+        F.substring("name_a", 17, 2**30), F.substring("name_b", 17, 2**30), 1
+    )
     pairs = (
         a.join(b, "blk")
         .filter((F.col("key_a") < F.col("key_b")) & (len_gap <= 1) & (dist >= 0))

@@ -87,6 +87,90 @@ register("pricing_summary_quality_gated", FLAGSHIP_ORACLE,
 
 
 # ---------------------------------------------------------------------------
+# §2.11 config surface: rule sets + thresholds as data, report out.
+# The reference gates at TWO parameterized levels — promote rows at
+# score >= 50 (silver_to_gold.py:298) and short-circuit the whole batch
+# when the avg score < 80 (orchestration/dags/bakery_batch_etl.py:54-62).
+# This row proves the engine takes those as config, not constants: a
+# NON-default rule set and NON-default promote threshold (80, the
+# reference's pipeline-gate level) drive both the Spark plan and the
+# oracle from the SAME dict (quality.config_score_sql).
+# ---------------------------------------------------------------------------
+
+#: Deployment-shaped config: predicates are portable SQL strings, so this
+#: dict could live in JSON/YAML.  Penalties and thresholds deliberately
+#: differ from the built-in sales_rules()/50 defaults.
+CONFIGURED_QUALITY: dict = {
+    "rules": [
+        {"name": "tax_bounded", "predicate": "l_tax <= 0.07", "penalty": 15},
+        {"name": "discount_sane", "predicate": "l_discount <= 0.3", "penalty": 30},
+        {"name": "qty_cap", "predicate": "l_quantity <= 45", "penalty": 25},
+        {"name": "line_no_sane", "predicate": "l_linenumber <= 6", "penalty": 10},
+    ],
+    "promote_threshold": 80,
+    "pipeline_gate": 80,
+}
+
+
+def _configured_quality_oracle() -> str:
+    from bakery_big_data_spark.quality import (
+        config_score_sql,
+        pipeline_gate_threshold,
+        promote_threshold,
+    )
+
+    pt = promote_threshold(CONFIGURED_QUALITY)
+    gate = pipeline_gate_threshold(CONFIGURED_QUALITY)
+    return f"""
+    WITH scored AS (
+      SELECT l_returnflag, {config_score_sql(CONFIGURED_QUALITY)} AS score
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_davg("score", "avg_score")},
+           SUM(CASE WHEN score >= {pt} THEN 1 ELSE 0 END) AS n_promoted,
+           SUM(CASE WHEN score < {pt} THEN 1 ELSE 0 END) AS n_quarantined,
+           (CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(score))
+             >= {gate} AS pipeline_gate_pass
+    FROM scored
+    GROUP BY l_returnflag
+    """
+
+
+@register(
+    "quality_configured_gate",
+    _configured_quality_oracle(),
+    doc="§2.11 parameterized: dict-configured rule set + non-default promote "
+        "threshold (80) + batch-level pipeline gate (bakery_batch_etl.py:54-62, "
+        "silver_to_gold.py:298) — engine and oracle both rendered from the "
+        "same config dict, map-only scoring, one hash-agg shuffle",
+)
+def quality_configured_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.quality import (
+        apply_quality_rules,
+        pipeline_gate_threshold,
+        promote_threshold,
+        rules_from_config,
+    )
+
+    pt = promote_threshold(CONFIGURED_QUALITY)
+    gate = pipeline_gate_threshold(CONFIGURED_QUALITY)
+    scored = apply_quality_rules(
+        t(spark, sf_dir, "lineitem"), rules_from_config(CONFIGURED_QUALITY)
+    )
+    score = F.col("data_quality_score")
+    dec_sum = F.sum(score.cast("decimal(30,6)")).cast("double")
+    return scored.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        davg(score, "avg_score"),
+        F.sum(F.when(score >= pt, 1).otherwise(0)).alias("n_promoted"),
+        F.sum(F.when(score < pt, 1).otherwise(0)).alias("n_quarantined"),
+        ((dec_sum / F.count(score)) >= gate).alias("pipeline_gate_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P-family: projections, predicates, conditionals
 # ---------------------------------------------------------------------------
 

@@ -84,6 +84,58 @@ def observe_quality(
     return observed, obs
 
 
+# ---------------------------------------------------------------------------
+# Config surface: rule sets and gate thresholds as DATA (dict in, report out)
+# ---------------------------------------------------------------------------
+# The reference parameterizes its gates at two levels — the row-level
+# promote filter (silver_to_gold.py:298: score >= 50) and the
+# pipeline-level quality gate (orchestration/dags/bakery_batch_etl.py:54-62:
+# batch avg score >= 80 or the DAG short-circuits).  Both were constants in
+# this engine until r09; they are now plain config, and the rule predicates
+# themselves travel as portable SQL expression strings so ONE dict drives
+# both the Spark plan and the DuckDB oracle.
+
+DEFAULT_PROMOTE_THRESHOLD = 50  # reference silver_to_gold.py:298
+DEFAULT_PIPELINE_GATE = 80  # reference bakery_batch_etl.py:54-62
+
+
+def rules_from_config(config: dict) -> list[QualityRule]:
+    """Materialize ``config["rules"]`` (name / predicate-SQL / penalty
+    dicts) into :class:`QualityRule` columns.  Predicates are SQL
+    expression strings (``F.expr``) so rule sets can live in JSON/YAML
+    deployment config instead of code."""
+    return [
+        QualityRule(r["name"], F.expr(r["predicate"]), int(r["penalty"]))
+        for r in config["rules"]
+    ]
+
+
+def config_score_sql(config: dict) -> str:
+    """The same rule fold rendered as ANSI SQL — generated from the SAME
+    dict as :func:`rules_from_config`, so engine and oracle can never
+    drift on what the configured rules mean."""
+    parts = " - ".join(
+        f"(CASE WHEN COALESCE(({r['predicate']}), FALSE)"
+        f" THEN 0 ELSE {int(r['penalty'])} END)"
+        for r in config["rules"]
+    )
+    return f"CAST(100 - {parts} AS INT)"
+
+
+def promote_threshold(config: dict) -> int:
+    return int(config.get("promote_threshold", DEFAULT_PROMOTE_THRESHOLD))
+
+
+def pipeline_gate_threshold(config: dict) -> int:
+    return int(config.get("pipeline_gate", DEFAULT_PIPELINE_GATE))
+
+
+def score_and_gate(df: DataFrame, config: dict) -> DataFrame:
+    """Dict-driven score → promote filter (the full configured row path)."""
+    scored = apply_quality_rules(df, rules_from_config(config))
+    return quality_gate(scored, threshold=promote_threshold(config))
+
+
 def sales_rules() -> list[QualityRule]:
     """The reference's Bronze-sales rule set (bronze_to_silver.py:45-51),
     re-keyed onto the test ``lineitem`` columns with identical shapes:

@@ -86,3 +86,57 @@ def test_scaling_gate_noise_floor_ignores_fast_queries():
     large = {"a": 0.4, "b": 0.6, "c": 0.05}
     r = bench.scaling_gate(small, large)
     assert not r["flagged"]
+
+
+def test_scaling_gate_t_small_floor_exempts_overhead_dominated_rows():
+    # r08 churn class: sub-second t_small walls are overhead-dominated,
+    # their ratios swing 3-6x vs median with zero code change.  Below the
+    # 0.5 s floor only the unconditional hard ratio (>8x) may flag.
+    small = {"a": 1.0, "b": 1.2, "c": 0.9, "churny": 0.1}
+    # 7x ratio: above factor x median (6x) but below the 8x hard bar
+    large = {"a": 2.0, "b": 2.4, "c": 1.8, "churny": 0.7}
+    r = bench.scaling_gate(small, large)
+    assert "churny" not in r["flagged"]
+    assert r["thresholds"]["t_small_floor_sec"] == 0.5
+    # ...but the same vs-median excess ABOVE the floor still flags
+    small2 = {"a": 1.0, "b": 1.2, "c": 0.9, "quad": 0.6}
+    large2 = {"a": 2.0, "b": 2.4, "c": 1.8, "quad": 7.2}
+    r2 = bench.scaling_gate(small2, large2)
+    assert list(r2["flagged"]) == ["quad"]
+    assert r2["flagged"]["quad"]["hard"] is True  # 12x also trips the hard bar
+
+
+def test_scaling_gate_hard_ratio_pierces_t_small_floor():
+    # a genuine blow-up shows through any overhead: >8x flags even below
+    # the t_small floor
+    small = {"a": 1.0, "b": 1.2, "c": 0.9, "blowup": 0.3}
+    large = {"a": 2.0, "b": 2.4, "c": 1.8, "blowup": 3.0}  # 10x > hard 8x
+    r = bench.scaling_gate(small, large)
+    assert list(r["flagged"]) == ["blowup"]
+    assert r["flagged"]["blowup"]["hard"] is True
+
+
+def test_plain_run_carries_scaling_section_forward_as_stale():
+    prev = {
+        "queries": {"a": 1.0},
+        "scaling_vs_small": {"median_sf_ratio": 1.4, "flagged": {}},
+    }
+    detail = {"queries": {"a": 1.1}}
+    out = bench.carry_forward_scaling(detail, prev, with_scaling=False)
+    assert out["scaling_vs_small"]["stale"] is True
+    assert out["scaling_vs_small"]["median_sf_ratio"] == 1.4
+
+
+def test_scaling_run_does_not_resurrect_stale_section():
+    # on a --scaling run main() writes the fresh section itself; the
+    # carry-forward must not touch it
+    prev = {"scaling_vs_small": {"median_sf_ratio": 9.9, "stale": True}}
+    detail = {"scaling_vs_small": {"median_sf_ratio": 1.4, "flagged": {}}}
+    out = bench.carry_forward_scaling(detail, prev, with_scaling=True)
+    assert "stale" not in out["scaling_vs_small"]
+    assert out["scaling_vs_small"]["median_sf_ratio"] == 1.4
+
+
+def test_plain_run_without_previous_scaling_section_is_noop():
+    out = bench.carry_forward_scaling({"queries": {}}, {}, with_scaling=False)
+    assert "scaling_vs_small" not in out
