@@ -138,6 +138,15 @@ def candidate_pairs(
             lsh_band_hashes(F.col("_sig"), bands, rows_per_band)
         ).alias("band_idx", "band_hash"),
     )
+    return _bucket_pair_expand(banded, id_col, max_bucket)
+
+
+def _bucket_pair_expand(
+    banded: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
+    """(band_idx, band_hash, id) rows → distinct in-bucket candidate pairs
+    via one groupBy + array combinatorics (shared by the xxhash64 and
+    portable banding paths)."""
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.array_sort(F.collect_list(id_col)).alias("_ids")
     )
@@ -158,6 +167,35 @@ def candidate_pairs(
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
+
+
+def portable_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs over the ENGINE-PORTABLE MinHash banding
+    (:func:`with_portable_minhash_bands`): same bucket-join shape as
+    :func:`candidate_pairs`, but every band key is bit-identical
+    cross-engine, so a DuckDB oracle can re-derive the exact candidate
+    predicate (banding-aware certification at any scale factor — the r08
+    gate-oracle lesson; the xxhash64 family's misses are irreproducible
+    outside Spark)."""
+    bands_df = with_portable_minhash_bands(
+        df.filter(F.size(shingle_col) > 0),
+        id_col,
+        shingle_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    banded = bands_df.select(
+        F.col(id_col),
+        F.posexplode("band_keys").alias("band_idx", "band_hash"),
+    )
+    return _bucket_pair_expand(banded, id_col, max_bucket)
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:

@@ -347,9 +347,8 @@ def apply_curation_arrival(
     the snapshot commit (commit order doc->bench->band->pairs is
     load-bearing — see the inline comments)."""
     from bakery_big_data_spark.operators.dedup import (
-        lsh_band_hashes,
-        minhash_signature,
         verify_pairs,
+        with_portable_minhash_bands,
         word_shingles,
     )
     from bakery_big_data_spark.operators.repetition import with_passes_gopher
@@ -465,15 +464,15 @@ def apply_curation_arrival(
         write_snapshot(full_bench, bench_path, meta={"chunk": ci})
 
     # --- LSH index + Δ candidate pairs ------------------------------
-    sigd = feat.filter(F.size("shingles") > 0).select(
+    # PORTABLE banding (same family as the batch _lsh_pairs and the
+    # streaming gate): incremental == batch requires the identical
+    # candidate predicate, and the banding-aware curation oracle
+    # re-derives exactly this family's collisions in SQL.
+    dbands = with_portable_minhash_bands(
+        feat.filter(F.size("shingles") > 0), "doc_id", "shingles"
+    ).select(
         "doc_id",
-        minhash_signature(F.col("shingles"), num_hashes=32).alias("_sig"),
-    )
-    dbands = sigd.select(
-        "doc_id",
-        F.posexplode(lsh_band_hashes(F.col("_sig"), 16, 2)).alias(
-            "band_idx", "band_hash"
-        ),
+        F.posexplode("band_keys").alias("band_idx", "band_hash"),
     )
     if not _applied(band_path, ci):
         all_bands = (

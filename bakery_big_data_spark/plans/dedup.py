@@ -3,13 +3,18 @@ dedup family (exact, exact n-gram Jaccard, MinHash+LSH, canonicalization,
 SimHash).
 
 Oracle strategy: the exact-Jaccard pipelines are reproduced verbatim in
-DuckDB SQL (set algebra is engine-independent).  The MinHash+LSH query's
-*output* is also hash-engine-independent — LSH only proposes candidates and
-exact verification filters them — so it shares the exact oracle; its recall
-is deterministic given the fixed xxhash64 family and, with (b=16, r=2) at
-threshold 0.5, the miss probability for the corpus's J≥0.8 near-dup pairs is
-(1-0.64)^16 ≈ 8e-8 (tests/test_dedup.py asserts LSH == exact on data).
-SimHash emits engine-specific bits → rows-only + property tests.
+DuckDB SQL (set algebra is engine-independent).  The MinHash+LSH family
+(pairs / canonical assignment / connected components) is BANDING-AWARE
+end-to-end: candidates come from the engine-portable MinHash banding
+(md5-half + Carter-Wegman, bit-identical cross-engine) and every oracle
+re-derives the identical banded candidate predicate in SQL before exact
+verification, so the certification holds at every scale factor.  The
+previous all-pairs oracles only coincided where banding recall happened
+to be 100% — true at sf0.01, but the r09 sf0.1 `bench.py --verify`
+sweep surfaced five borderline J≈0.5 pairs the banding (correctly,
+probabilistically) missed.  Recall itself is certified quantitatively by
+dedup_minhash_recall.  SimHash emits engine-portable md5-half bits and
+is hash-certified (r08).
 """
 
 from __future__ import annotations
@@ -19,10 +24,10 @@ from pyspark.sql import functions as F
 
 from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.operators.dedup import (
-    candidate_pairs,
     canonical_assignment,
     connected_components,
     exact_ngram_pairs,
+    portable_candidate_pairs,
     simhash_banded_pairs,
     verify_pairs,
     with_portable_simhash,
@@ -118,11 +123,23 @@ _SIG_CACHE = PlanCache(max_entries=4)
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH-verified near-dup pairs, built once per (session, sf)."""
+    """The LSH-verified near-dup pairs, built once per (session, sf).
+
+    Candidates come from the ENGINE-PORTABLE MinHash banding (16×2,
+    md5-half + Carter-Wegman — operators/dedup.py::portable_candidate_
+    pairs) rather than the xxhash64 family: banding recall is < 1 for
+    borderline-Jaccard pairs, so the family's oracles must re-derive the
+    exact candidate predicate in SQL, which is only possible when both
+    engines compute bit-identical band keys.  Found the hard way at
+    sf0.1 (r09 ``bench.py --verify``): the xxhash64 banding missed five
+    true J≈0.5 pairs that the all-pairs oracle contained — recall was
+    coincidentally 100% at the driver's sf0.01 but not one SF up (the
+    same lesson as the r08 streaming-gate oracles, now applied to the
+    whole batch-LSH family)."""
 
     def build() -> DataFrame:
         docs = _shingled(spark, sf_dir, cache=True)
-        cands = candidate_pairs(
+        cands = portable_candidate_pairs(
             docs, "doc_id", "shingles", bands=16, rows_per_band=2
         )
         return verify_pairs(
@@ -130,6 +147,22 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
 
     return _PAIRS_CACHE.get_or_build(spark, (sf_dir, "lsh_pairs"), build)
+
+
+def _banded_pairs_sql() -> str:
+    """The LSH family's pair predicate in DuckDB: true J>=0.5 pairs
+    RESTRICTED to portable-banding candidate collisions — the exact
+    output of ``_lsh_pairs`` at every scale factor."""
+    return f"""
+    all_pairs AS ({_EXACT_PAIRS_SQL}),
+    {_portable_sig_ctes()},
+    pairs AS (
+      SELECT p.id_a, p.id_b, p.jaccard
+      FROM all_pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      WHERE ({_portable_band_collision_pred()})
+    )"""
 
 
 def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
@@ -198,12 +231,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
-    _EXACT_PAIRS_SQL,
-    doc="MinHash(32) + LSH(b=16, r=2) banded candidate pairs, exact-Jaccard "
-        "verified at 0.5 — candidates come from the band-bucket equi-join, "
-        "never all-pairs; same oracle as the exact baseline because "
-        "verification makes the output exact (recall bound ≈ 1-8e-8 per "
-        "J≥0.8 pair)",
+    f"""
+    WITH {_banded_pairs_sql()}
+    SELECT id_a, id_b, jaccard FROM pairs
+    """,
+    doc="MinHash(32 portable slots) + LSH(b=16, r=2) banded candidate "
+        "pairs, exact-Jaccard verified at 0.5 — candidates come from the "
+        "band-bucket equi-join, never all-pairs; the oracle re-derives "
+        "the IDENTICAL portable banding predicate before verification "
+        "(banding-aware — valid at every SF, not just where recall is "
+        "luckily 100%; recall itself is certified by dedup_minhash_recall)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir)
@@ -212,7 +249,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonical_assignment",
     f"""
-    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    WITH {_banded_pairs_sql()},
     nbr AS (
       SELECT id_a AS doc_id, id_b AS nb FROM pairs
       UNION ALL
@@ -224,7 +261,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.doc_id
     """,
     doc="Duplicate-cluster canonicalization: every doc → min(self, near-dup "
-        "neighbors) single-pass star contraction over the LSH-verified pairs",
+        "neighbors) single-pass star contraction over the LSH-verified pairs "
+        "(banding-aware oracle — see dedup_minhash_lsh_pairs)",
 )
 def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingled(spark, sf_dir, cache=True)
@@ -234,7 +272,7 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_connected_components",
     f"""
-    WITH RECURSIVE pairs AS ({_EXACT_PAIRS_SQL}),
+    WITH RECURSIVE {_banded_pairs_sql()},
     edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs

@@ -1524,7 +1524,7 @@ def _gd_oracle(rounds: int, lr: float) -> str:
     engines, unlike int128), so each round is pure IEEE arithmetic on
     identical scalars."""
     head = """
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT CAST(l_extendedprice AS DOUBLE) AS q,
              CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE)
                AS d,
@@ -1549,7 +1549,7 @@ def _gd_oracle(rounds: int, lr: float) -> str:
              sqrt(sd2 / n - (sd / n) * (sd / n)) AS vd,
              sqrt(sy2 / n - (sy / n) * (sy / n)) AS vy
       FROM stats
-    ), xs AS (
+    ), xs AS MATERIALIZED (
       SELECT (q - mq) / vq AS x1, (d - md) / vd AS x2,
              (y - my) / vy AS ys
       FROM raw, mus
@@ -2133,7 +2133,7 @@ def _logit_cte_chain(rounds: int, lr: float) -> str:
     each round's gradient sums exact int64s.  Shared by the training row
     (weights/accuracy tail) and the calibration row (reliability tail)."""
     head = """
-    WITH labeled AS (
+    WITH labeled AS MATERIALIZED (
       SELECT q, d, CASE WHEN d < 0.05 * q THEN 1.0 ELSE 0.0 END AS y
       FROM (
         SELECT CAST(l_extendedprice AS DOUBLE) AS q,
@@ -2155,7 +2155,7 @@ def _logit_cte_chain(rounds: int, lr: float) -> str:
              sqrt(sd2 / n - (sd / n) * (sd / n)) AS vd,
              sq / n AS mq, sd / n AS md
       FROM stats
-    ), xs AS (
+    ), xs AS MATERIALIZED (
       SELECT (q - mq) / vq AS x1, (d - md) / vd AS x2, y
       FROM labeled, mus
     ), r0 AS (
@@ -2164,18 +2164,18 @@ def _logit_cte_chain(rounds: int, lr: float) -> str:
     rounds_sql = []
     for i in range(1, rounds + 1):
         rounds_sql.append(
-            f""", p{i} AS (
+            f""", p{i} AS MATERIALIZED (
       SELECT x1, x2,
              (0.5 + 0.5 * ((w0 + x1 * w1 + x2 * w2)
                / (1.0 + abs(w0 + x1 * w1 + x2 * w2)))) - y AS e
       FROM xs, r{i - 1}
-    ), g{i} AS (
+    ), g{i} AS MATERIALIZED (
       SELECT
         CAST(SUM(CAST(FLOOR(e * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s0,
         CAST(SUM(CAST(FLOOR(e * x1 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s1,
         CAST(SUM(CAST(FLOOR(e * x2 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s2
       FROM p{i}
-    ), r{i} AS (
+    ), r{i} AS MATERIALIZED (
       SELECT w0 - {lr!r} * (s0 / n) AS w0,
              w1 - {lr!r} * (s1 / n) AS w1,
              w2 - {lr!r} * (s2 / n) AS w2

@@ -37,12 +37,21 @@ def _pagerank_oracle(k: int, damping: float) -> str:
     through DECIMAL(30,6) on both engines, so the final ranks are
     bit-identical.  Damping constants are embedded via ``repr`` so both
     engines parse the exact same IEEE doubles (1 - 0.85 is NOT the double
-    nearest 0.15)."""
+    nearest 0.15).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs at each
+    reference, and this chain references ``r{{i-1}}`` twice per round
+    (contribution join + dangling mass) and ``edges`` every round — the
+    inlined tree re-expands the corpus-sized star join 2^k times, the
+    exact 2^k blowup class the Spark side fixed with lineage cuts in r08
+    (DuckDB OOMed at its 100 GiB cap at sf0.1, found by the r09
+    ``bench.py --verify`` sweep).  Materialization is a pure execution
+    hint: results are unchanged, each CTE runs once."""
     d = repr(float(damping))
     omd = repr(1.0 - float(damping))
     parts = [
         f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -50,22 +59,22 @@ def _pagerank_oracle(k: int, damping: float) -> str:
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE c.c_nationkey <> s.s_nationkey
       GROUP BY c.c_nationkey, s.s_nationkey
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
       )
-    ), nn AS (
+    ), nn AS MATERIALIZED (
       SELECT COUNT(*) AS n FROM nodes
-    ), outw AS (
+    ), outw AS MATERIALIZED (
       SELECT src, SUM(w) AS ow FROM edges GROUP BY src
-    ), r0 AS (
+    ), r0 AS MATERIALIZED (
       SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
       FROM nodes CROSS JOIN nn
     )"""
     ]
     for i in range(1, k + 1):
         parts.append(
-            f""", c{i} AS (
+            f""", c{i} AS MATERIALIZED (
       SELECT e.dst AS node,
              CAST(SUM(CAST((r.rank * CAST(e.w AS DOUBLE))
                            / CAST(ow.ow AS DOUBLE) AS DECIMAL(30,6)))
@@ -74,12 +83,12 @@ def _pagerank_oracle(k: int, damping: float) -> str:
       JOIN edges e ON e.src = r.node
       JOIN outw ow ON ow.src = e.src
       GROUP BY e.dst
-    ), d{i} AS (
+    ), d{i} AS MATERIALIZED (
       SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(30,6))),
                            CAST(0 AS DECIMAL(30,6))) AS DOUBLE) AS dm
       FROM r{i - 1} r LEFT JOIN outw ow ON ow.src = r.node
       WHERE ow.src IS NULL
-    ), r{i} AS (
+    ), r{i} AS MATERIALIZED (
       SELECT nd.node,
              CAST({omd} AS DOUBLE) / CAST(nn.n AS DOUBLE)
              + CAST({d} AS DOUBLE)
@@ -150,17 +159,17 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_copurchase",
     """
-    WITH pp AS (
+    WITH pp AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), ue AS (
+    ), ue AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM pp a
       JOIN pp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM ue UNION ALL SELECT v FROM ue
       ) GROUP BY node
-    ), oe AS (
+    ), oe AS MATERIALIZED (
       SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
                   THEN e.u ELSE e.v END AS lo,
              CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
@@ -168,7 +177,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ue e
       JOIN deg du ON du.node = e.u
       JOIN deg dv ON dv.node = e.v
-    ), tri AS (
+    ), tri AS MATERIALIZED (
       SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
       FROM oe e1
       JOIN oe e2 ON e2.lo = e1.hi
@@ -324,7 +333,7 @@ _SSSP_ROUNDS = 4
 
 def _sssp_oracle(rounds: int) -> str:
     head = """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              CAST(1000000 // COUNT(*) + 1 AS BIGINT) AS cost
       FROM lineitem l
@@ -339,7 +348,7 @@ def _sssp_oracle(rounds: int) -> str:
     rounds_sql = []
     for i in range(1, rounds + 1):
         rounds_sql.append(
-            f""", d{i} AS (
+            f""", d{i} AS MATERIALIZED (
       SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
         SELECT node, dist FROM d{i - 1}
         UNION ALL

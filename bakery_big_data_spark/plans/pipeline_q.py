@@ -347,11 +347,17 @@ def medallion_dim_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold_dim_user_scd2(silver_events(bronze_events(spark, sf_dir)))
 
 
-from bakery_big_data_spark.plans.dedup import _EXACT_PAIRS_SQL  # noqa: E402
+from bakery_big_data_spark.plans.dedup import _banded_pairs_sql  # noqa: E402
 
 
+# Pairs are BANDING-AWARE (portable MinHash banding ∩ exact J>=0.5 —
+# the identical predicate both the batch _lsh_pairs and the incremental
+# band-index maintain), not all-pairs: banding recall is <1 for
+# borderline pairs, so an all-pairs oracle certifies only at scale
+# factors where recall is luckily 100% (diverged at sf0.1, r09
+# bench.py --verify; the r08 streaming-gate lesson applied to curation).
 _CURATION_MANIFEST_SQL =     f"""
-    WITH pairs AS ({_EXACT_PAIRS_SQL}),
+    WITH {_banded_pairs_sql()},
     nbr AS (
       SELECT id_a AS doc_id, id_b AS nb FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs

@@ -49,10 +49,10 @@ _FOLD_DOT = (
     " list_transform(list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)"
 )
 _VEC_CTE = f"""
-    e AS (
+    e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
-    ), nrm AS (
+    ), nrm AS MATERIALIZED (
       SELECT vec_id, v, n2 FROM (
         SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
       ) WHERE n2 > 0
@@ -105,13 +105,13 @@ def embedding_cosine_near_dup_pairs(
 @register(
     "similarity_ann_lsh",
     f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), sig AS (
       SELECT vec_id, {_sig_sql(hyperplane_planes(6, 64, 7), 'v')} AS s0
       FROM e
-    ), nrm AS (
+    ), nrm AS MATERIALIZED (
       SELECT vec_id, v, n2 FROM (
         SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
       ) WHERE n2 > 0
@@ -149,7 +149,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ann_recall",
     f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), sig AS (
@@ -159,7 +159,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_sig_sql(hyperplane_planes(6, 64, 2007), 'v')} AS s2,
              {_sig_sql(hyperplane_planes(6, 64, 3007), 'v')} AS s3
       FROM e
-    ), nrm AS (
+    ), nrm AS MATERIALIZED (
       SELECT vec_id, v, n2 FROM (
         SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
       ) WHERE n2 > 0
@@ -263,7 +263,7 @@ def _lloyd_ivf_oracle(
 
     def asg(name: str, cent: str) -> str:
         d2 = _FOLD_D2.format(a="n.v", b="c.cv")
-        return f"""{name} AS (
+        return f"""{name} AS MATERIALIZED (
       SELECT vec_id, v, n2, j FROM (
         SELECT n.vec_id, n.v, n.n2, c.j,
                row_number() OVER (PARTITION BY n.vec_id
@@ -273,7 +273,7 @@ def _lloyd_ivf_oracle(
     )"""
 
     def upd(name: str, prev_cent: str, asg_name: str) -> str:
-        return f"""{name} AS (
+        return f"""{name} AS MATERIALIZED (
       SELECT c.j, COALESCE(u.cv, c.cv) AS cv
       FROM {prev_cent} c LEFT JOIN (
         SELECT j, list(cval ORDER BY pos) AS cv FROM (
@@ -289,7 +289,7 @@ def _lloyd_ivf_oracle(
     )"""
 
     ctes = [
-        f"""cent0 AS (
+        f"""cent0 AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
              v AS cv
       FROM (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT {n_clusters})
@@ -304,7 +304,7 @@ def _lloyd_ivf_oracle(
     cte_block = ",\n    ".join(ctes)
     return f"""
     WITH {_VEC_CTE}, {cte_block},
-    probes AS (
+    probes AS MATERIALIZED (
       SELECT q_id, qv, qn, j FROM (
         SELECT q.vec_id AS q_id, q.v AS qv, q.n2 AS qn, c.j,
                row_number() OVER (PARTITION BY q.vec_id
@@ -401,7 +401,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_int8_quantize",
     """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), m AS (
@@ -501,7 +501,7 @@ def _rp_oracle() -> str:
         comps.append(s)
     cols = ",\n           ".join(comps)
     return f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     )
@@ -881,21 +881,21 @@ def _pca_oracle(iters: int) -> str:
     where Spark half-up and DuckDB half-even split; floor cannot)."""
     parts = [
         """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
-    ), xl AS (
+    ), xl AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS val
       FROM e
-    ), mu AS (
+    ), mu AS MATERIALIZED (
       SELECT j,
              CAST(SUM(CAST(FLOOR(val * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
                / COUNT(*) AS m
       FROM xl GROUP BY j
-    ), cx AS (
+    ), cx AS MATERIALIZED (
       SELECT xl.vec_id, xl.j, xl.val - mu.m AS c
       FROM xl JOIN mu ON xl.j = mu.j
-    ), smat AS (
+    ), smat AS MATERIALIZED (
       SELECT a.j AS j, b.j AS k,
              CAST(SUM(CAST(FLOOR(a.c * b.c * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 AS s
@@ -907,17 +907,17 @@ def _pca_oracle(iters: int) -> str:
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f""", w{i} AS (
+            f""", w{i} AS MATERIALIZED (
       SELECT s.j,
              CAST(SUM(CAST(FLOOR(s.s * v.vk * 1e12) AS BIGINT)) AS DOUBLE)
                / 1e12 AS w
       FROM smat s JOIN v{i - 1} v ON s.k = v.k
       GROUP BY s.j
-    ), n{i} AS (
+    ), n{i} AS MATERIALIZED (
       SELECT sqrt(CAST(SUM(CAST(FLOOR(w * w * 1e12) AS BIGINT)) AS DOUBLE)
                   / 1e12) AS nrm
       FROM w{i}
-    ), v{i} AS (
+    ), v{i} AS MATERIALIZED (
       SELECT j AS k, w / nrm AS vk FROM w{i}, n{i}
     )"""
         )
