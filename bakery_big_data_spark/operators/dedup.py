@@ -610,23 +610,24 @@ _SIMHASH_BANDS: list[tuple[str, int, int]] = [
     ("lo", 20, 11),
 ]
 
-#: Finer 10-band layout (5 per half) for signatures whose useful near-dup
-#: threshold is higher — e.g. perceptual image hashes, where the standard
-#: match cut on a 64-bit dHash is Hamming ≈ 10.  Pigeonhole: recall is
-#: guaranteed through Hamming ≤ 9; the narrower 6/7-bit bands trade bucket
-#: granularity (64–128 buckets per band) for the wider threshold — the
-#: same dial as MinHash's (bands, rows_per_band).
+#: 10-band layout (5 per half) over the 126-bit perceptual fingerprint
+#: (two 63-bit halves).  Pigeonhole: recall is guaranteed through
+#: Hamming ≤ 9 (= bands - 1).  Band width is the scale dial: 12/13-bit
+#: bands give 4-8 k distinct values per band, so candidate volume is
+#: ~Σ n²/2^12.6 instead of the n²/64 the previous 62-bit signature's
+#: 6-bit bands degenerated to (r09 sf1-equivalent stress: 200 s wall at
+#: 50 k docs, ~64× more candidate pairs than this layout).
 _PHASH_BANDS: list[tuple[str, int, int]] = [
-    ("hi", 0, 6),
-    ("hi", 6, 6),
-    ("hi", 12, 6),
-    ("hi", 18, 6),
-    ("hi", 24, 7),
-    ("lo", 0, 6),
-    ("lo", 6, 6),
-    ("lo", 12, 6),
-    ("lo", 18, 6),
-    ("lo", 24, 7),
+    ("hi", 0, 13),
+    ("hi", 13, 13),
+    ("hi", 26, 13),
+    ("hi", 39, 12),
+    ("hi", 51, 12),
+    ("lo", 0, 13),
+    ("lo", 13, 13),
+    ("lo", 26, 13),
+    ("lo", 39, 12),
+    ("lo", 51, 12),
 ]
 
 

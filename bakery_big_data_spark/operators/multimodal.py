@@ -129,10 +129,10 @@ def image_features(media: DataFrame, grid_width: int = 16) -> DataFrame:
 
 def perceptual_hash(media: DataFrame) -> DataFrame:
     """dHash-style perceptual fingerprint over the decoded sample stream:
-    downsample the payload into 63 equal spans, emit one gradient
+    downsample the payload into 127 equal spans, emit one gradient
     bit per adjacent span pair (``mean(span_k) > mean(span_k+1)``, compared
     as the exact integer cross product ``sum_k·len_k+1 > sum_k+1·len_k``),
-    packed into two 31-bit BIGINT halves — the same ``(id, hi, lo)``
+    packed into two 63-bit BIGINT halves — the same ``(id, hi, lo)``
     signature shape the SimHash family's banded-Hamming join consumes
     (:func:`bakery_big_data_spark.operators.dedup.simhash_banded_pairs`).
 
@@ -143,10 +143,16 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     certifies the fingerprint math end to end.  Map-only Arrow batches —
     fingerprinting adds no shuffle at any corpus size.
     """
-    # 63 chunks -> 62 gradient bits, packed as two 31-bit BIGINT halves;
-    # the chunk count is fixed because the hi/lo packing below and the
-    # banded-Hamming consumers assume exactly 31 bits per half.
-    n_chunks = 63
+    # 127 chunks -> 126 gradient bits, packed as two 63-bit BIGINT halves.
+    # The signature WIDTH is the banded-Hamming join's scale dial: at a
+    # fixed Hamming cut of 9, pigeonhole needs >= 10 bands, so a 62-bit
+    # signature forces ~6-bit band values (<= 128 distinct buckets per
+    # band) and candidate volume degenerates to ~n²/64 — measured as a
+    # 200 s wall at a 50 k-doc corpus (r09 sf1-equivalent stress).  126
+    # bits give 12/13-bit bands (4-8 k buckets per band): same Hamming
+    # cut, same pigeonhole recall guarantee, ~64x fewer candidates, and
+    # the per-doc cost stays one cumulative-sum pass.
+    n_chunks = 127
 
     def ph(batches: Iterator) -> Iterator:
         import numpy as np
@@ -169,8 +175,8 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                 # 0 with length 0, making both cross products 0 — bit 0,
                 # matching the oracle's NULL-comparison semantics
                 bits = cs[:-1] * cl[1:] > cs[1:] * cl[:-1]
-                lo = int(sum(1 << k for k in range(31) if bits[k]))
-                hi = int(sum(1 << k for k in range(31) if bits[k + 31]))
+                lo = int(sum(1 << k for k in range(63) if bits[k]))
+                hi = int(sum(1 << k for k in range(63) if bits[k + 63]))
                 rows.append((int(mid), hi, lo))
             yield pd.DataFrame(rows, columns=out_cols)
 

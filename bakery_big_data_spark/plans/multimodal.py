@@ -98,9 +98,9 @@ def multimodal_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_rms(_media(spark, sf_dir), window=100)
 
 
-#: Shared SQL: the dHash signature restated over the ASCII payload — 63
-#: downsampled spans, 62 adjacent-span gradient bits (exact integer cross
-#: products), packed as two 31-bit BIGINT halves.
+#: Shared SQL: the dHash signature restated over the ASCII payload — 127
+#: downsampled spans, 126 adjacent-span gradient bits (exact integer cross
+#: products), packed as two 63-bit BIGINT halves.
 _PHASH_SIG_SQL = """
     WITH b AS (
       SELECT doc_id,
@@ -111,17 +111,17 @@ _PHASH_SIG_SQL = """
       SELECT doc_id, bs, len(bs) AS n FROM b
     ), ch AS (
       SELECT doc_id,
-        list_transform(range(0, 63),
-          k -> list_sum(bs[(k * n) // 63 + 1 : ((k + 1) * n) // 63])) AS cs,
-        list_transform(range(0, 63),
-          k -> ((k + 1) * n) // 63 - (k * n) // 63) AS cl
+        list_transform(range(0, 127),
+          k -> list_sum(bs[(k * n) // 127 + 1 : ((k + 1) * n) // 127])) AS cs,
+        list_transform(range(0, 127),
+          k -> ((k + 1) * n) // 127 - (k * n) // 127) AS cl
       FROM s
     ), sig AS (
       SELECT doc_id AS media_id,
-        CAST(list_sum(list_transform(range(0, 31), k ->
-          CASE WHEN cs[k + 32] * cl[k + 33] > cs[k + 33] * cl[k + 32]
+        CAST(list_sum(list_transform(range(0, 63), k ->
+          CASE WHEN cs[k + 64] * cl[k + 65] > cs[k + 65] * cl[k + 64]
           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS phash_hi,
-        CAST(list_sum(list_transform(range(0, 31), k ->
+        CAST(list_sum(list_transform(range(0, 63), k ->
           CASE WHEN cs[k + 1] * cl[k + 2] > cs[k + 2] * cl[k + 1]
           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS phash_lo
       FROM ch
@@ -148,8 +148,8 @@ def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Perceptual dHash fingerprint per media asset "
         "(operators/multimodal.py::perceptual_hash): fake-decoded sample "
-        "stream -> 63 downsampled spans -> 62 adjacent-span gradient-sign "
-        "bits (exact integer cross products, no float means) -> two 31-bit "
+        "stream -> 127 downsampled spans -> 126 adjacent-span gradient-sign "
+        "bits (exact integer cross products, no float means) -> two 63-bit "
         "BIGINT halves.  The real-image counterpart is resize-9x8 dHash; "
         "the decode stub keeps every bit ANSI-SQL-restatable, so the "
         "oracle certifies the full Arrow mapInPandas fingerprint path "

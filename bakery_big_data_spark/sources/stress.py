@@ -11,11 +11,13 @@ at 10× the bench scale factor in one `bench.py` sweep:
   (``Customer#%09d`` / ``Supplier#%09d`` are REWRITTEN from the shifted
   key — exactly how real TPC-H scales, so name-blocked operators see
   sf1's true block-size distribution instead of 10× duplicate names).
-- ``documents.text`` is salted per replica with a deterministic
-  alphabet rotation (``translate`` of a-z by k): length, whitespace and
-  token structure are preserved (``n_chars`` stays correct), but
-  cross-replica shingles are disjoint — a 10× corpus must not become a
-  100× candidate-pair corpus through artificial duplicate text.
+- ``documents.text`` is salted per replica with a deterministic seeded
+  letter PERMUTATION (``translate`` of a-z; see ``_salt_alphabet`` for
+  why a rotation is not enough): length, whitespace and token structure
+  are preserved (``n_chars`` stays correct), but cross-replica shingles
+  AND byte-level fingerprints are decorrelated — a 10× corpus must not
+  become a 100× candidate-pair corpus through artificial duplicate
+  content.
 - ``embeddings.embedding`` is circularly shifted by k positions per
   replica — norm and coordinate distributions are preserved while
   replicas decorrelate (identical copies would degenerate every
@@ -55,9 +57,24 @@ TABLES = [
 ]
 
 
-def _rot(k: int) -> str:
-    a = string.ascii_lowercase
-    return a[k % 26:] + a[: k % 26]
+def _salt_alphabet(k: int) -> str:
+    """Deterministic per-replica letter permutation.
+
+    A cyclic ROTATION is the wrong salt: it shifts every byte value by
+    the same constant, and the dHash gradient-sign bits are invariant
+    under a uniform shift of span sums (cs_i·cl_j − cs_j·cl_i cancels
+    the +k·cl term) — replica phashes came out near-identical and the
+    banded pair join blew up ×230 on an artifact of the corpus, not the
+    operator (measured, r09).  A seeded SHUFFLE displaces each letter by
+    a different amount, so span sums move non-uniformly and replica
+    fingerprints decorrelate like genuinely distinct media."""
+    import random
+
+    if k == 0:
+        return string.ascii_lowercase
+    letters = list(string.ascii_lowercase)
+    random.Random(1000 + k).shuffle(letters)
+    return "".join(letters)
 
 
 def _replica_sql(table: str, src: str, k: int) -> str:
@@ -100,10 +117,10 @@ def _replica_sql(table: str, src: str, k: int) -> str:
                    event_type, value, props
             FROM '{src}'"""
     if table == "documents":
-        rot = _rot(k)
+        salt = _salt_alphabet(k)
         return f"""
             SELECT doc_id + {s} AS doc_id,
-                   translate(text, '{string.ascii_lowercase}', '{rot}') AS text,
+                   translate(text, '{string.ascii_lowercase}', '{salt}') AS text,
                    lang, source, n_chars
             FROM '{src}'"""
     if table == "embeddings":

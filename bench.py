@@ -316,7 +316,10 @@ def main() -> None:
                 ),
                 file=sys.stderr,
             )
-    detail_path = os.path.join(
+    # SPARK_GRAFT_DETAIL_PATH redirects the detail file for out-of-band
+    # sweeps (e.g. the sf1-equivalent stress corpus) so they can't clobber
+    # the committed BENCH_DETAIL.json / its regression baseline.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     # Regression gate vs the COMMITTED previous round's detail (whatever

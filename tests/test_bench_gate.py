@@ -140,3 +140,18 @@ def test_scaling_run_does_not_resurrect_stale_section():
 def test_plain_run_without_previous_scaling_section_is_noop():
     out = bench.carry_forward_scaling({"queries": {}}, {}, with_scaling=False)
     assert "scaling_vs_small" not in out
+
+
+def test_never_driver_checked_derivation(tmp_path):
+    """--verify scope: registered minus every name in any committed
+    CORRECTNESS_r*.json, resilient to unreadable files."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {}, "b": {}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"c": {}}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
+    registry = {"a": 1, "b": 1, "c": 1, "d": 1, "e": 1}
+    got = bench._never_driver_checked(str(tmp_path), registry)
+    assert got == ["d", "e"]
