@@ -129,8 +129,10 @@ def _configured_quality_oracle() -> str:
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
            {sql_davg("score", "avg_score")},
-           SUM(CASE WHEN score >= {pt} THEN 1 ELSE 0 END) AS n_promoted,
-           SUM(CASE WHEN score < {pt} THEN 1 ELSE 0 END) AS n_quarantined,
+           CAST(SUM(CASE WHEN score >= {pt} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_promoted,
+           CAST(SUM(CASE WHEN score < {pt} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
            (CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(score))
              >= {gate} AS pipeline_gate_pass
     FROM scored

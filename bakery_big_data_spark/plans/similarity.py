@@ -979,6 +979,12 @@ def embedding_pca_power_iteration(
     centered = emb.crossJoin(F.broadcast(mu_arr)).select(
         F.zip_with("v", "mu", lambda a, b: a - b).alias("c")
     )
+    # Only the UPPER triangle (k >= j) is generated, exploded, and
+    # aggregated — dim(dim+1)/2 products per row instead of dim², halving
+    # the corpus-sized explode+shuffle (the query's one corpus-∝ stage).
+    # The lower triangle is mirrored from the aggregated cells, which is
+    # bit-exact: IEEE multiplication commutes, so cell (k,j) sums the
+    # identical floor-quantized addends the oracle computes for it.
     outer = F.transform(
         F.col("c"),
         lambda xj, j: F.transform(
@@ -988,11 +994,21 @@ def embedding_pca_power_iteration(
             ),
         ),
     )
-    pairs = centered.select(F.explode(F.flatten(outer)).alias("s")).select(
+    upper = F.filter(F.flatten(outer), lambda s: s["k"] >= s["j"])
+    pairs = centered.select(F.explode(upper).alias("s")).select(
         F.col("s.j").alias("j"), F.col("s.k").alias("k"), F.col("s.p").alias("p")
     )
-    smat = pairs.groupBy("j", "k").agg(qsum(F.col("p")).alias("s"))
-    smat = cut_lineage(smat, None)  # dim²-bounded; reused every round
+    # cut BEFORE the mirror union: both union legs reference the frame,
+    # and an uncut agg would execute its corpus-sized lineage twice (the
+    # r09 connected-components unionAll lesson)
+    smat_u = cut_lineage(
+        pairs.groupBy("j", "k").agg(qsum(F.col("p")).alias("s")), None
+    )
+    smat = smat_u.unionAll(
+        smat_u.filter(F.col("k") > F.col("j")).select(
+            F.col("k").alias("j"), F.col("j").alias("k"), F.col("s")
+        )
+    )  # union of materialized dim²-bounded blocks — cheap to re-scan per round
 
     v = mu.select(F.col("j").alias("k"), F.lit(0.125).alias("vk"))
     v = cut_lineage(v, None)
