@@ -213,6 +213,16 @@ def bpe_token_counts(
     production BPE tokenizers scale: encode the vocab, then stream the
     corpus through it."""
     _, vocab = bpe_rounds(corpus, text_col, num_merges, checkpoint_dir)
+    return bpe_encode_counts(vocab, corpus, id_col, text_col)
+
+
+def bpe_encode_counts(
+    vocab: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The encode join alone, against an already-learned vocabulary —
+    the entry point for callers that memoize the merge loop's outputs
+    (plans/textops.py shares one learned vocab between the learn row and
+    the encode row)."""
     vsize = vocab.select("w", F.size("syms").alias("_n_sym"))
     words = corpus.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")

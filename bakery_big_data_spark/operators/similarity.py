@@ -682,6 +682,7 @@ def semantic_dedup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.45,
+    pairs: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Per-vector semantic-dedup verdict: LSH-candidate pairs → exact
@@ -690,10 +691,17 @@ def semantic_dedup(
     closure is the connected-components operator).  EVERY corpus id is
     kept in the output with its canonical and ``is_kept`` — dedup
     decisions must be auditable, zero-norm vectors canonicalize to
-    themselves."""
-    pairs = semantic_dedup_pairs(
-        corpus, id_col, vec_col, threshold, **lsh_kwargs
-    )
+    themselves.
+
+    ``pairs`` lets a caller that has already materialized the candidate
+    pairs (plans/similarity.py memoizes them per session — the recall row
+    and this row share them) skip re-deriving the LSH + cosine pipeline;
+    it must be the ``(id_a, id_b, cosine)`` frame ``semantic_dedup_pairs``
+    returns for the same corpus/threshold."""
+    if pairs is None:
+        pairs = semantic_dedup_pairs(
+            corpus, id_col, vec_col, threshold, **lsh_kwargs
+        )
     # explode, not a two-branch union: a union evaluates the whole LSH +
     # two-phase-cosine pipeline once per branch
     nbrs = pairs.select(

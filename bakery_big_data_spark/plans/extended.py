@@ -2289,7 +2289,22 @@ def _logit_trained(
 ) -> tuple[DataFrame, DataFrame]:
     """(persisted standardized corpus ``xs``, trained 1-row weights frame
     ``(n, w0, w1, w2)`` after the 8-round GD loop) — the Spark mirror of
-    ``_logit_cte_chain``, shared by the training and calibration rows."""
+    ``_logit_cte_chain``, shared by the training and calibration rows.
+
+    Both frames are memoized per (session, sf): the weights frame is
+    persisted too, so the 8 sequential gradient passes — the only
+    non-parallelizable stage — execute once for the first row that acts
+    on them and the calibration row pays only its own scoring pass."""
+    def build() -> tuple[DataFrame, DataFrame]:
+        xs, r = _logit_train(spark, sf_dir)
+        return (xs, r.persist())
+
+    return _EXT_CACHE.get_or_build(spark, (sf_dir, "logit_trained"), build)
+
+
+def _logit_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     ep = F.col("l_extendedprice").cast("double")
     disc = F.col("l_discount").cast("double")
     raw = t(spark, sf_dir, "lineitem").select(
@@ -2328,16 +2343,14 @@ def _logit_trained(
         (F.col("sq") / F.col("n")).alias("mq"),
         (F.col("sd") / F.col("n")).alias("md"),
     )
-    xs = _EXT_CACHE.get_or_build(
-        spark,
-        (sf_dir, "logit_xs"),
-        lambda: labeled.crossJoin(F.broadcast(mus))
+    xs = (
+        labeled.crossJoin(F.broadcast(mus))
         .select(
             ((F.col("q") - F.col("mq")) / F.col("vq")).alias("x1"),
             ((F.col("d") - F.col("md")) / F.col("vd")).alias("x2"),
             "y",
         )
-        .persist(),
+        .persist()
     )
     lr = F.lit(_LOGIT_LR)
     # Weights ride WITH n on one frame, and every round references the

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.operators.similarity import (
     ann_topk,
     brute_force_topk,
@@ -22,6 +23,38 @@ from bakery_big_data_spark.operators.similarity import (
     near_dup_pairs,
 )
 from bakery_big_data_spark.plans.base import register, t
+
+#: Persisted per-(session, sf) pair frames shared across query rows: the
+#: exact all-pairs truth at cosine>=0.45 (near-dup row + recall row's
+#: labeled verifier) and the LSH candidate pairs at the same threshold
+#: (recall row + SemDeDup canonicalization row).
+_SIM_CACHE = PlanCache(max_entries=4)
+
+
+def _truth_pairs_045(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _SIM_CACHE.get_or_build(
+        spark,
+        (sf_dir, "near_dup_pairs", 0.45),
+        lambda: near_dup_pairs(
+            t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            threshold=0.45,
+        ).persist(),
+    )
+
+
+def _semdedup_pairs_045(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    return _SIM_CACHE.get_or_build(
+        spark,
+        (sf_dir, "semantic_dedup_pairs", 0.45),
+        lambda: semantic_dedup_pairs(
+            t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            threshold=0.45,
+        ).persist(),
+    )
 
 
 def _sig_sql(planes: list[list[float]], vec_expr: str) -> str:
@@ -98,8 +131,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_near_dup_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    return near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return _truth_pairs_045(spark, sf_dir)
 
 
 @register(
@@ -765,7 +797,13 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.operators.similarity import semantic_dedup
 
     emb = t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.45)
+    return semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.45,
+        pairs=_semdedup_pairs_045(spark, sf_dir),
+    )
 
 
 @register(
@@ -794,16 +832,10 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "similarity_ann_recall)",
 )
 def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bakery_big_data_spark.operators.similarity import (
-        near_dup_pairs,
-        semantic_dedup_pairs,
+    truth = _truth_pairs_045(spark, sf_dir)
+    lsh = _semdedup_pairs_045(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(True).alias("_c")
     )
-
-    emb = t(spark, sf_dir, "embeddings")
-    truth = near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
-    lsh = semantic_dedup_pairs(
-        emb, "vec_id", "embedding", threshold=0.45
-    ).select("id_a", "id_b", F.lit(True).alias("_c"))
     return (
         truth.join(lsh, ["id_a", "id_b"], "left")
         .select(
