@@ -975,19 +975,30 @@ def _pca_oracle(iters: int) -> str:
         "agg), and the (j,k)-keyed hash aggregation combines map-side, "
         "so the shuffle carries at most dim^2 partials per partition "
         "regardless of corpus size.  The iteration then runs on the "
-        "dim^2-row frame (lineage-cut per round, the PageRank "
-        "discipline).  Numeric discipline: means, scatter cells, "
-        "matvec sums, and the norm all floor-quantize addends at 1e-12 "
-        "to exact BIGINTs (the embedding_label_centroids convention — "
-        "full-precision float addends are where decimal half-up vs "
-        "half-even rounding diverges), so the oracle's unrolled "
-        f"{_PCA_ITERS}-round CTE chain certifies the trained component "
-        "and eigenvalue bit-for-bit.  Sign/convergence are pinned by "
-        "the fixed all-positive start vector and fixed round count",
+        "materialized dim^2-cell frame with a LINEAR plan: the matvec "
+        "is one 64-row hash agg and the normalization pulls the norm "
+        "from an unpartitioned WINDOW over the same frame — so every "
+        "round references the previous round's frame exactly ONCE and "
+        "the whole k-round loop is one lazy plan with one lineage cut "
+        "total (the former per-round agg+crossJoin referenced w twice, "
+        "forcing an eager localCheckpoint per round — ~5 driver-blocking "
+        "jobs this plan doesn't have).  Numeric discipline: means, "
+        "scatter cells, matvec sums, and the norm all floor-quantize "
+        "addends at 1e-12 to exact BIGINTs (the "
+        "embedding_label_centroids convention — full-precision float "
+        "addends are where decimal half-up vs half-even rounding "
+        "diverges); integer sums are order-free, so the window-summed "
+        "norm is bit-identical to the former global agg and the "
+        f"oracle's unrolled {_PCA_ITERS}-round CTE chain certifies the "
+        "trained component and eigenvalue bit-for-bit.  "
+        "Sign/convergence are pinned by the fixed all-positive start "
+        "vector and fixed round count",
 )
 def embedding_pca_power_iteration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     from bakery_big_data_spark.operators.checkpointing import cut_lineage
 
     q = F.lit(1e12)
@@ -995,8 +1006,28 @@ def embedding_pca_power_iteration(
     def qsum(col):
         return F.sum(F.floor(col * q).cast("bigint")).cast("double") / q
 
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    def qwin(col):
+        """Window twin of qsum (unpartitioned frame-wide sum): the SAME
+        floor-quantized bigint addends and order-free integer sum, but
+        available inside a projection — so the normalization step can
+        reference the matvec frame once instead of agg+crossJoin'ing it
+        (which references it twice and doubles the plan per round)."""
+        return (
+            F.sum(F.floor(col * q).cast("bigint"))
+            .over(Window.partitionBy())
+            .cast("double")
+            / q
+        )
+
+    from bakery_big_data_spark.plans.base import spread
+
+    # spread: the scatter expansion is dim²/2 products PER ROW — CPU-bound
+    # work that would serialize on the single input split a small parquet
+    # arrives as (no-op at real scale, where the scan has many splits)
+    emb = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     xl = emb.select(F.posexplode("v").alias("j", "val"))
     mu = xl.groupBy("j").agg(
@@ -1014,25 +1045,28 @@ def embedding_pca_power_iteration(
     # Only the UPPER triangle (k >= j) is generated, exploded, and
     # aggregated — dim(dim+1)/2 products per row instead of dim², halving
     # the corpus-sized explode+shuffle (the query's one corpus-∝ stage).
-    # The lower triangle is mirrored from the aggregated cells, which is
-    # bit-exact: IEEE multiplication commutes, so cell (k,j) sums the
-    # identical floor-quantized addends the oracle computes for it.
+    # The lower triangle is mirrored at matrix-build time, which is
+    # bit-exact: IEEE multiplication commutes, so cell (k,j) would sum
+    # the identical floor-quantized addends the oracle computes for it.
     outer = F.transform(
         F.col("c"),
         lambda xj, j: F.transform(
-            F.col("c"),
+            # slice from j+1 (1-based) onward: ONLY k >= j is ever built —
+            # no discarded lower-triangle structs to construct and filter
+            F.slice(F.col("c"), j + 1, F.size(F.col("c")) - j),
             lambda xk, k: F.struct(
-                j.alias("j"), k.alias("k"), (xj * xk).alias("p")
+                j.alias("j"), (j + k).alias("k"), (xj * xk).alias("p")
             ),
         ),
     )
-    upper = F.filter(F.flatten(outer), lambda s: s["k"] >= s["j"])
+    upper = F.flatten(outer)
     pairs = centered.select(F.explode(upper).alias("s")).select(
         F.col("s.j").alias("j"), F.col("s.k").alias("k"), F.col("s.p").alias("p")
     )
     # cut BEFORE the mirror union: both union legs reference the frame,
     # and an uncut agg would execute its corpus-sized lineage twice (the
-    # r09 connected-components unionAll lesson)
+    # r09 connected-components unionAll lesson).  This is the ONE
+    # lineage cut in the query — the iteration below stays lazy.
     smat_u = cut_lineage(
         pairs.groupBy("j", "k").agg(qsum(F.col("p")).alias("s")), None
     )
@@ -1042,24 +1076,21 @@ def embedding_pca_power_iteration(
         )
     )  # union of materialized dim²-bounded blocks — cheap to re-scan per round
 
-    v = mu.select(F.col("j").alias("k"), F.lit(0.125).alias("vk"))
-    v = cut_lineage(v, None)
-    nrm = None
+    v = smat_u.filter(F.col("k") == F.col("j")).select(
+        F.col("j").alias("k"), F.lit(0.125).alias("vk")
+    )
     for _ in range(_PCA_ITERS):
         w = (
             smat.join(v, "k")
             .groupBy("j")
             .agg(qsum(F.col("s") * F.col("vk")).alias("w"))
         )
-        nrm = w.agg(
-            F.sqrt(qsum(F.col("w") * F.col("w"))).alias("nrm")
-        )
-        v = w.crossJoin(F.broadcast(nrm)).select(
+        # norm via unpartitioned window: w referenced ONCE, plan linear
+        v = w.select(
             F.col("j").alias("k"),
-            (F.col("w") / F.col("nrm")).alias("vk"),
-            "nrm",
+            (F.col("w") / F.sqrt(qwin(F.col("w") * F.col("w")))).alias("vk"),
+            F.sqrt(qwin(F.col("w") * F.col("w"))).alias("nrm"),
         )
-        v = cut_lineage(v, None)
     return v.select(
         F.col("k").cast("int").alias("dim_idx"),
         F.col("vk").alias("component"),
