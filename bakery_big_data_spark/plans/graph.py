@@ -224,6 +224,9 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # materialize the edge set: the corpus-scale distinct self-join is
+    # referenced three times downstream (degree union x2 + orientation)
+    ue = cut_lineage(ue, None)
     counts = triangle_counts(ue)
     w = Window.orderBy(F.col("n_tri").desc(), F.col("node"))
     return (
