@@ -795,11 +795,14 @@ def prefix_filter_pairs(
     verification re-attaches full shingle sets, so output = the exact
     all-pairs truth (same oracle), only the candidate route differs.
     """
+    from pyspark.sql.window import Window
+
+    from bakery_big_data_spark.operators.checkpointing import cut_lineage
+
     tok = docs.filter(F.size(shingle_col) > 0).select(
         F.col(id_col), F.explode(F.col(shingle_col)).alias("_tok")
     )
     dfreq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("_df"), F.col("_tok"))
     sizes = docs.select(
@@ -815,6 +818,10 @@ def prefix_filter_pairs(
         )
         .select(F.col(id_col), "_tok", "_n")
     )
+    # the prefix frame is self-joined below (two references); one
+    # prefix-sized materialization stops the explode+df-join+window
+    # pipeline re-executing per join side
+    prefix = cut_lineage(prefix, None)
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("_tok"), F.col("_n").alias("_na")
     )
