@@ -1802,9 +1802,11 @@ def sketch_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("k")
     )
-    n = keyed.agg(F.count(F.lit(1)).alias("n_rows"))
     freq = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("f"))
+    # n_rows = SUM(f) rides the same per-key rollup — no separate
+    # count-the-table scan
     exact = freq.agg(
+        F.sum("f").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.col("f") * F.col("f")).alias("exact_f2"),
     )
@@ -1814,9 +1816,7 @@ def sketch_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
         .agg(F.min("s2").alias("est_f2"))
     )
-    out = (
-        n.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(est))
-    )
+    out = exact.crossJoin(F.broadcast(est))
     nd = F.col("n_rows").cast("double")
     return out.select(
         "n_rows",
