@@ -126,10 +126,15 @@ def _replica_sql(table: str, src: str, k: int) -> str:
     if table == "embeddings":
         if k == 0:
             return f"SELECT vec_id, embedding, label FROM '{src}'"
-        # circular shift by k positions, exact float pass-through
+        # circular shift, exact float pass-through; the effective shift is
+        # folded into [1, dim-1] so replicas k >= dim (embedding dim is 64)
+        # never degenerate to a zero shift — a shift of exactly `dim` would
+        # slice an empty head and clamp the tail to the whole list,
+        # reintroducing the duplicate-content artifact the salt prevents
+        shift = ((k - 1) % 63) + 1
         return f"""
             SELECT vec_id + {s} AS vec_id,
-                   (embedding[{k + 1}:] || embedding[1:{k}])::FLOAT[] AS embedding,
+                   (embedding[{shift + 1}:] || embedding[1:{shift}])::FLOAT[] AS embedding,
                    label
             FROM '{src}'"""
     raise ValueError(table)

@@ -191,7 +191,9 @@ def _never_driver_checked(repo_dir: str, registry) -> list[str]:
     for path in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                checked.update(json.load(fh).keys())
+                data = json.load(fh)
+            if isinstance(data, dict):
+                checked.update(data.keys())
         except (OSError, ValueError):
             continue
     return [n for n in registry if n not in checked]

@@ -152,6 +152,8 @@ def test_never_driver_checked_derivation(tmp_path):
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"c": {}}))
     (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
+    # valid JSON but not a dict: must be skipped, not crash on .keys()
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps(["a", "d"]))
     registry = {"a": 1, "b": 1, "c": 1, "d": 1, "e": 1}
     got = bench._never_driver_checked(str(tmp_path), registry)
     assert got == ["d", "e"]
