@@ -40,72 +40,70 @@ from bakery_big_data_spark.plans import graph  # noqa: F401
 #: where the judge blessed merging redundant variants) + the LLM-pipeline
 #: families.  Everything here must keep a green driver CORRECTNESS row.
 #:
-#: r09 rotation = the r08 verdict's task 1 ("drain the certification
-#: backlog hard"): **23 never-driver-checked rows enter** — the verdict's
-#: full 20-name priority list (all re-verified MATCH at sf0.01 by the r08
-#: judge with the driver's exact compare), plus audit_functional_
-#: dependencies and multimodal_audio_quiet_segments (also judge-verified
-#: MATCH; they open the audit family and keep multimodal in-window), plus
-#: quality_configured_gate (NEW this round — the verdict's task 7
-#: config-surface row; the only r09 registration, so the backlog still
-#: shrinks 72 -> 50).  27 core veterans hold their slots.
+#: r10 rotation = the r09 verdict's task 1: **the two stale-red rows lead**
+#: (medallion_ml_features last driver signal r04 MISMATCH, medallion_gold_
+#: daily_fact r03 MISMATCH — both long since fixed, both judge-re-verified
+#: MATCH at sf0.01 and sf0.1, but the hard-signal ledger still ends red;
+#: they take the first two slots to flip it), followed by **25 backlog
+#: first-timers** in the verdict's priority order (timeseries ×6, audit ×3,
+#: text tail ×5, analytics ×5, layout/IO ×4, sketch/window tail ×2), all
+#: pre-verified MATCH at sf0.1 by VERIFY_SF01_r09.json.  23 core veterans
+#: hold their slots; two of them re-certify changed behavior this round:
+#: quality_configured_gate (pipeline gate now batch-global per ADVICE r09)
+#: and multimodal_audio_window_rms (re-pointed at the REAL stdlib-WAV
+#: decode path per verdict task 4).
 #:
-#: Rotated out (all driver-green in r08, each with in-window or
-#: prior-green family kin): approx_count_distinct_scale +
-#: sketch_misra_gries_heavy_hitters + sketch_count_min_heavy_hitters
-#: (the sketch family's four in-window rows — KMV set-ops, Bloom
-#: semi-join, bottom-k quantiles, CMS join-size — run the same mergeable
-#: fixed-state machinery), window_distribution_ranks (ranking family
-#: green r08; window_sequence_keys keeps W1/W2), pivot_status_matrix
-#: (dashboard_summary + report_quality keep conditional-agg reshaping),
-#: join_asof_tolerance (attribution_last_touch IS the as-of machinery,
-#: certified against DuckDB's native ASOF JOIN), streaming_dead_letter_
-#: routing (streaming_ingest_replay keeps S3), ml_logistic_classifier_gd
-#: (ml_linear_regression_gd + ml_classifier_calibration carry training
-#: and eval), anomaly_zscore_daily (drift_chisquare_daily enters; EWMA
-#: kin local), session_window_agg (streaming_stateful_sessions keeps W3),
-#: text_lm_quality_score (text_analysis_profile + BM25 in-window),
-#: similarity_ann_lsh (similarity_ivf_topk + similarity_ivf_recall run
-#: the bucketed-ANN family), embedding_random_projection +
-#: contrastive_negative_sampling (embedding_pca_power_iteration carries
-#: the embedding-ops family), streaming_semantic_ingest_gate
-#: (streaming_dedup_ingest_gate keeps the gate family),
-#: streaming_incremental_gold_parity + streaming_curation_parity
-#: (curation_outoforder_parity runs the same Δ-maintenance under a
-#: strictly harder arrival plan; medallion_incremental_parity keeps the
-#: IVM path), streaming_stream_stream_join + streaming_custom_source_agg
-#: (ingest_replay + rate gate keep streaming core), multimodal_phash_
-#: pairs + multimodal_video_frame_near_dup (audio quiet-segments keeps
-#: the modality family), bpe_vocab_merges + bpe_encode_token_counts
-#: (both green r08).  Rotated-out queries stay registered — the local
-#: catalog suite still oracle-checks all of them every run.
+#: Rotated out (all driver-green in r09, each with in-window or
+#: prior-green family kin, all still oracle-checked by the local catalog
+#: suite + the per-round sf0.1 --verify-all sweep): quantile_exact_
+#: scalable (window/agg kin in-window), er_fuzzy_clusters + skew_salted_
+#: join (join family held by join_multiway_star + sql_exists_subquery),
+#: timeseries_gapfill (six timeseries first-timers enter), medallion_
+#: incremental_parity (medallion family holds 5 slots incl. both
+#: stale-red leads), bucketed_colocated_join (layout family enters via
+#: bucket_pruned_point_lookup + layout_hilbert_keys), the graph 4 +
+#: sql_recursive_cte_reachability (green r09; no catalog change),
+#: text_bm25_retrieval + retrieval_hybrid_rrf (text tail ×5 enters),
+#: ml_linear_regression_gd + ml_classifier_calibration (analytics
+#: first-timers carry eval; trend_linear_fit_daily is the regression
+#: kin), embedding_pca_power_iteration + similarity_ivf_topk
+#: (similarity_ivf_recall + dedup_semantic_recall keep the family),
+#: sketch_kmv_set_ops + sketch_bloom_semijoin + sketch_bottomk_quantiles
+#: + sketch_cms_join_size_estimate (sketch_cms_selfjoin_size carries the
+#: mergeable-sketch machinery), streaming_rate_limit_gate (ingest gate
+#: kin in-window), drift_chisquare_daily + ab_test_conversion_lift +
+#: attribution_last_touch (anomaly_ewma_control + correlation_matrix_
+#: daily enter the analytics slots), dedup_prefix_filter_pairs (recall
+#: rows keep dedup), audit_functional_dependencies (audit ×3 enter),
+#: multimodal_audio_quiet_segments (audio_window_rms re-enters on the
+#: real-decode path).
 DRIVER_WINDOW: list[str] = [
-    # --- 27 core veterans ---------------------------------------------
+    # --- 2 stale-red leads (r09 verdict task 1: flip the ledger) ------
+    "medallion_ml_features",
+    "medallion_gold_daily_fact",
+    # --- 23 core veterans ---------------------------------------------
     # relational / aggregation core (P, A, §2.11, §2.12, U).  P-family
     # projection/cast surface rides the flagship's quality fold;
     # report_quality_multi_table carries A2/A6/A10/U1/U2.
     "pricing_summary_quality_gated",
     "report_quality_multi_table",
     "dashboard_summary",
-    # exact scalable global quantiles (range-decomposed, W5 rep)
-    "quantile_exact_scalable",
+    # §2.11 parameterized rules; gate semantics changed to batch-global
+    # this round (ADVICE r09) -> must re-certify
+    "quality_configured_gate",
     # joins (J1-J8): star join IS three broadcast dim legs (J1/J3);
     # sql_exists_subquery covers semi/anti (J8) + SQL surface (S9/J5)
     "join_multiway_star",
-    "er_fuzzy_clusters",
     "sql_exists_subquery",
-    # 100 TB skew pattern
-    "skew_salted_join",
     # windows (W1/W2)
     "window_sequence_keys",
     # scalar functions (§2.8): Spark 4 VARIANT shred is the JSON rep
     "json_variant_shred",
     # mutation layer (S10/S11, J4, T6/T7) + lakehouse change paths
     "late_arrival_reconciliation",
-    "medallion_incremental_parity",
     "medallion_dim_user_scd2",
-    # behavioral analytics rep
-    "timeseries_gapfill",
+    # r09 slowdown watch item (verdict task 3)
+    "medallion_features_wide",
     # LLM: text analysis profile
     "text_analysis_profile",
     # LLM: dedup — both quantified recall-bound rows anchor the family
@@ -116,55 +114,86 @@ DRIVER_WINDOW: list[str] = [
     # streaming ingest gate (MinHash, banding-aware oracle)
     "streaming_dedup_ingest_gate",
     # pipeline / IO / streaming core
-    "medallion_features_wide",
     "partition_pruned_scan",
     "csv_ddl_roundtrip",
     "streaming_ingest_replay",
     "streaming_stateful_sessions",
-    # 100 TB write-side layout: bucketed zero-exchange join
-    "bucketed_colocated_join",
     "curation_pipeline_manifest",
     # out-of-order (interleaved, shuffled) incremental curation
     "curation_outoforder_parity",
-    # --- 1 new registration (r08 verdict task 7) ----------------------
-    # §2.11 parameterized: dict-configured rules + non-default thresholds
-    "quality_configured_gate",
-    # --- 22 backlog first-timers (r08 verdict task 1 drain) -----------
-    # graph family + the native recursive-CTE SQL surface
-    "graph_pagerank_trade",
-    "graph_triangle_copurchase",
-    "graph_bfs_reachability",
-    "graph_sssp_weighted",
-    "sql_recursive_cte_reachability",
-    # IR family: BM25 + hybrid RRF fusion
-    "text_bm25_retrieval",
-    "retrieval_hybrid_rrf",
-    # ML training + eval (trained weights hash-certified end-to-end)
-    "ml_linear_regression_gd",
-    "ml_classifier_calibration",
-    # distributed PCA (scatter-matrix + power iteration, all in-oracle)
-    "embedding_pca_power_iteration",
-    # IVF top-k with Lloyd training certified in-oracle
-    "similarity_ivf_topk",
-    # sketch family: KMV theta set-ops, Bloom semi-join, bottom-k
-    # quantiles (DKW-certified), CMS join-size estimation
-    "sketch_kmv_set_ops",
-    "sketch_bloom_semijoin",
-    "sketch_bottomk_quantiles",
-    "sketch_cms_join_size_estimate",
-    # streaming admission control (arrival-order-proof rate gate)
-    "streaming_rate_limit_gate",
-    # drift detection + experimentation + attribution (as-of machinery,
-    # certified against DuckDB's native ASOF JOIN)
-    "drift_chisquare_daily",
-    "ab_test_conversion_lift",
-    "attribution_last_touch",
-    # dedup: PPJoin positional prefix filter (honest t=0.8 regime)
-    "dedup_prefix_filter_pairs",
-    # audit family opener: FD discovery via one-scan Expand
-    "audit_functional_dependencies",
-    # multimodal: gaps-and-islands above the certified RMS kernel
-    "multimodal_audio_quiet_segments",
+    # multimodal: re-pointed at REAL WAV decode (verdict task 4) ->
+    # must re-certify on genuine RIFF/PCM bytes
+    "multimodal_audio_window_rms",
+    # --- 25 backlog first-timers (r09 verdict task 1 drain) -----------
+    # timeseries family (6)
+    "timeseries_ohlc_bars",
+    "timeseries_time_weighted_avg",
+    "timeseries_seasonal_decompose",
+    "timeseries_forecast_backtest",
+    "trend_linear_fit_daily",
+    "anomaly_ewma_control",
+    # audit family (3)
+    "audit_column_profile",
+    "audit_benford_first_digit",
+    "audit_referential_integrity",
+    # IR / text tail (5)
+    "text_phrase_search",
+    "text_bigram_lm_counts",
+    "text_vocab_coverage",
+    "text_scrub_patterns",
+    "text_fingerprint_rolling_hash",
+    # analytics (5)
+    "market_basket_rules",
+    "pareto_abc_classification",
+    "sessions_peak_concurrency",
+    "correlation_matrix_daily",
+    "clustering_silhouette_eval",
+    # layout / IO (4)
+    "layout_hilbert_keys",
+    "orc_source_roundtrip",
+    "bucket_pruned_point_lookup",
+    "skew_profile_keys",
+    # sketch / window tail (2)
+    "sketch_cms_selfjoin_size",
+    "window_range_frame",
+]
+
+#: r11 rotation plan (r09 verdict task 7: name every remaining backlog
+#: row's target round).  After the r10 window lands, exactly these 25
+#: never-driver-checked rows remain; ALL are slated for the r11 window,
+#: draining the backlog to zero and re-opening registrations.  Order is
+#: the planned promotion order (families first, SQL tail last).
+R11_ROTATION_PLAN: list[str] = [
+    # dedup tail (4)
+    "dedup_canonical_assignment",
+    "dedup_simhash_fingerprint",
+    "dedup_containment_pairs",
+    "dedup_span_intervals",
+    # curation tail (7)
+    "curation_hash_split",
+    "curation_filter_funnel",
+    "curation_stratified_sample",
+    "curation_chunk_documents",
+    "curation_pack_sequences",
+    "curation_length_histogram",
+    "curation_mixture_upsample",
+    # streaming / medallion tail (3)
+    "streaming_session_windows",
+    "streaming_hopping_window_parity",
+    "medallion_user_features",
+    # embedding / analytics tail (3)
+    "embedding_label_centroids",
+    "feature_quantile_binning",
+    "window_hopping_traffic",
+    # SQL / relational tail (8)
+    "rollup_aggregation",
+    "set_intersect_except",
+    "union_by_name_evolution",
+    "map_functions_roundtrip",
+    "shipping_priority_topk",
+    "collect_sorted_lists",
+    "sql_scalar_subquery",
+    "local_supplier_volume",
 ]
 
 
@@ -180,4 +209,10 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["REGISTRY", "Query", "register", "DRIVER_WINDOW"]
+__all__ = [
+    "REGISTRY",
+    "Query",
+    "register",
+    "DRIVER_WINDOW",
+    "R11_ROTATION_PLAN",
+]

@@ -125,6 +125,13 @@ def _configured_quality_oracle() -> str:
     WITH scored AS (
       SELECT l_returnflag, {config_score_sql(CONFIGURED_QUALITY)} AS score
       FROM lineitem
+    ),
+    batch AS (
+      -- the reference's pipeline gate short-circuits on the avg over the
+      -- WHOLE batch (bakery_batch_etl.py:54-62), not per group
+      SELECT (CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(score)) >= {gate} AS pipeline_gate_pass
+      FROM scored
     )
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
@@ -133,8 +140,7 @@ def _configured_quality_oracle() -> str:
              AS n_promoted,
            CAST(SUM(CASE WHEN score < {pt} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_quarantined,
-           (CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(score))
-             >= {gate} AS pipeline_gate_pass
+           (SELECT pipeline_gate_pass FROM batch) AS pipeline_gate_pass
     FROM scored
     GROUP BY l_returnflag
     """
@@ -144,9 +150,10 @@ def _configured_quality_oracle() -> str:
     "quality_configured_gate",
     _configured_quality_oracle(),
     doc="§2.11 parameterized: dict-configured rule set + non-default promote "
-        "threshold (80) + batch-level pipeline gate (bakery_batch_etl.py:54-62, "
-        "silver_to_gold.py:298) — engine and oracle both rendered from the "
-        "same config dict, map-only scoring, one hash-agg shuffle",
+        "threshold (80) + BATCH-GLOBAL pipeline gate (bakery_batch_etl.py:54-62 "
+        "short-circuits the DAG on the whole-batch avg; silver_to_gold.py:298) "
+        "— engine and oracle both rendered from the same config dict; map-only "
+        "scoring, one hash-agg shuffle, gate attached via broadcast 1-row join",
 )
 def quality_configured_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.quality import (
@@ -163,13 +170,20 @@ def quality_configured_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = F.col("data_quality_score")
     dec_sum = F.sum(score.cast("decimal(30,6)")).cast("double")
-    return scored.groupBy("l_returnflag").agg(
+    # The reference evaluates the gate over the WHOLE batch and
+    # short-circuits the DAG; here that decision is a 1-row aggregate
+    # broadcast onto every group row (partial aggregation keeps it one
+    # extra map-side pass, no extra wide shuffle at scale).
+    batch_gate = scored.agg(
+        ((dec_sum / F.count(score)) >= gate).alias("pipeline_gate_pass")
+    )
+    grouped = scored.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         davg(score, "avg_score"),
         F.sum(F.when(score >= pt, 1).otherwise(0)).alias("n_promoted"),
         F.sum(F.when(score < pt, 1).otherwise(0)).alias("n_quarantined"),
-        ((dec_sum / F.count(score)) >= gate).alias("pipeline_gate_pass"),
     )
+    return grouped.crossJoin(F.broadcast(batch_gate))
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,26 @@ def test_streaming_gate_under_local_cluster(lc_spark, tmp_path):
     )
     n = dec.count()
     assert n > 0
+
+
+def test_driver_window_sweep_under_local_cluster(lc_spark):
+    """r09 verdict task 6: EVERY driver-window row, driver-exact oracle
+    compare (row count + schema + order-insensitive value multiset), under
+    2 real worker JVMs — so exchange reuse, remote broadcasts, cross-JVM
+    block fetches and forked Python workers are exercised on each row the
+    driver will certify this round.  sf0.001 keeps the sweep minutes-sized;
+    the single-JVM oracle compare at sf0.01/sf0.1 is bench.py --verify's
+    job."""
+    from bakery_big_data_spark.plans import DRIVER_WINDOW, REGISTRY
+    from tests.oracle import compare, duck_connect
+
+    con = duck_connect(SF_DIR)
+    failures = []
+    for name in DRIVER_WINDOW:
+        q = REGISTRY[name]
+        try:
+            compare(q.build(lc_spark, SF_DIR), con, q.oracle)
+        except Exception as exc:  # collect all, report once
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:160]}")
+    con.close()
+    assert not failures, "\n".join(failures)

@@ -97,3 +97,35 @@ def test_configured_score_matches_duckdb_on_rows(spark):
     # non-default promote threshold gates at 70: only double-failures drop
     kept = {r["v"] for r in score_and_gate(df, cfg).collect()}
     assert kept == {v for v, s in scored.items() if s >= 70}
+
+
+def test_configured_gate_is_batch_global(spark, sf_dir):
+    """ADVICE r09: the reference's pipeline gate short-circuits on the
+    avg over the WHOLE batch (bakery_batch_etl.py:54-62), so every group
+    row must carry the SAME gate flag — the one a global aggregate of the
+    scored frame produces — not a per-group decision."""
+    from bakery_big_data_spark.plans.relational import (
+        CONFIGURED_QUALITY,
+        quality_configured_gate,
+    )
+    from bakery_big_data_spark.quality import (
+        apply_quality_rules,
+        pipeline_gate_threshold,
+        rules_from_config,
+    )
+    from bakery_big_data_spark.plans.base import t
+    from pyspark.sql import functions as F
+
+    rows = quality_configured_gate(spark, sf_dir).collect()
+    flags = {r["pipeline_gate_pass"] for r in rows}
+    assert len(flags) == 1, f"gate must be batch-global, got {flags}"
+
+    scored = apply_quality_rules(
+        t(spark, sf_dir, "lineitem"), rules_from_config(CONFIGURED_QUALITY)
+    )
+    batch_avg = scored.agg(
+        (F.sum(F.col("data_quality_score").cast("decimal(30,6)")).cast("double")
+         / F.count("data_quality_score")).alias("a")
+    ).collect()[0]["a"]
+    expected = batch_avg >= pipeline_gate_threshold(CONFIGURED_QUALITY)
+    assert flags == {expected}
