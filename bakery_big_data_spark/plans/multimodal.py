@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bakery_big_data_spark.operators.multimodal import (
     attach_media_columns,
+    attach_wav_audio,
     audio_window_rms,
     frame_sample,
     image_features,
@@ -22,6 +23,15 @@ from bakery_big_data_spark.plans.base import register, t
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_media_columns(
+        t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
+    )
+
+
+def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE RIFF/WAV payloads: each document's UTF-8 codepoints are the
+    int16 PCM samples, so the container parse is real while the oracle can
+    still restate the decoded sample stream as ``unicode(c)``."""
+    return attach_wav_audio(
         t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
     )
 
@@ -91,11 +101,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE len(cs_w) > 0
     """,
-    doc="Audio windowed RMS over fake-PCM byte samples (100-sample windows): "
-        "integer-exact sums of squares, one sqrt per window, Arrow-batched",
+    doc="Audio windowed RMS over REAL WAV bytes (r09 verdict task 4): the "
+        "payload is a genuine RIFF/PCM container written by the stdlib wave "
+        "module, decode_audio_real parses it back (magic, chunk lengths, "
+        "channel count and sample width all validated), and the 100-sample "
+        "windowed RMS runs over the decoded int16 stream — integer-exact "
+        "sums of squares, one sqrt per window, Arrow-batched map-only",
 )
 def multimodal_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return audio_window_rms(_media(spark, sf_dir), window=100)
+    return audio_window_rms(_wav_media(spark, sf_dir), window=100, real_decode=True)
 
 
 #: Shared SQL: the dHash signature restated over the ASCII payload — 127
@@ -297,7 +311,7 @@ def multimodal_audio_quiet_segments(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    rms = audio_window_rms(_media(spark, sf_dir), window=100)
+    rms = audio_window_rms(_wav_media(spark, sf_dir), window=100, real_decode=True)
     quiet = rms.filter(F.col("rms") < _RMS_THRESHOLD).withColumn(
         "island",
         F.col("window_idx")

@@ -67,3 +67,58 @@ def test_frame_sample_expansion(spark, sf_dir):
         (r.frame_idx, r.frame_len) for r in frames if r.media_id == d.doc_id
     )
     assert got == expect
+
+
+def test_wav_roundtrip_pure_python():
+    """decode_audio_real is REAL container parsing: RIFF magic, mono/16-bit
+    validation, exact int16 sample round-trip (no Spark)."""
+    import numpy as np
+
+    from bakery_big_data_spark.operators.multimodal import (
+        decode_audio_real,
+        wav_encode_pcm16,
+    )
+
+    samples = [0, 1, -1, 127, -32768, 32767, 42]
+    payload = wav_encode_pcm16(samples, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    out = decode_audio_real(payload)
+    assert out.dtype == np.int64
+    assert out.tolist() == samples
+    # corrupted container must raise, as a production decode stage would
+    with pytest.raises(Exception):
+        decode_audio_real(b"\x00\x01\x02\x03not a wav")
+
+
+def test_wav_media_real_decode_rms_matches_fake_path(spark, sf_dir):
+    """The real-WAV RMS row must produce exactly the values the byte-level
+    fake path produced (the PCM stream IS the codepoint stream), proving the
+    oracle continuity of the re-pointed row AND that genuine RIFF bytes flow
+    through the Spark plan."""
+    from bakery_big_data_spark.operators.multimodal import (
+        attach_media_columns,
+        attach_wav_audio,
+        audio_window_rms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    wav_media = attach_wav_audio(docs, "text", "doc_id")
+    row = wav_media.select("payload", "codec", "sample_rate").first()
+    assert bytes(row.payload)[:4] == b"RIFF"  # genuine container on the wire
+    assert row.codec == "pcm_s16le" and row.sample_rate == 16000
+
+    real = sorted(
+        map(
+            tuple,
+            audio_window_rms(wav_media, window=100, real_decode=True).collect(),
+        )
+    )
+    fake = sorted(
+        map(
+            tuple,
+            audio_window_rms(
+                attach_media_columns(docs, "text", "doc_id"), window=100
+            ).collect(),
+        )
+    )
+    assert real == fake and len(real) > 0
