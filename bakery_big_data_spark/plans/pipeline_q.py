@@ -22,7 +22,27 @@ from bakery_big_data_spark.pipeline.medallion import (
     silver_events,
     silver_feedback,
 )
+from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.plans.base import register
+
+#: Silver is a MATERIALIZED layer in a medallion architecture — production
+#: writes it once and every gold/ML consumer reads the table.  The in-session
+#: analog: persist the silver frame once per (session, sf) and let every
+#: multi-consumer row (features_wide's 6 enrichment legs, SCD2's two
+#: profiles, ml_features' fact+calendar) read the cached blocks instead of
+#: re-running the scan+score lineage per leg.  r09→r10 adjudication measured
+#: the per-leg re-derivation — not shared-artifact session interaction — as
+#: the entire cost of the two bench slowdowns (PERF.md "Round-10:
+#: medallion slowdown adjudication").
+_MEDALLION_CACHE = PlanCache(max_entries=2)
+
+
+def _silver_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _MEDALLION_CACHE.get_or_build(
+        spark,
+        (sf_dir, "silver_events"),
+        lambda: silver_events(bronze_events(spark, sf_dir)).persist(),
+    )
 
 
 def _package_src_mtime() -> float:
@@ -130,7 +150,7 @@ def medallion_gold_daily_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(reference update_ml_features.py:66-77,134-150)",
 )
 def medallion_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    silver = silver_events(bronze_events(spark, sf_dir))
+    silver = _silver_cached(spark, sf_dir)
     return ml_features_daily(gold_fact_daily(silver), gold_dim_calendar(silver))
 
 
@@ -245,7 +265,7 @@ def medallion_feedback_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window shuffle plus map-side joins at any scale",
 )
 def medallion_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    silver = silver_events(bronze_events(spark, sf_dir))
+    silver = _silver_cached(spark, sf_dir)
     fact = gold_fact_daily(silver)
     cal = gold_dim_calendar(silver)
     return ml_features_wide(
@@ -344,7 +364,7 @@ def medallion_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def medallion_dim_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.pipeline.medallion import gold_dim_user_scd2
 
-    return gold_dim_user_scd2(silver_events(bronze_events(spark, sf_dir)))
+    return gold_dim_user_scd2(_silver_cached(spark, sf_dir))
 
 
 from bakery_big_data_spark.plans.dedup import _banded_pairs_sql  # noqa: E402

@@ -144,12 +144,13 @@ def make_stress_corpus(
     src_dir: str = "/root/testdata/sf0.1",
     out_dir: str = "/root/repo/.stress/sf1eq",
     replicas: int = 10,
+    tables: list[str] | None = None,
 ) -> str:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    for table in TABLES:
+    for table in tables if tables is not None else TABLES:
         src = f"{src_dir}/{table}.parquet"
         out = f"{out_dir}/{table}.parquet"
         if table in ("region", "nation"):
@@ -167,4 +168,5 @@ def make_stress_corpus(
 
 if __name__ == "__main__":
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    make_stress_corpus(replicas=k)
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.stress/sf1eq"
+    make_stress_corpus(out_dir=out, replicas=k)

@@ -270,6 +270,16 @@ def main() -> None:
     from bakery_big_data_spark.plans import DRIVER_WINDOW, REGISTRY
     from bakery_big_data_spark.session import get_spark
 
+    # --only a,b,c: time a named subset (stress sweeps over the x100
+    # corpus target the heaviest rows without paying a full catalog run)
+    registry = REGISTRY
+    if "--only" in sys.argv[1:]:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        registry = {n: REGISTRY[n] for n in names}
+
     spark = get_spark("bakery-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -278,7 +288,7 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings, errors = _time_catalog(spark, REGISTRY, sf_dir)
+    timings, errors = _time_catalog(spark, registry, sf_dir)
     if errors:
         print(json.dumps({"bench_errors": errors}), file=sys.stderr)
 
@@ -305,7 +315,7 @@ def main() -> None:
         small_dir = os.environ.get(
             "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
         )
-        small_timings, small_errors = _time_catalog(spark, REGISTRY, small_dir)
+        small_timings, small_errors = _time_catalog(spark, registry, small_dir)
         detail["scaling_vs_small"] = {
             "small_sf_dir": small_dir,
             "small_errors": small_errors,
@@ -320,10 +330,20 @@ def main() -> None:
             )
     # SPARK_GRAFT_DETAIL_PATH redirects the detail file for out-of-band
     # sweeps (e.g. the sf1-equivalent stress corpus) so they can't clobber
-    # the committed BENCH_DETAIL.json / its regression baseline.
-    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # the committed BENCH_DETAIL.json / its regression baseline.  A --only
+    # subset run is always out-of-band: without an explicit detail path it
+    # must not overwrite the committed full-catalog detail.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
+    if detail_path is None and registry is not REGISTRY:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stress", "BENCH_ONLY.json",
+        )
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    if detail_path is None:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
     # Regression gate vs the COMMITTED previous round's detail (whatever
     # is on disk before this run overwrites it): normalize by the
     # common-set total, flag >2x per-query outliers.  Mechanical
