@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from bakery_big_data_spark.operators.checkpointing import cut_lineage
 
 DEC = "decimal(30,6)"
@@ -181,7 +183,11 @@ def triangle_counts(
     # join); one edge-sized materialization beats re-running the degree
     # join per consumer (~25% of the row's wall at sf0.1 — exchange reuse
     # does not cover the differing downstream projections)
-    o = cut_lineage(oriented_edges(edges), checkpoint_dir)
+    o = cut_lineage(
+        oriented_edges(edges),
+        checkpoint_dir,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
     adj = o.groupBy("lo").agg(F.collect_list("hi").alias("_nbrs"))
     au = adj.select(F.col("lo"), F.col("_nbrs").alias("_nu"))
     av = adj.select(F.col("lo").alias("hi"), F.col("_nbrs").alias("_nv"))

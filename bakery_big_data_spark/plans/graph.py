@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.storagelevel import StorageLevel
+
 from bakery_big_data_spark.operators.checkpointing import cut_lineage
 from bakery_big_data_spark.operators.graph import pagerank, triangle_counts
 from bakery_big_data_spark.plans.base import register, t
@@ -225,14 +227,21 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # materialize the edge set: the corpus-scale distinct self-join is
-    # referenced three times downstream (degree union x2 + orientation)
-    ue = cut_lineage(ue, None)
+    # referenced three times downstream (degree union x2 + orientation);
+    # serialized-spillable blocks — an |E|-sized deserialized block set
+    # was half of the x100 heap OOM (see cut_lineage docstring)
+    ue = cut_lineage(ue, None, storage_level=StorageLevel.MEMORY_AND_DISK)
     counts = triangle_counts(ue)
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps + a 20-row
+    # driver merge), THEN rank the 20 survivors — a global row_number
+    # window here would sort the whole node-sized aggregate in ONE
+    # partition (~2 M parts at the ×100 corpus)
+    top = counts.orderBy(F.col("n_tri").desc(), F.col("node")).limit(20)
     w = Window.orderBy(F.col("n_tri").desc(), F.col("node"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select(F.col("node").alias("part_key"), "n_tri", "rk")
+    return top.select(
+        F.col("node").alias("part_key"),
+        "n_tri",
+        F.row_number().over(w).alias("rk"),
     )
 
 

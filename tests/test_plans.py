@@ -386,3 +386,13 @@ def test_bucket_pruned_point_lookup_scans_one_bucket(spark, sf_dir):
     single bucket — the read-side payoff of bucketing."""
     plan = _plan(spark, sf_dir, "bucket_pruned_point_lookup")
     assert "SelectedBucketsCount: 1 out of 8" in plan
+
+
+def test_triangle_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """r10 x100 lesson: the triangle row's final top-20 must plan as
+    TakeOrderedAndProject (per-partition heaps + 20-row driver merge), not
+    a global row_number window — an unpartitioned window sorts the whole
+    node-sized aggregate (~2M parts at the x100 corpus) in ONE partition.
+    The ranking window that remains operates on the 20 survivors only."""
+    plan = _plan(spark, sf_dir, "graph_triangle_copurchase")
+    assert "TakeOrderedAndProject" in plan
