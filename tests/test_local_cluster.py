@@ -48,8 +48,29 @@ def lc_spark():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # Ship the package to the worker JVMs' Python workers, exactly as a
+    # real submit does with --py-files: cloudpickle serializes
+    # module-level functions (e.g. the WAV decode kernels referenced by
+    # mapInPandas closures) BY REFERENCE, so the remote workers must be
+    # able to import bakery_big_data_spark — local[N] masks this because
+    # its workers inherit the driver's sys.path.
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )  # repo root
+    staging = tempfile.mkdtemp(prefix="lc-pyfiles-")
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "bakery_big_data_spark"),
+        "zip",
+        root_dir=pkg_dir,
+        base_dir="bakery_big_data_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
     yield spark
     spark.stop()
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _rows(df):
