@@ -17,6 +17,10 @@ from bakery_big_data_spark.plans import REGISTRY
 # deliberate small×small or broadcast-bounded plan.
 NESTED_LOOP_ALLOWED = {
     "join_cross_synthesize",  # 25×5 dim synthesis (reference J6)
+    # deliberate 1-row broadcast: the BATCH-GLOBAL pipeline-gate decision
+    # (one aggregate row) crossed onto every group row — the reference's
+    # DAG-level gate re-expressed declaratively (ADVICE r09)
+    "quality_configured_gate",
     # deliberate broadcast scan: tiny query set × corpus, O(corpus) work —
     # the exact-baseline shape for ANN (the scale path is similarity_ann_lsh)
     "similarity_topk_bruteforce",
