@@ -159,11 +159,19 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 #: r11 rotation plan (r09 verdict task 7: name every remaining backlog
-#: row's target round).  After the r10 window lands, exactly these 25
-#: never-driver-checked rows remain; ALL are slated for the r11 window,
-#: draining the backlog to zero and re-opening registrations.  Order is
-#: the planned promotion order (families first, SQL tail last).
+#: row's target round).  After the r10 window lands, these 25 previously
+#: registered never-driver-checked rows remain, plus the 3 rows
+#: registered in r10 once the 25-promotion window brought the projected
+#: backlog under the ~35 reopening bar (DOULION triangle estimate,
+#: feature hashing, Matryoshka truncation recall — each sf0.1
+#: driver-exact verified at registration).  ALL 28 are slated for the
+#: r11 window, draining the backlog to zero.  Order is the planned
+#: promotion order (families first, SQL tail last).
 R11_ROTATION_PLAN: list[str] = [
+    # r10 registrations (verified at sf0.001/sf0.01/sf0.1 on arrival)
+    "graph_triangle_doulion_estimate",
+    "text_feature_hashing",
+    "embedding_matryoshka_recall",
     # dedup tail (4)
     "dedup_canonical_assignment",
     "dedup_simhash_fingerprint",

@@ -1337,3 +1337,95 @@ def clustering_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_silhouette"
         ),
     )
+
+
+_MRL_DIMS = 16
+_MRL_K = 10
+_MRL_NQ = 20
+
+
+@register(
+    "embedding_matryoshka_recall",
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), et AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding[1:{_MRL_DIMS}],
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), nrm AS MATERIALIZED (
+      SELECT vec_id, v, n2 FROM (
+        SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
+      ) WHERE n2 > 0
+    ), nrmt AS MATERIALIZED (
+      SELECT vec_id, v, n2 FROM (
+        SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM et
+      ) WHERE n2 > 0
+    ), ftop AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_MRL_NQ}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY {_FOLD_DOT.format(a='a.v', b='b.v')}
+                   / sqrt(a.n2 * b.n2) DESC, b.vec_id) <= {_MRL_K}
+    ), ttop AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id
+      FROM nrmt a JOIN nrmt b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_MRL_NQ}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY {_FOLD_DOT.format(a='a.v', b='b.v')}
+                   / sqrt(a.n2 * b.n2) DESC, b.vec_id) <= {_MRL_K}
+    )
+    SELECT f.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_full,
+           CAST(COUNT(t.c_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t.c_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM ftop f
+    LEFT JOIN ttop t ON t.q_id = f.q_id AND t.c_id = f.c_id
+    GROUP BY f.q_id
+    """,
+    doc="Matryoshka-representation truncation eval (Kusupati et al., "
+        "NeurIPS 2022 shape): exact cosine top-10 per query on the FIRST "
+        f"{_MRL_DIMS} of 64 dims vs the full-width top-10, reporting "
+        "per-query overlap and recall@k — the retrieval-quality check a "
+        "pipeline runs before storing truncated (4x cheaper) vectors.  "
+        "Both sides reuse the brute-force exact-baseline machinery "
+        "(broadcast query side, map-only scoring, per-query top-k window); "
+        "at 100 TB the same eval runs over a sampled query set against an "
+        "IVF/LSH index — this row certifies the measurement itself, "
+        "including both engines agreeing on the truncated-space ranking",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    full_top = brute_force_topk(
+        emb.filter(F.col("vec_id") < _MRL_NQ), emb, "vec_id", "embedding",
+        k=_MRL_K,
+    ).select("q_id", "c_id")
+    trunc_top = brute_force_topk(
+        trunc.filter(F.col("vec_id") < _MRL_NQ), trunc, "vec_id", "embedding",
+        k=_MRL_K,
+    ).select(
+        F.col("q_id").alias("_tq"), F.col("c_id").alias("_tc"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (F.col("q_id") == F.col("_tq")) & (F.col("c_id") == F.col("_tc")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.count("_hit").alias("n_overlap"),
+            (F.count("_hit").cast("double") / F.count(F.lit(1)))
+            .alias("recall_at_k"),
+        )
+    )

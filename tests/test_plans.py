@@ -21,6 +21,12 @@ NESTED_LOOP_ALLOWED = {
     # (one aggregate row) crossed onto every group row — the reference's
     # DAG-level gate re-expressed declaratively (ADVICE r09)
     "quality_configured_gate",
+    # deliberate 1-row broadcasts: edge-count / sampled-count / sampled
+    # triangle-count scalars crossed into the one-row DOULION report
+    "graph_triangle_doulion_estimate",
+    # same deliberate broadcast exact-baseline shape as the other recall
+    # rows: 20-query set crossed over the corpus, twice (full + truncated)
+    "embedding_matryoshka_recall",
     # deliberate broadcast scan: tiny query set × corpus, O(corpus) work —
     # the exact-baseline shape for ANN (the scale path is similarity_ann_lsh)
     "similarity_topk_bruteforce",
