@@ -382,3 +382,26 @@ def test_misra_gries_contract_hypothesis(spark, vals, parts):
         assert (true - est) * (k + 1) <= n
         if true * (k + 1) > n:
             assert g in summary
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0,
+        max_size=4096,
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_codec_roundtrip_property(samples, rate):
+    """decode_audio_real(wav_encode_pcm16(x)) == x for EVERY int16 sample
+    stream, including empty, full-range extremes, and odd lengths — the
+    container parse is lossless, so the audio RMS oracle's codepoint
+    restatement is exact for any payload the fixture can produce."""
+    from bakery_big_data_spark.operators.multimodal import (
+        decode_audio_real,
+        wav_encode_pcm16,
+    )
+
+    payload = wav_encode_pcm16(samples, sample_rate=rate)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert decode_audio_real(payload).tolist() == samples
