@@ -169,13 +169,19 @@ def test_driver_window_sweep_under_local_cluster(lc_spark):
     block fetches and forked Python workers are exercised on each row the
     driver will certify this round.  sf0.001 keeps the sweep minutes-sized;
     the single-JVM oracle compare at sf0.01/sf0.1 is bench.py --verify's
-    job."""
+    job.  SPARK_GRAFT_LOCAL_CLUSTER_FULL=1 widens the sweep to the WHOLE
+    catalog (one-off realism audit; ~3x the wall)."""
     from bakery_big_data_spark.plans import DRIVER_WINDOW, REGISTRY
     from tests.oracle import compare, duck_connect
 
+    names = (
+        list(REGISTRY)
+        if os.environ.get("SPARK_GRAFT_LOCAL_CLUSTER_FULL") == "1"
+        else DRIVER_WINDOW
+    )
     con = duck_connect(SF_DIR)
     failures = []
-    for name in DRIVER_WINDOW:
+    for name in names:
         q = REGISTRY[name]
         try:
             compare(q.build(lc_spark, SF_DIR), con, q.oracle)
