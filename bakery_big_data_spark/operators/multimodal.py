@@ -100,6 +100,110 @@ def decode_audio_real(payload: bytes):
     return np.frombuffer(frames, dtype="<i2").astype(np.int64)
 
 
+def bmp_encode_raw24(samples: bytes, width: int = 16) -> bytes:
+    """Write a genuine 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER) whose pixel array IS ``samples`` zero-padded to a
+    whole number of rows — stdlib ``struct`` only.
+
+    ``width`` pixels × 3 bytes = 48-byte rows (4-byte aligned by
+    construction, so no per-row pad ambiguity); rows are stored bottom-up
+    per the BMP spec and re-flipped by the decoder, making the round trip
+    byte-exact."""
+    import struct
+
+    row = width * 3
+    n = len(samples)
+    pad = row if n == 0 else (row - n % row) % row
+    data = samples + b"\x00" * pad
+    height = len(data) // row
+    # bottom-up row order (positive biHeight)
+    pixels = b"".join(
+        data[r * row : (r + 1) * row] for r in range(height - 1, -1, -1)
+    )
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixels
+
+
+def decode_image_bmp(payload: bytes):
+    """REAL image decode: parse an uncompressed 24-bit BMP container
+    (stdlib ``struct``) and return (top-down flat pixel bytes, width,
+    height).  Magic, header size, plane count, bit depth, compression
+    mode and pixel-array offset are all validated — a corrupted or
+    non-BMP payload raises, exactly as a production decode stage would."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    _, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    (
+        hdr_size, width, height, planes, bpp, compression, _img_size,
+        _xppm, _yppm, _clr, _imp,
+    ) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
+    if hdr_size != 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"expected uncompressed 24-bit BITMAPINFOHEADER, got "
+            f"hdr={hdr_size} planes={planes} bpp={bpp} comp={compression}"
+        )
+    row = width * 3
+    rows = [
+        payload[offset + r * row : offset + (r + 1) * row]
+        for r in range(height)
+    ]
+    if any(len(r) != row for r in rows):
+        raise ValueError("truncated BMP pixel array")
+    return b"".join(reversed(rows)), width, height
+
+
+def y4m_encode_mono(samples: bytes, width: int = 16, height: int = 16) -> bytes:
+    """Write a genuine YUV4MPEG2 stream (mono chroma mode): the documented
+    plain-text stream header, then one ``FRAME`` marker + width×height
+    luma bytes per frame; ``samples`` is zero-padded to whole frames."""
+    frame = width * height
+    n = len(samples)
+    pad = 0 if n == 0 else (frame - n % frame) % frame
+    data = samples + b"\x00" * pad
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    out = [header]
+    for f in range(len(data) // frame):
+        out.append(b"FRAME\n")
+        out.append(data[f * frame : (f + 1) * frame])
+    return b"".join(out)
+
+
+def decode_video_y4m(payload: bytes):
+    """REAL video decode: parse a YUV4MPEG2 (mono) stream and return
+    (list of frame byte strings, width, height).  Stream magic, header
+    parameters, every FRAME marker and every frame length are validated."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii")
+    parts = header.split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    params = {p[0]: p[1:] for p in parts[1:] if p}
+    if params.get("C", "420") != "mono":
+        raise ValueError(f"expected Cmono, got C{params.get('C')}")
+    width, height = int(params["W"]), int(params["H"])
+    frame = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        marker_end = payload.index(b"\n", pos)
+        if payload[pos:marker_end].split(b" ")[0] != b"FRAME":
+            raise ValueError("malformed frame marker")
+        start = marker_end + 1
+        chunk = payload[start : start + frame]
+        if len(chunk) != frame:
+            raise ValueError("truncated frame")
+        frames.append(chunk)
+        pos = start + frame
+    return frames, width, height
+
+
 def fake_decode_bytes(payload: bytes, width: int = 16):
     """Deterministic fake decode: raw bytes as a uint8 sample grid.
 
@@ -176,6 +280,130 @@ def attach_wav_audio(
             )
 
     return df.select(id_col, text_col).mapInPandas(encode, MEDIA_META_DDL)
+
+
+def attach_bmp_images(
+    df: DataFrame, text_col: str, id_col: str, width: int = 16
+) -> DataFrame:
+    """Typed image-media frame with GENUINE 24-bit BMP payloads: the
+    document's UTF-8 bytes are the pixel array (zero-padded to whole
+    rows), so the container parse is real while the oracle restates the
+    decoded pixels as codepoints + a deterministic pad."""
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                samples = text.encode("utf-8")
+                payload = bmp_encode_raw24(samples, width)
+                h = (len(payload) - 54) // (width * 3)
+                rows.append(
+                    (int(did), "image", payload, width, h, None, None, "bmp24")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "duration_ms", "codec",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, MEDIA_META_DDL)
+
+
+def attach_y4m_videos(
+    df: DataFrame, text_col: str, id_col: str,
+    width: int = 16, height: int = 16,
+) -> DataFrame:
+    """Typed video-media frame with GENUINE YUV4MPEG2 payloads (mono):
+    document bytes become the luma plane stream, zero-padded to whole
+    width×height frames."""
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                samples = text.encode("utf-8")
+                n_frames = (len(samples) + width * height - 1) // (
+                    width * height
+                )
+                rows.append(
+                    (
+                        int(did), "video",
+                        y4m_encode_mono(samples, width, height),
+                        width, height, None, n_frames * 40, "y4m_mono",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "duration_ms", "codec",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, MEDIA_META_DDL)
+
+
+def bmp_image_features(media: DataFrame) -> DataFrame:
+    """Per-asset pixel features over REAL BMP decode: container-validated
+    parse, then size / checksum / mean over the top-down pixel stream.
+    Same Arrow iterator shape as :func:`image_features`."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data, w, h = decode_image_bmp(bytes(payload))
+                total = sum(data)
+                rows.append(
+                    (
+                        int(mid), len(data), total,
+                        total / len(data) if data else 0.0, w, h,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "byte_checksum", "mean_byte",
+                    "fake_width", "fake_height",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, FEATURES_DDL
+    )
+
+
+def y4m_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-frame stats over REAL Y4M decode: every validated frame emits
+    (media_id, frame_idx, frame_len, frame_checksum) — the real-container
+    analog of :func:`frame_sample`'s one-to-many expansion."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "frame_len": [],
+                "frame_checksum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _w, _h = decode_video_y4m(bytes(payload))
+                for idx, fr in enumerate(frames):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(fr))
+                    out["frame_checksum"].append(sum(fr))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(stats, FRAMES_DDL)
 
 
 def image_features(media: DataFrame, grid_width: int = 16) -> DataFrame:

@@ -172,6 +172,8 @@ R11_ROTATION_PLAN: list[str] = [
     "graph_triangle_doulion_estimate",
     "text_feature_hashing",
     "embedding_matryoshka_recall",
+    "multimodal_image_real_bmp_features",
+    "multimodal_video_real_y4m_frames",
     # dedup tail (4)
     "dedup_canonical_assignment",
     "dedup_simhash_fingerprint",

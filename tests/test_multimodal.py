@@ -122,3 +122,49 @@ def test_wav_media_real_decode_rms_matches_fake_path(spark, sf_dir):
         )
     )
     assert real == fake and len(real) > 0
+
+
+def test_bmp_roundtrip_pure_python():
+    """decode_image_bmp is REAL container parsing: magic/planes/bpp/
+    compression validation, bottom-up row re-flip, exact pixel-stream
+    round-trip modulo the deterministic row pad."""
+    from bakery_big_data_spark.operators.multimodal import (
+        bmp_encode_raw24,
+        decode_image_bmp,
+    )
+
+    s = b"the quick brown fox jumps over the lazy dog" * 3
+    payload = bmp_encode_raw24(s, width=16)
+    assert payload[:2] == b"BM"
+    data, w, h = decode_image_bmp(payload)
+    pad = (48 - len(s) % 48) % 48
+    assert data == s + b"\x00" * pad and w == 16 and h == len(data) // 48
+    with pytest.raises(ValueError):
+        decode_image_bmp(b"XXnot a bmp at all")
+    # corrupted bpp field must be rejected, not silently mis-decoded
+    bad = bytearray(payload)
+    bad[28] = 8  # biBitCount 24 -> 8
+    with pytest.raises(ValueError):
+        decode_image_bmp(bytes(bad))
+
+
+def test_y4m_roundtrip_pure_python():
+    """decode_video_y4m is REAL container parsing: stream magic, header
+    params, every FRAME marker and frame length validated."""
+    from bakery_big_data_spark.operators.multimodal import (
+        decode_video_y4m,
+        y4m_encode_mono,
+    )
+
+    s = bytes(range(256)) * 2 + b"tail"
+    payload = y4m_encode_mono(s, width=16, height=16)
+    assert payload.startswith(b"YUV4MPEG2 ")
+    frames, w, h = decode_video_y4m(payload)
+    assert w == 16 and h == 16 and all(len(f) == 256 for f in frames)
+    pad = (256 - len(s) % 256) % 256
+    assert b"".join(frames) == s + b"\x00" * pad
+    with pytest.raises(ValueError):
+        decode_video_y4m(b"NOTY4M W16 H16\nFRAME\n" + b"\x00" * 256)
+    # truncated final frame must raise
+    with pytest.raises(ValueError):
+        decode_video_y4m(payload[:-10])

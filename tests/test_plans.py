@@ -151,6 +151,8 @@ PANDAS_QUERIES = {
     "multimodal_image_features",
     "multimodal_frame_sample",
     "multimodal_audio_window_rms",
+    "multimodal_image_real_bmp_features",
+    "multimodal_video_real_y4m_frames",
 }
 
 
