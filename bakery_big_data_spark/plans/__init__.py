@@ -174,6 +174,7 @@ R11_ROTATION_PLAN: list[str] = [
     "embedding_matryoshka_recall",
     "multimodal_image_real_bmp_features",
     "multimodal_video_real_y4m_frames",
+    "curation_dsir_resample",
     # dedup tail (4)
     "dedup_canonical_assignment",
     "dedup_simhash_fingerprint",

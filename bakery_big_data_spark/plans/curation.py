@@ -588,3 +588,101 @@ def curation_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(stripe > prev_stripe).select(
         "doc_id", "lang", "n_chars", stripe.alias("stripe")
     )
+
+
+@register(
+    "curation_dsir_resample",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, w
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ), bucketed AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647) % 64
+               AS bucket
+      FROM tok
+    ), raw AS (
+      SELECT bucket, COUNT(*) AS c FROM bucketed GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, COUNT(*) AS tc
+      FROM bucketed WHERE source = 'src0' GROUP BY bucket
+    ), ratio AS (
+      SELECT r.bucket,
+             ((COALESCE(t.tc, 0) + 1) * 1000000) // (r.c + 1) AS rq
+      FROM raw r LEFT JOIN tgt t USING (bucket)
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(SUM(rt.rq) AS BIGINT) AS dsir_score_q,
+             COUNT(*) AS n_tokens
+      FROM bucketed b JOIN ratio rt USING (bucket)
+      WHERE b.source <> 'src0'
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, dsir_score_q, n_tokens
+    FROM scored
+    ORDER BY dsir_score_q DESC, doc_id
+    LIMIT 100
+    """,
+    doc="DSIR-style importance resampling (Xie et al., NeurIPS 2023): "
+        "select raw-pool documents whose hashed-unigram distribution "
+        "best matches a curated target domain (here source='src0' plays "
+        "Wikipedia).  Tokens hash into 64 buckets via the catalog's "
+        "portable md5-half; per-bucket importance ratio = add-one-"
+        "smoothed (target+1)/(corpus+1), quantized ALL-INTEGER at 1e6 "
+        "(exact BIGINT floor-div — no ln()/double whose libm ulps could "
+        "flip the top-k boundary cross-engine; overflow needs a single "
+        "TARGET bucket over ~9e12 tokens, i.e. a ~6e14-token curated "
+        "corpus).  Per-doc score = BIGINT sum of its tokens' bucket "
+        "ratios (order-free), then deterministic top-100 by (score, "
+        "doc_id).  Scale plan: map-only token hash, two B-bounded "
+        "aggregates, a 64-row ratio table BROADCAST back onto the token "
+        "stream, one (doc_id) hash agg, TakeOrderedAndProject top-k — "
+        "the corpus is never shuffled on content and the only wide state "
+        "is docs x 1 score rows",
+)
+def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(2147483647))
+        % 64
+    )
+    bucketed = toks.select("doc_id", "source", bucket.alias("bucket"))
+    raw = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    tgt = (
+        bucketed.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr("((coalesce(tc, 0L) + 1L) * 1000000L) div (c + 1L)")
+            .cast("bigint")
+            .alias("rq"),
+        )
+    )
+    scored = (
+        bucketed.filter(F.col("source") != "src0")
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("rq").cast("bigint").alias("dsir_score_q"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(
+        F.col("dsir_score_q").desc(), F.col("doc_id")
+    ).limit(100)
