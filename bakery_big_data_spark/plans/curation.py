@@ -603,15 +603,11 @@ def curation_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              (('0x' || substr(md5(w), 1, 8))::BIGINT & 2147483647) % 64
                AS bucket
       FROM tok
-    ), raw AS (
-      SELECT bucket, COUNT(*) AS c FROM bucketed GROUP BY bucket
-    ), tgt AS (
-      SELECT bucket, COUNT(*) AS tc
-      FROM bucketed WHERE source = 'src0' GROUP BY bucket
     ), ratio AS (
-      SELECT r.bucket,
-             ((COALESCE(t.tc, 0) + 1) * 1000000) // (r.c + 1) AS rq
-      FROM raw r LEFT JOIN tgt t USING (bucket)
+      SELECT bucket,
+             ((SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1)
+               * 1000000) // (COUNT(*) + 1) AS rq
+      FROM bucketed GROUP BY bucket
     ), scored AS (
       SELECT b.doc_id,
              CAST(SUM(rt.rq) AS BIGINT) AS dsir_score_q,
@@ -659,17 +655,19 @@ def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 64
     )
     bucketed = toks.select("doc_id", "source", bucket.alias("bucket"))
-    raw = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-    tgt = (
-        bucketed.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
+    # raw + target counts in ONE conditional aggregate over the token
+    # stream (two corpus scans total: model pass + scoring pass)
     ratio = (
-        raw.join(tgt, "bucket", "left")
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.when(F.col("source") == "src0", 1).otherwise(0)
+            ).alias("tc"),
+        )
         .select(
             "bucket",
-            F.expr("((coalesce(tc, 0L) + 1L) * 1000000L) div (c + 1L)")
+            F.expr("((tc + 1L) * 1000000L) div (c + 1L)")
             .cast("bigint")
             .alias("rq"),
         )
