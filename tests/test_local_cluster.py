@@ -189,3 +189,94 @@ def test_driver_window_sweep_under_local_cluster(lc_spark):
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:160]}")
     con.close()
     assert not failures, "\n".join(failures)
+
+
+def _executor_pids() -> list[int]:
+    """PIDs of the CoarseGrainedExecutorBackend JVMs (NOT the Worker
+    supervisors, NOT this driver) — scanned from /proc, no pgrep dep."""
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"CoarseGrainedExecutorBackend" in cmd:
+            pids.append(int(entry))
+    return pids
+
+
+def test_executor_kill_mid_query_still_driver_exact(lc_spark, tmp_path):
+    """Fault-tolerance probe: SIGKILL one of the two executor JVMs while
+    an iterative reliable-checkpoint connected-components job is running,
+    and assert the answer is still exact.
+
+    This is the claim a 1000-executor cluster actually relies on: task
+    retry + stage reattempt + FetchFailed recovery reproduce the SAME
+    result because every plan is deterministic (no rand(), no
+    layout-dependent sampling), and checkpoint_dir mode keeps iterative
+    lineage cuts on shared storage so a lost executor's blocks are
+    re-READ, not unrecoverable (localCheckpoint's documented trade-off,
+    operators/checkpointing.py).  The standalone Worker relaunches the
+    killed executor, so subsequent tests see a healthy cluster."""
+    import signal
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.dedup import connected_components
+
+    before = _executor_pids()
+    assert len(before) >= 2, f"expected 2 executor JVMs, saw {before}"
+
+    # 200 disjoint 21-node chains: diameter 20 keeps hop-propagation
+    # convergent within max_iter while ~20 iterative rounds leave a wide
+    # window for the kill to land mid-job
+    seg, n = 21, 200 * 21
+    chain = (
+        lc_spark.range(n - 1)
+        .filter((F.col("id") + 1) % seg != 0)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .repartition(8)
+    )
+    nodes = lc_spark.range(n).select(F.col("id").alias("node"))
+
+    result: dict = {}
+
+    def run() -> None:
+        try:
+            result["rows"] = {
+                (r.node, r.canonical_id)
+                for r in connected_components(
+                    nodes,
+                    chain,
+                    "node",
+                    max_iter=30,
+                    checkpoint_dir=str(tmp_path / "ckpt"),
+                ).collect()
+            }
+        except Exception as exc:  # surfaced by the main thread's assert
+            result["err"] = exc
+
+    worker = threading.Thread(target=run)
+    worker.start()
+    time.sleep(2.0)  # let the first rounds schedule onto both executors
+    assert worker.is_alive(), "query finished before the kill — no fault injected"
+    killed = before[0]
+    os.kill(killed, signal.SIGKILL)
+    worker.join(timeout=600)
+    assert not worker.is_alive(), "query hung after executor kill"
+    assert "err" not in result, f"query failed after executor kill: {result.get('err')}"
+    assert result["rows"] == {(i, i - i % seg) for i in range(n)}
+
+    # the Worker supervisor must have relaunched the executor
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        alive = _executor_pids()
+        if killed not in alive and len(alive) >= 2:
+            break
+        time.sleep(1.0)
+    assert len(_executor_pids()) >= 2, "killed executor was not relaunched"
