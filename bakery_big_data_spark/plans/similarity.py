@@ -930,7 +930,7 @@ def _pca_oracle(iters: int) -> str:
     ), smat AS MATERIALIZED (
       SELECT a.j AS j, b.j AS k,
              CAST(SUM(CAST(FLOOR(a.c * b.c * 1e12) AS BIGINT)) AS DOUBLE)
-               / 1e12 AS s
+               / 1e12 / COUNT(*) AS s
       FROM cx a JOIN cx b ON a.vec_id = b.vec_id
       GROUP BY a.j, b.j
     ), v0 AS (
@@ -983,11 +983,16 @@ def _pca_oracle(iters: int) -> str:
         "total (the former per-round agg+crossJoin referenced w twice, "
         "forcing an eager localCheckpoint per round — ~5 driver-blocking "
         "jobs this plan doesn't have).  Numeric discipline: means, "
-        "scatter cells, matvec sums, and the norm all floor-quantize "
-        "addends at 1e-12 to exact BIGINTs (the "
-        "embedding_label_centroids convention — full-precision float "
-        "addends are where decimal half-up vs half-even rounding "
-        "diverges); integer sums are order-free, so the window-summed "
+        "covariance cells (scatter/n — raw scatter grows with corpus "
+        "size and overflowed the fixed-point norm at the ×100 stress "
+        "corpus; covariance keeps iteration values O(variance) at any "
+        "scale), matvec sums, and the norm all floor-quantize addends "
+        "at 1e-12 (the embedding_label_centroids convention — "
+        "full-precision float addends are where decimal half-up vs "
+        "half-even rounding diverges) and SUM exactly in DECIMAL(38,0) "
+        "(int64 accumulators overflow once n addends of ~1e12 units "
+        "pass 9e18; DuckDB's SUM(BIGINT) is HUGEINT already); integer "
+        "sums are order-free, so the window-summed "
         "norm is bit-identical to the former global agg and the "
         f"oracle's unrolled {_PCA_ITERS}-round CTE chain certifies the "
         "trained component and eigenvalue bit-for-bit.  "
@@ -1003,17 +1008,27 @@ def embedding_pca_power_iteration(
 
     q = F.lit(1e12)
 
+    # Addends are floor-quantized (bit-identical cross-engine) but the
+    # SUM runs in DECIMAL(38,0), not BIGINT: the scatter sum is n
+    # addends of ~1e12-unit magnitude, so an int64 accumulator overflows
+    # once n*|cell| passes ~9e18 — the ×100 stress corpus (200k vectors)
+    # found exactly that (ARITHMETIC_OVERFLOW in the norm window), and a
+    # 100 TB corpus is far past it.  DuckDB's SUM(BIGINT) already
+    # accumulates in HUGEINT; decimal(38,0) is Spark's exact-integer
+    # twin, still map-side combinable.
     def qsum(col):
-        return F.sum(F.floor(col * q).cast("bigint")).cast("double") / q
+        return (
+            F.sum(F.floor(col * q).cast("decimal(38,0)")).cast("double") / q
+        )
 
     def qwin(col):
         """Window twin of qsum (unpartitioned frame-wide sum): the SAME
-        floor-quantized bigint addends and order-free integer sum, but
+        floor-quantized addends and order-free exact-integer sum, but
         available inside a projection — so the normalization step can
         reference the matvec frame once instead of agg+crossJoin'ing it
         (which references it twice and doubles the plan per round)."""
         return (
-            F.sum(F.floor(col * q).cast("bigint"))
+            F.sum(F.floor(col * q).cast("decimal(38,0)"))
             .over(Window.partitionBy())
             .cast("double")
             / q
@@ -1067,8 +1082,18 @@ def embedding_pca_power_iteration(
     # and an uncut agg would execute its corpus-sized lineage twice (the
     # r09 connected-components unionAll lesson).  This is the ONE
     # lineage cut in the query — the iteration below stays lazy.
+    # Cells are COVARIANCE (scatter / n), not raw scatter: scatter
+    # magnitudes grow linearly with corpus size, so the downstream
+    # fixed-point matvec/norm quantization would both overflow and lose
+    # its 1e-12 resolution at scale; covariance keeps every iteration
+    # value O(feature variance) at ANY corpus size.  The eigenvector is
+    # unchanged (scaling preserves direction); the eigenvalue is the
+    # covariance eigenvalue — the scale-stable quantity.
     smat_u = cut_lineage(
-        pairs.groupBy("j", "k").agg(qsum(F.col("p")).alias("s")), None
+        pairs.groupBy("j", "k").agg(
+            (qsum(F.col("p")) / F.count(F.lit(1))).alias("s")
+        ),
+        None,
     )
     smat = smat_u.unionAll(
         smat_u.filter(F.col("k") > F.col("j")).select(

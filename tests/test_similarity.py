@@ -144,7 +144,10 @@ def test_pca_power_iteration_matches_reference_fold(spark, sf_dir):
     )
     v = np.array([r["component"] for r in rows])
     lam = rows[0]["eigenvalue"]
-    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+    # covariance-scale values (~1e-2..1) make the 1e-12 per-addend floor
+    # quantization relatively coarser than under raw scatter — unit norm
+    # holds to ~1e-7, and bit-exactness is the DuckDB oracle's job
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
 
     X = np.array(
         [
@@ -156,7 +159,7 @@ def test_pca_power_iteration_matches_reference_fold(spark, sf_dir):
         dtype=np.float64,
     )
     Xc = X - X.mean(axis=0)
-    S = Xc.T @ Xc
+    S = (Xc.T @ Xc) / len(X)  # covariance, matching the scale-stable plan
     ref = np.full(64, 0.125)
     for _ in range(4):
         w = S @ ref
