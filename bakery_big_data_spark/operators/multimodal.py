@@ -635,3 +635,98 @@ def video_frame_near_dup(
         .agg(F.count(F.lit(1)).alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= min_shared)
     )
+
+
+QUARANTINE_DDL = (
+    "media_id LONG, status STRING, reason STRING, "
+    "n_bytes LONG, byte_checksum LONG"
+)
+
+
+def corrupt_bmp_payloads(media: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministic decode-fault injection: damage a fixed, id-keyed
+    subset of BMP payloads in the three ways real object-store corpora
+    rot — wrong container magic, an in-header field flip, and a
+    truncated pixel array — leaving every other asset byte-identical.
+
+    ``media_id % modulus`` selects the fault (3 → magic, 5 → bpp header
+    field, 6 → truncation), so the quarantine split downstream is a pure
+    function of the id and an ANSI-SQL oracle can restate exactly which
+    assets land on the dead-letter side and why.  Map-only Arrow pass,
+    same schema in and out — at 100 TB this stage is the test double for
+    "the lake contains corrupt objects", not a production operator."""
+
+    schema = media.schema
+
+    def corrupt(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            payloads = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                m = int(mid) % modulus
+                if m == 3:
+                    b = b"XX" + b[2:]
+                elif m == 5:
+                    # bpp field (offset 28 in BITMAPINFOHEADER): 24 -> 8
+                    b = b[:28] + b"\x08\x00" + b[30:]
+                elif m == 6:
+                    b = b[: max(0, len(b) - 10)]
+                payloads.append(b)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return media.mapInPandas(corrupt, schema)
+
+
+def bmp_decode_quarantine(media: DataFrame) -> DataFrame:
+    """Decode stage with dead-letter routing — the batch analog of
+    ``streaming/ingest.py::start_dlq_sink`` applied to REAL container
+    decode: every asset is parsed by :func:`decode_image_bmp`; success
+    emits ``status='ok'`` plus the usual size/checksum features, any
+    decode failure emits ``status='quarantined'`` with a categorized
+    reason (``bad_magic`` / ``bad_header`` / ``truncated_pixels`` /
+    ``decode_error``) and NULL features, and NO asset is ever dropped
+    silently (reference analog: the processing_status quality-quarantine
+    flow, bronze_to_silver.py:23-33, docs/data_quality.md:1-6).
+
+    One map-only Arrow pass; per-asset try/except costs nothing JVM-side
+    and keeps a single corrupt object from poisoning its whole batch —
+    the property a 100 TB decode fleet actually depends on."""
+
+    def route(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    data, _w, _h = decode_image_bmp(bytes(payload))
+                except Exception as exc:  # any decode failure -> DLQ row
+                    msg = str(exc)
+                    if "magic" in msg:
+                        reason = "bad_magic"
+                    elif "truncated" in msg:
+                        reason = "truncated_pixels"
+                    elif "expected uncompressed" in msg:
+                        reason = "bad_header"
+                    else:
+                        reason = "decode_error"
+                    rows.append(
+                        (int(mid), "quarantined", reason, None, None)
+                    )
+                else:
+                    rows.append(
+                        (int(mid), "ok", None, len(data), sum(data))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "reason", "n_bytes",
+                    "byte_checksum",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        route, QUARANTINE_DDL
+    )

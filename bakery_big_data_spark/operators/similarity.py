@@ -882,3 +882,175 @@ def lloyd_ivf_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+_IVF_INDEX_META = "_index_meta.json"
+
+
+def build_ivf_served_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 7,
+) -> str:
+    """Build (once) and return the path of a DISK-memoized IVF index:
+    the corpus cluster-assigned by a seeded ML-lib kmeans|| quantizer and
+    written as parquet **partitioned by ``_cluster``**, with the trained
+    centroids riding in a ``_index_meta.json`` beside the data.
+
+    This is the production IVF shape at 100 TB — train once, serve many:
+    the quantizer cost is paid at build time (and amortized over every
+    query batch), the index is a columnar table whose PARTITION layout
+    encodes the cluster structure, so a serving probe of ``n_probe`` of
+    ``n_clusters`` clusters is a partition-PRUNED scan that never opens
+    the other clusters' files (contrast :func:`ivf_topk`, which re-trains
+    per session, and ``lloyd_ivf_topk``, which re-trains per QUERY to
+    stay oracle-certifiable).  Same sf-tagged, source-mtime-keyed,
+    rename-swapped scratch discipline as the CSV/ORC roundtrip rows: a
+    driver testdata regeneration invalidates the index automatically,
+    concurrent sessions race benignly on identical artifacts.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = (
+        f"/root/repo/.scratch/ivf_index/{table}_{tag}"
+        f"_k{n_clusters}_s{seed}"
+    )
+    marker = os.path.join(out_dir, _IVF_INDEX_META)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    stale = True
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+            stale = meta.get("tag") != tag or os.path.getmtime(
+                src
+            ) >= os.path.getmtime(marker)
+        except (OSError, ValueError):
+            stale = True
+    if stale:
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        corpus = spark.read.parquet(src)
+        feat = with_norm2(corpus, vec_col, "_cn").select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
+        ).withColumn("_feat", array_to_vector(F.col("_cv")))
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_feat",
+            predictionCol="_cluster",
+        ).fit(feat)
+        (
+            model.transform(feat)
+            .select("c_id", "_cv", "_cn", "_cluster")
+            .write.partitionBy("_cluster")
+            .parquet(tmp)
+        )
+        meta = {
+            "tag": tag,
+            "n_clusters": n_clusters,
+            "seed": seed,
+            "centroids": [
+                [float(x) for x in ctr] for ctr in model.clusterCenters()
+            ],
+        }
+        with open(os.path.join(tmp, _IVF_INDEX_META), "w") as fh:
+            json.dump(meta, fh)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:  # lost the race — a concurrent session just won
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def ivf_served_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Serve ANN top-k from a :func:`build_ivf_served_index` artifact —
+    NO training in the query path.
+
+    Centroids come from the index manifest (driver-side JSON, tiny); each
+    query ranks them as literal expressions (same ranked-array shape as
+    :func:`ivf_topk`), and the union of probed cluster ids — a driver
+    read bounded by ``n_clusters`` integers, never data rows — becomes a
+    partition filter on the index scan, so only the probed clusters'
+    parquet files are ever opened (``PartitionFilters`` in the scan,
+    asserted by tests/test_plans.py).  At 100 TB with the default 16/8
+    operating point the serve path reads half the index bytes and zero
+    training CPU; candidates are exact-cosine reranked per query."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, _IVF_INDEX_META)) as fh:
+        centers = json.load(fh)["centroids"]
+
+    def dist2(vec: Column, center: list[float]) -> Column:
+        lit_c = F.lit([float(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    dist2(F.col("_qv"), ctr).alias("d"),
+                    F.lit(i).alias("cluster"),
+                )
+                for i, ctr in enumerate(centers)
+            ]
+        )
+    )
+    q0 = with_norm2(queries, vec_col, "_qn").select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"), "_qn"
+    )
+    q = q0.select(
+        "q_id",
+        "_qv",
+        "_qn",
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, n_probe), lambda s: s.getField("cluster")
+            )
+        ).alias("_cluster"),
+    )
+    # bounded driver read: DISTINCT probed cluster ids (≤ n_clusters
+    # ints) — the literal IN-list is what turns cluster membership into
+    # parquet PARTITION PRUNING on the index scan
+    probed = sorted(
+        r[0] for r in q.select("_cluster").distinct().collect()
+    )
+    idx = spark.read.parquet(index_path).filter(
+        F.col("_cluster").isin(probed)
+    )
+    cosine = dot_exact(F.col("_qv"), F.col("_cv")) / F.sqrt(
+        F.col("_qn") * F.col("_cn")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        idx.join(F.broadcast(q), "_cluster")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine.alias("cosine"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

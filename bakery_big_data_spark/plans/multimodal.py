@@ -422,3 +422,66 @@ def multimodal_video_real_y4m_frames(
         t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
     )
     return y4m_frame_stats(media)
+
+
+@register(
+    "multimodal_decode_quarantine",
+    """
+    SELECT media_id,
+           status,
+           reason,
+           CASE WHEN status = 'ok'
+                THEN CAST(n + pad AS BIGINT) END AS n_bytes,
+           CASE WHEN status = 'ok'
+                THEN CAST(checksum AS BIGINT) END AS byte_checksum
+    FROM (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 7 IN (3, 5, 6)
+                  THEN 'quarantined' ELSE 'ok' END AS status,
+             CASE WHEN doc_id % 7 = 3 THEN 'bad_magic'
+                  WHEN doc_id % 7 = 5 THEN 'bad_header'
+                  WHEN doc_id % 7 = 6 THEN 'truncated_pixels' END AS reason,
+             n,
+             CASE WHEN n = 0 THEN 48 ELSE (48 - n % 48) % 48 END AS pad,
+             checksum
+      FROM (
+        SELECT doc_id, len(cs) AS n,
+               COALESCE(list_sum(list_transform(cs, c -> unicode(c))), 0)
+                 AS checksum
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ''), c -> c <> '') AS cs
+              FROM documents)
+      )
+    )
+    """,
+    doc="Decode-failure quarantine (r10 verdict task 6): genuine 24-bit "
+        "BMP payloads with deterministic id-keyed fault injection (wrong "
+        "magic / bpp header flip / truncated pixel array, media_id mod 7), "
+        "then a dead-letter decode stage — decode_image_bmp parses every "
+        "asset, successes emit size/checksum features, every failure "
+        "emits a categorized quarantine row (bad_magic / bad_header / "
+        "truncated_pixels) and nothing is silently dropped; the batch "
+        "analog of streaming/ingest.py::start_dlq_sink (reference "
+        "analog: the processing_status quality-quarantine flow, "
+        "bronze_to_silver.py:23-33, docs/data_quality.md:1-6).  The "
+        "fault set is a pure function of the id, so the oracle restates "
+        "BOTH sides — reasons on the DLQ side, decoded byte stats on "
+        "the clean side — and the hash certifies that corrupt objects "
+        "land in quarantine with the right diagnosis while clean decode "
+        "output is untouched by their presence.  Two map-only Arrow "
+        "passes, zero shuffle; per-asset try/except isolation is what "
+        "keeps one rotten object from failing a 100 TB decode fleet",
+)
+def multimodal_decode_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.operators.multimodal import (
+        attach_bmp_images,
+        bmp_decode_quarantine,
+        corrupt_bmp_payloads,
+    )
+
+    media = attach_bmp_images(
+        t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
+    )
+    return bmp_decode_quarantine(corrupt_bmp_payloads(media))

@@ -62,6 +62,102 @@ def kafka_reader_options(topic: str, brokers: str) -> dict[str, str]:
     }
 
 
+#: The reference's three Kafka topics, with the exact from_json schemas its
+#: bronze ingest declares (times arrive as STRINGS and are cast after the
+#: parse, per the reference): sales-events stream_to_bronze.py:33-45,
+#: equipment-metrics stream_to_bronze.py:84-93, inventory-updates
+#: stream_to_bronze.py:132-145.
+TOPIC_SCHEMA_DDL: dict[str, str] = {
+    "sales-events": (
+        "event_id STRING, event_time STRING, ingestion_time STRING, "
+        "product_id INT, store_id INT, quantity INT, unit_price DOUBLE, "
+        "customer_id STRING, date STRING, time_of_day STRING, "
+        "processing_status STRING"
+    ),
+    "equipment-metrics": (
+        "metric_id STRING, equipment_id INT, event_time STRING, "
+        "ingestion_time STRING, power_consumption DOUBLE, "
+        "operational_status STRING, raw_payload STRING, "
+        "processing_status STRING"
+    ),
+    "inventory-updates": (
+        "update_id STRING, event_time STRING, ingestion_time STRING, "
+        "product_id INT, store_id INT, beginning_stock INT, "
+        "restocked_quantity INT, sold_quantity INT, waste_quantity INT, "
+        "reported_by STRING, processing_status STRING, "
+        "late_arrival_hours DOUBLE"
+    ),
+}
+
+#: Per-topic late-arrival bound / trigger cadence the reference declares
+#: (stream_to_bronze.py:163 — 48 h watermark on inventory only;
+#: :70-71,117-118,168-170 — 30 s / 30 s / 60 s processing-time triggers).
+TOPIC_WATERMARK: dict[str, str] = {"inventory-updates": "48 hours"}
+TOPIC_TRIGGER: dict[str, str] = {
+    "sales-events": "30 seconds",
+    "equipment-metrics": "30 seconds",
+    "inventory-updates": "60 seconds",
+}
+
+
+def kafka_writer_options(
+    topic: str, brokers: str, checkpoint: str
+) -> dict[str, str]:
+    """Writer-side Kafka configuration (the produce half of the contract):
+    options for ``df.writeStream.format('kafka')`` — ``kafka.``-prefixed
+    client config plus the sink topic and checkpoint.  Same
+    broker-required caveat as :func:`kafka_reader_options`; pinned by
+    tests/test_kafka_contract.py."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def decode_topic(raw: DataFrame, topic: str) -> DataFrame:
+    """The reference's full value-decode transform for one of its three
+    topics, SOURCE-AGNOSTIC: applies to any frame with a ``value`` column
+    (Kafka's BINARY value, a file-replay STRING line, a memory-stream
+    test frame) and produces the identical analyzed plan modulo the
+    source relation — the property tests/test_kafka_contract.py asserts,
+    and the reason swapping file replay for a real broker changes no
+    downstream code.
+
+    Per the reference: ``from_json`` with the topic's explicit schema,
+    then event/ingestion-time casts; sales adds the date cast and the
+    DECIMAL(10,2) price (stream_to_bronze.py:60-64); equipment adds the
+    DECIMAL(8,2) power cast and the raw_payload map normalization
+    (:108-112); inventory adds the 48 h watermark on streaming inputs
+    (:163)."""
+    data = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), TOPIC_SCHEMA_DDL[topic]
+        ).alias("data")
+    ).select("data.*")
+    data = data.withColumn(
+        "event_time", F.to_timestamp("event_time")
+    ).withColumn("ingestion_time", F.to_timestamp("ingestion_time"))
+    if topic == "sales-events":
+        data = data.withColumn("date", F.to_date("date")).withColumn(
+            "unit_price", F.col("unit_price").cast("decimal(10,2)")
+        )
+    elif topic == "equipment-metrics":
+        data = data.withColumn(
+            "power_consumption",
+            F.col("power_consumption").cast("decimal(8,2)"),
+        ).withColumn(
+            "raw_payload",
+            F.to_json(
+                F.from_json(F.col("raw_payload"), "map<string,string>")
+            ),
+        )
+    wm = TOPIC_WATERMARK.get(topic)
+    if wm is not None and raw.isStreaming:
+        data = data.withWatermark("event_time", wm)
+    return data
+
+
 def read_json_stream(
     spark: SparkSession,
     path: str,

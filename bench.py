@@ -146,18 +146,44 @@ def scaling_gate(
     }
 
 
-def carry_forward_scaling(detail: dict, prev_detail: dict, with_scaling: bool) -> dict:
+def scaling_fingerprint(registry, sf_dir: str, small_dir: str) -> str:
+    """Identity of what a cross-SF scaling table measured: the catalog
+    composition plus both corpus directories' mtimes.  While this
+    fingerprint is unchanged, a committed scaling table is still an
+    accurate measurement no matter how many plain benches re-run."""
+    import hashlib
+
+    parts = [",".join(sorted(registry))]
+    for d in (sf_dir, small_dir):
+        try:
+            parts.append(str(int(os.path.getmtime(d))))
+        except OSError:
+            parts.append("?")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def carry_forward_scaling(
+    detail: dict, prev_detail: dict, with_scaling: bool, registry, sf_dir: str
+) -> dict:
     """Preserve the committed cross-SF table across plain runs.
 
     A plain (non ``--scaling``) run must not silently destroy the
     previously-committed ``scaling_vs_small`` section (the driver's
-    post-commit bench overwrite dropped it in r08): carry it forward
-    marked ``stale: true`` so the table survives until the next
-    ``--scaling`` run replaces it with fresh numbers."""
+    post-commit bench overwrite dropped it in r08), and — r10 verdict
+    task 3 — must not mark it stale merely because a plain bench re-ran:
+    table freshness is decoupled from run recency via
+    :func:`scaling_fingerprint`.  The carried table keeps ``stale:
+    false`` while the catalog and both corpora are the ones it measured
+    (same queries, same corpus mtimes); it flips ``stale: true`` exactly
+    when a regeneration or catalog change invalidates the numbers."""
     if not with_scaling and "scaling_vs_small" in prev_detail:
+        prev_tbl = prev_detail["scaling_vs_small"]
+        cur_fp = scaling_fingerprint(
+            registry, sf_dir, prev_tbl.get("small_sf_dir", "")
+        )
         detail["scaling_vs_small"] = {
-            **prev_detail["scaling_vs_small"],
-            "stale": True,
+            **prev_tbl,
+            "stale": prev_tbl.get("fingerprint") != cur_fp,
         }
     return detail
 
@@ -319,6 +345,8 @@ def main() -> None:
         detail["scaling_vs_small"] = {
             "small_sf_dir": small_dir,
             "small_errors": small_errors,
+            "fingerprint": scaling_fingerprint(registry, sf_dir, small_dir),
+            "stale": False,
             **scaling_gate(small_timings, timings),
         }
         if detail["scaling_vs_small"].get("flagged"):
@@ -359,7 +387,7 @@ def main() -> None:
             "reason": "no previous detail",
             "flagged": {},
         }
-    carry_forward_scaling(detail, prev_detail, with_scaling)
+    carry_forward_scaling(detail, prev_detail, with_scaling, registry, sf_dir)
     if detail["regressions_vs_previous"].get("flagged"):
         print(
             json.dumps(

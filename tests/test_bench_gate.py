@@ -116,15 +116,51 @@ def test_scaling_gate_hard_ratio_pierces_t_small_floor():
     assert r["flagged"]["blowup"]["hard"] is True
 
 
-def test_plain_run_carries_scaling_section_forward_as_stale():
+def test_plain_run_carries_scaling_section_forward_fresh_when_unchanged():
+    """r10 verdict task 3: a plain bench re-run must NOT mark the
+    committed scaling table stale when the catalog and corpora it
+    measured are unchanged — freshness keys on the fingerprint, not on
+    which run wrote the file last."""
+    registry = {"a": None, "b": None}
+    fp = bench.scaling_fingerprint(registry, "/root/testdata", "/root/testdata")
     prev = {
         "queries": {"a": 1.0},
-        "scaling_vs_small": {"median_sf_ratio": 1.4, "flagged": {}},
+        "scaling_vs_small": {
+            "median_sf_ratio": 1.4,
+            "flagged": {},
+            "fingerprint": fp,
+            "small_sf_dir": "/root/testdata",
+        },
     }
     detail = {"queries": {"a": 1.1}}
-    out = bench.carry_forward_scaling(detail, prev, with_scaling=False)
-    assert out["scaling_vs_small"]["stale"] is True
+    out = bench.carry_forward_scaling(
+        detail, prev, False, registry, "/root/testdata"
+    )
+    assert out["scaling_vs_small"]["stale"] is False
     assert out["scaling_vs_small"]["median_sf_ratio"] == 1.4
+
+
+def test_plain_run_marks_scaling_stale_when_catalog_changed():
+    registry = {"a": None, "b": None}
+    fp = bench.scaling_fingerprint(registry, "/root/testdata", "/root/testdata")
+    prev = {
+        "scaling_vs_small": {
+            "median_sf_ratio": 1.4,
+            "fingerprint": fp,
+            "small_sf_dir": "/root/testdata",
+        }
+    }
+    grown = {"a": None, "b": None, "c": None}  # new registration
+    out = bench.carry_forward_scaling(
+        {"queries": {}}, prev, False, grown, "/root/testdata"
+    )
+    assert out["scaling_vs_small"]["stale"] is True
+    # and a fingerprint-less legacy table is conservatively stale
+    prev2 = {"scaling_vs_small": {"median_sf_ratio": 1.4}}
+    out2 = bench.carry_forward_scaling(
+        {"queries": {}}, prev2, False, registry, "/root/testdata"
+    )
+    assert out2["scaling_vs_small"]["stale"] is True
 
 
 def test_scaling_run_does_not_resurrect_stale_section():
@@ -132,13 +168,15 @@ def test_scaling_run_does_not_resurrect_stale_section():
     # carry-forward must not touch it
     prev = {"scaling_vs_small": {"median_sf_ratio": 9.9, "stale": True}}
     detail = {"scaling_vs_small": {"median_sf_ratio": 1.4, "flagged": {}}}
-    out = bench.carry_forward_scaling(detail, prev, with_scaling=True)
+    out = bench.carry_forward_scaling(detail, prev, True, {}, "/root/testdata")
     assert "stale" not in out["scaling_vs_small"]
     assert out["scaling_vs_small"]["median_sf_ratio"] == 1.4
 
 
 def test_plain_run_without_previous_scaling_section_is_noop():
-    out = bench.carry_forward_scaling({"queries": {}}, {}, with_scaling=False)
+    out = bench.carry_forward_scaling(
+        {"queries": {}}, {}, False, {}, "/root/testdata"
+    )
     assert "scaling_vs_small" not in out
 
 

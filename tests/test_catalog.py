@@ -76,8 +76,15 @@ def test_driver_window_composition():
     """The first 50 registrations are the driver-checked window: they must be
     exactly DRIVER_WINDOW, in order, and every one must carry a DuckDB oracle
     (a hash-checkable row, not a weaker rows-only record)."""
+    from bakery_big_data_spark.plans import R11_ROTATION_PLAN
+
     names = list(REGISTRY)
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) == 50
     missing_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert not missing_oracle, f"window queries without an oracle: {missing_oracle}"
+    # r11 backlog drain: the window leads with the ENTIRE rotation plan
+    # (r10-judge-verified == the never-driver-checked backlog), so after
+    # this window every registered query has carried a driver row
+    assert DRIVER_WINDOW[: len(R11_ROTATION_PLAN)] == R11_ROTATION_PLAN
+    assert len(R11_ROTATION_PLAN) == 31

@@ -65,3 +65,149 @@ def test_kafka_reader_accepts_options_fails_only_on_missing_connector(spark):
     msg = str(exc_info.value)
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
     assert "kafka" in msg.lower()
+
+
+#: Kafka's fixed raw output schema (what .format("kafka").load() yields) —
+#: documented by the Spark Kafka integration guide; the contract frames
+#: below are built with createDataFrame against it.
+KAFKA_RAW_DDL = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset LONG, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def _normalized_plan(df) -> str:
+    """Analyzed plan with source-relation noise removed: expr ids
+    stripped, the leaf relation line dropped, and the value column's
+    to-string cast canonicalized (BINARY on Kafka, already-STRING on file
+    replay — the one permitted difference)."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = []
+    for line in plan.splitlines():
+        if "Relation" in line or "LogicalRDD" in line:
+            continue  # the source leaf — the only thing allowed to differ
+        line = re.sub(r"#\d+L?", "", line)
+        line = re.sub(r"cast\(value as string\)", "value", line)
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def test_all_three_topic_schemas_decode_to_reference_types(spark):
+    """Every reference topic's decode (stream_to_bronze.py:33-45,84-93,
+    132-145 + the post-parse casts) is pinned: field names in order, and
+    the cast-adjusted types (timestamps, DATE, DECIMAL(10,2) price,
+    DECIMAL(8,2) power)."""
+    from bakery_big_data_spark.streaming.ingest import (
+        TOPIC_SCHEMA_DDL,
+        decode_topic,
+    )
+
+    expected = {
+        "sales-events": [
+            ("event_id", "string"), ("event_time", "timestamp"),
+            ("ingestion_time", "timestamp"), ("product_id", "int"),
+            ("store_id", "int"), ("quantity", "int"),
+            ("unit_price", "decimal(10,2)"), ("customer_id", "string"),
+            ("date", "date"), ("time_of_day", "string"),
+            ("processing_status", "string"),
+        ],
+        "equipment-metrics": [
+            ("metric_id", "string"), ("equipment_id", "int"),
+            ("event_time", "timestamp"), ("ingestion_time", "timestamp"),
+            ("power_consumption", "decimal(8,2)"),
+            ("operational_status", "string"), ("raw_payload", "string"),
+            ("processing_status", "string"),
+        ],
+        "inventory-updates": [
+            ("update_id", "string"), ("event_time", "timestamp"),
+            ("ingestion_time", "timestamp"), ("product_id", "int"),
+            ("store_id", "int"), ("beginning_stock", "int"),
+            ("restocked_quantity", "int"), ("sold_quantity", "int"),
+            ("waste_quantity", "int"), ("reported_by", "string"),
+            ("processing_status", "string"),
+            ("late_arrival_hours", "double"),
+        ],
+    }
+    assert set(TOPIC_SCHEMA_DDL) == set(expected)
+    for topic, fields in expected.items():
+        raw = spark.createDataFrame([], KAFKA_RAW_DDL)
+        out = decode_topic(raw, topic)
+        got = [(f.name, f.dataType.simpleString()) for f in out.schema.fields]
+        assert got == fields, f"{topic}: {got}"
+
+
+def test_decode_round_trips_real_payloads(spark):
+    """The pinned sales decode actually parses a reference-shaped JSON
+    value (bytes, as Kafka delivers them) with correct typed values."""
+    import json as _json
+
+    from bakery_big_data_spark.streaming.ingest import decode_topic
+
+    payload = {
+        "event_id": "e-1", "event_time": "2024-03-01 10:15:30",
+        "ingestion_time": "2024-03-01 10:15:31", "product_id": 7,
+        "store_id": 3, "quantity": 2, "unit_price": 4.25,
+        "customer_id": "c-9", "date": "2024-03-01",
+        "time_of_day": "morning", "processing_status": "valid",
+    }
+    raw = spark.createDataFrame(
+        [(None, _json.dumps(payload).encode(), "sales-events", 0, 0, None, 0)],
+        KAFKA_RAW_DDL,
+    )
+    row = decode_topic(raw, "sales-events").collect()[0]
+    assert row.event_id == "e-1" and row.product_id == 7
+    assert str(row.unit_price) == "4.25" and row.event_time is not None
+    assert row.date.isoformat() == "2024-03-01"
+
+
+def test_kafka_writer_option_shapes():
+    from bakery_big_data_spark.streaming.ingest import kafka_writer_options
+
+    opts = kafka_writer_options(
+        "sales-events", "broker1:9092,broker2:9092", "/ckpt/sales"
+    )
+    assert set(opts) == {
+        "kafka.bootstrap.servers", "topic", "checkpointLocation",
+    }
+    assert all(isinstance(v, str) for v in opts.values())
+    for hostport in opts["kafka.bootstrap.servers"].split(","):
+        host, port = hostport.rsplit(":", 1)
+        assert host and port.isdigit()
+    assert opts["topic"] == "sales-events"
+
+
+def test_kafka_writer_accepts_options_fails_only_on_missing_connector(
+    spark, tmp_path
+):
+    from bakery_big_data_spark.streaming.ingest import kafka_writer_options
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    writer = stream.writeStream.format("kafka").options(
+        **kafka_writer_options("t", "localhost:9092", str(tmp_path / "ck"))
+    )
+    with pytest.raises(Exception) as exc_info:
+        writer.start()
+    msg = str(exc_info.value)
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
+    assert "kafka" in msg.lower()
+
+
+def test_replay_decode_plan_equals_kafka_decode_plan_modulo_source(spark):
+    """The downstream decode plan is IDENTICAL whether value arrives as
+    Kafka's BINARY or file replay's STRING — analyzed plans match once
+    the source relation and the value-to-string cast are normalized
+    away, which is the precise sense in which the file-replay rows
+    certify the Kafka path (r10 verdict task 7)."""
+    from bakery_big_data_spark.streaming.ingest import decode_topic
+
+    for topic in ("sales-events", "equipment-metrics", "inventory-updates"):
+        kafka_shaped = spark.createDataFrame([], KAFKA_RAW_DDL)
+        replay_shaped = spark.createDataFrame([], "value STRING")
+        pk = _normalized_plan(decode_topic(kafka_shaped, topic))
+        pr = _normalized_plan(decode_topic(replay_shaped, topic))
+        assert pk == pr, f"{topic} decode plans diverge:\n{pk}\n---\n{pr}"

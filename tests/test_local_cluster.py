@@ -263,8 +263,18 @@ def test_executor_kill_mid_query_still_driver_exact(lc_spark, tmp_path):
 
     worker = threading.Thread(target=run)
     worker.start()
-    time.sleep(2.0)  # let the first rounds schedule onto both executors
-    assert worker.is_alive(), "query finished before the kill — no fault injected"
+    # Kill as soon as a job is actually in flight (ADVICE r10): polling
+    # the status tracker instead of a fixed sleep means the fault lands
+    # mid-job on any hardware speed; if the whole 30-round job somehow
+    # completes before a kill window opens, skip rather than fail.
+    tracker = lc_spark.sparkContext.statusTracker()
+    deadline = time.time() + 30.0
+    while time.time() < deadline and worker.is_alive():
+        if tracker.getActiveJobsIds():
+            break
+        time.sleep(0.05)
+    if not worker.is_alive():
+        pytest.skip("job completed before a kill window opened — no fault injected")
     killed = before[0]
     os.kill(killed, signal.SIGKILL)
     worker.join(timeout=600)

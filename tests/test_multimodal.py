@@ -168,3 +168,47 @@ def test_y4m_roundtrip_pure_python():
     # truncated final frame must raise
     with pytest.raises(ValueError):
         decode_video_y4m(payload[:-10])
+
+
+def test_decode_quarantine_split(spark, sf_dir):
+    """Dead-letter decode semantics: the id-keyed fault injection lands
+    every corrupted asset in quarantine with the RIGHT diagnosis, no
+    asset is dropped, and the clean side's features are byte-identical
+    to a decode of the uncorrupted corpus (one rotten object never
+    perturbs its batch-mates)."""
+    from bakery_big_data_spark.operators.multimodal import (
+        attach_bmp_images,
+        bmp_decode_quarantine,
+        bmp_image_features,
+        corrupt_bmp_payloads,
+    )
+    from bakery_big_data_spark.plans.base import t
+
+    docs = t(spark, sf_dir, "documents")
+    media = attach_bmp_images(docs, text_col="text", id_col="doc_id")
+    out = bmp_decode_quarantine(corrupt_bmp_payloads(media)).collect()
+
+    n_docs = docs.count()
+    assert len(out) == n_docs, "quarantine stage dropped assets"
+    expected_reason = {3: "bad_magic", 5: "bad_header", 6: "truncated_pixels"}
+    by_id = {r.media_id: r for r in out}
+    assert set(by_id) == {r.doc_id for r in docs.select("doc_id").collect()}
+    n_bad = 0
+    for mid, r in by_id.items():
+        want = expected_reason.get(mid % 7)
+        if want is None:
+            assert r.status == "ok" and r.reason is None
+            assert r.n_bytes is not None and r.byte_checksum is not None
+        else:
+            n_bad += 1
+            assert r.status == "quarantined" and r.reason == want
+            assert r.n_bytes is None and r.byte_checksum is None
+    assert n_bad > 0, "corpus too small to inject any fault"
+
+    clean = {
+        r.media_id: (r.n_bytes, r.byte_checksum)
+        for r in bmp_image_features(media).collect()
+    }
+    for mid, r in by_id.items():
+        if r.status == "ok":
+            assert (r.n_bytes, r.byte_checksum) == clean[mid]

@@ -169,3 +169,49 @@ def test_pca_power_iteration_matches_reference_fold(spark, sf_dir):
     evals = np.linalg.eigvalsh(S)
     assert evals[0] - 1e-9 <= lam <= evals[-1] + 1e-9
     assert abs(lam - ref_lam) / ref_lam < 0.05
+
+
+def test_ivf_served_index_memoized_and_pruned(spark, sf_dir):
+    """The served-IVF row's two production claims: (1) the disk index is
+    built ONCE — a second build call at the same (sf, params) returns the
+    same artifact without retraining (manifest mtime unchanged); (2) the
+    serve path scans the index with a PARTITION filter on the probed
+    cluster ids, i.e. unprobed clusters' files are pruned, not read and
+    discarded.  Plus the recall floor the oracle hashes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.similarity import (
+        _IVF_INDEX_META,
+        build_ivf_served_index,
+        ivf_served_topk,
+    )
+    from bakery_big_data_spark.plans import REGISTRY
+    from bakery_big_data_spark.plans.base import t
+
+    path = build_ivf_served_index(spark, sf_dir)
+    marker = os.path.join(path, _IVF_INDEX_META)
+    mtime = os.path.getmtime(marker)
+    assert build_ivf_served_index(spark, sf_dir) == path
+    assert os.path.getmtime(marker) == mtime, "index was retrained on reuse"
+    # partitionBy layout on disk
+    assert any(
+        e.startswith("_cluster=") for e in os.listdir(path)
+    ), "index is not cluster-partitioned"
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = ivf_served_topk(
+        spark, path, queries, "vec_id", "embedding", k=10, n_probe=8
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ivf_index") :]
+    assert "PartitionFilters: [_cluster" in plan, "probe set must prune partitions"
+    assert "INSET" in scan or "in(_cluster" in scan
+
+    row = REGISTRY["similarity_ivf_served"].build(spark, sf_dir).collect()[0]
+    assert row.meets_recall_floor
+    # every served hit is a real corpus neighbor of a real query
+    got = served.collect()
+    assert got and all(r.q_id < 5 and r.q_id != r.c_id for r in got)
