@@ -251,3 +251,79 @@ def bfs_hops(
         dist = cut_lineage(dist.unionByName(new), checkpoint_dir)
         frontier = new.select("node")
     return dist
+
+
+def triangle_counts_bucketed(
+    edges: DataFrame,
+    n_buckets: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exact per-node triangle counts with a BOUNDED peak-memory profile:
+    identical output to :func:`triangle_counts`, but the wedge-probe join
+    runs as ``n_buckets`` disjoint passes over the base edges.
+
+    Why this exists (r10 verdict task 5 stretch): the one-pass probe
+    joins BOTH endpoints' O(√E) out-neighbor arrays onto every oriented
+    edge at once, so its in-flight execution state is proportional to
+    |E| × array-width — at the ×100 stress corpus (~120 M edges) that
+    needs ~1 GB/core and the 32-thread single-JVM run wants a 32 GiB
+    heap.  Bucketing the BASE edges by ``xxhash64(lo, hi) mod B`` cuts
+    that in-flight state to |E|/B per pass while every other structure
+    stays shared and spillable: the oriented edge set and the adjacency
+    arrays are built ONCE (serialized spill-friendly blocks), each pass
+    emits a node-sized partial-count aggregate, and the final reduce
+    sums B such partials.  Total wedge work is UNCHANGED — each triangle
+    is counted exactly once at its unique base edge (lo, hi), and the
+    buckets partition base edges — so this trades B scheduler rounds for
+    an ~B× smaller execution-memory peak: the ×100 exact count completes
+    inside the DEFAULT 8 GiB heap (measured in PERF.md round-11) where
+    the one-pass probe OOMs.  On a real cluster the same dial converts
+    "buy bigger executors" into "run more passes" — the out-of-core
+    answer for corpus-sized graphs.  Results are bit-identical to the
+    one-pass operator for ANY ``n_buckets`` (asserted by
+    tests/test_graph.py).
+    """
+    o = cut_lineage(
+        oriented_edges(edges),
+        checkpoint_dir,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
+    adj = cut_lineage(
+        o.groupBy("lo").agg(F.collect_list("hi").alias("_nbrs")),
+        checkpoint_dir,
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
+    au = adj.select(F.col("lo"), F.col("_nbrs").alias("_nu"))
+    av = adj.select(F.col("lo").alias("hi"), F.col("_nbrs").alias("_nv"))
+    partials = []
+    for b in range(n_buckets):
+        eb = o.filter(
+            F.pmod(F.xxhash64(F.col("lo"), F.col("hi")), F.lit(n_buckets))
+            == b
+        )
+        tri_b = (
+            eb.join(au, "lo")
+            .join(av, "hi")
+            .select(
+                "lo",
+                "hi",
+                F.explode(F.array_intersect("_nu", "_nv")).alias("_c"),
+            )
+        )
+        corners_b = tri_b.select(
+            F.explode(F.array("lo", "hi", "_c")).alias("node")
+        )
+        # node-sized partial: materialized per pass so pass state is
+        # released before the next bucket's join starts
+        partials.append(
+            cut_lineage(
+                corners_b.groupBy("node").agg(
+                    F.count(F.lit(1)).alias("_part")
+                ),
+                checkpoint_dir,
+            )
+        )
+    total = partials[0]
+    for p in partials[1:]:
+        total = total.unionByName(p)
+    return total.groupBy("node").agg(F.sum("_part").alias("n_tri"))

@@ -990,7 +990,7 @@ def ivf_served_topk(
     read bounded by ``n_clusters`` integers, never data rows — becomes a
     partition filter on the index scan, so only the probed clusters'
     parquet files are ever opened (``PartitionFilters`` in the scan,
-    asserted by tests/test_plans.py).  At 100 TB with the default 16/8
+    asserted by tests/test_similarity.py).  At 100 TB with the default 16/8
     operating point the serve path reads half the index bytes and zero
     training CPU; candidates are exact-cosine reranked per query."""
     import json

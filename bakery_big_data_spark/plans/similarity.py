@@ -1472,7 +1472,7 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path does zero training: centroid ranking from manifest "
         "literals, then a partition-PRUNED scan of only the probed "
         "clusters' files (PartitionFilters asserted in "
-        "tests/test_plans.py) and exact cosine rerank.  Train-once/"
+        "tests/test_similarity.py) and exact cosine rerank.  Train-once/"
         "serve-many is the shape a 100 TB pipeline actually runs; the "
         "in-plan-Lloyd similarity_ivf_topk row remains the training-"
         "included certification.  Quality is pinned exactly like "

@@ -129,3 +129,50 @@ def test_bfs_multi_source_and_unreachable(spark):
     pairs = [(1, 2), (2, 3), (3, 4), (5, 4), (7, 1)]
     got = _bfs(spark, pairs, [1, 5])
     assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_triangle_counts_bucketed_matches_one_pass(spark, sf_dir):
+    """The bounded-memory bucketed probe is bit-identical to the one-pass
+    operator for any bucket count — on hand graphs AND on the real
+    co-purchase edge derivation at sf0.001 (the 8 GiB-default ×100 path,
+    PERF.md round-11)."""
+    from bakery_big_data_spark.operators.graph import (
+        triangle_counts_bucketed,
+    )
+    from bakery_big_data_spark.plans.base import t
+
+    # K4 + pendant chain: known counts, every node role exercised
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    e = _undirected(spark, pairs)
+    want = {r["node"]: r["n_tri"] for r in triangle_counts(e).collect()}
+    for nb in (1, 3, 8):
+        got = {
+            r["node"]: r["n_tri"]
+            for r in triangle_counts_bucketed(e, n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+
+    # real co-purchase graph (same derivation as the catalog row)
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = pp.alias("a"), pp.alias("b")
+    ue = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    one = {r["node"]: r["n_tri"] for r in triangle_counts(ue).collect()}
+    bucketed = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts_bucketed(ue, n_buckets=4).collect()
+    }
+    assert bucketed == one

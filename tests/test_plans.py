@@ -35,6 +35,10 @@ NESTED_LOOP_ALLOWED = {
     "similarity_ann_recall",
     # same exact-baseline broadcast inside the IVF recall-floor compare
     "similarity_ivf_recall",
+    # same exact-baseline broadcast (brute_force_topk) inside the served-
+    # index recall-floor compare; the SERVE side is a partition-pruned
+    # scan + broadcast equi-join (asserted in tests/test_similarity.py)
+    "similarity_ivf_served",
     # deliberate dim×salt replication (5 rows × 16 salts) feeding the
     # skew-mitigation shuffle join
     "skew_salted_join",
