@@ -156,6 +156,30 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def _adjacency_projections(adj):
+    """The two endpoint-keyed views of one out-neighbor-array frame."""
+    au = adj.select(F.col("lo"), F.col("_nbrs").alias("_nu"))
+    av = adj.select(F.col("lo").alias("hi"), F.col("_nbrs").alias("_nv"))
+    return au, av
+
+
+def _wedge_corners(base_edges: DataFrame, au: DataFrame, av: DataFrame) -> DataFrame:
+    """THE shared wedge probe (single source of truth for both triangle
+    operators): join both endpoints' out-neighbor arrays onto each base
+    edge, explode the intersection (the third corners), and credit all
+    three corners of every triangle found.  Inner joins: an edge whose
+    hi-end has no out-neighbors cannot base a triangle; lo always has at
+    least this edge outgoing."""
+    tri = (
+        base_edges.join(au, "lo")
+        .join(av, "hi")
+        .select(
+            "lo", "hi", F.explode(F.array_intersect("_nu", "_nv")).alias("_c")
+        )
+    )
+    return tri.select(F.explode(F.array("lo", "hi", "_c")).alias("node"))
+
+
 def triangle_counts(
     edges: DataFrame, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -189,21 +213,10 @@ def triangle_counts(
         storage_level=StorageLevel.MEMORY_AND_DISK,
     )
     adj = o.groupBy("lo").agg(F.collect_list("hi").alias("_nbrs"))
-    au = adj.select(F.col("lo"), F.col("_nbrs").alias("_nu"))
-    av = adj.select(F.col("lo").alias("hi"), F.col("_nbrs").alias("_nv"))
-    # inner joins: an edge whose hi-end has no out-neighbors cannot base a
-    # triangle; lo always has at least this edge outgoing.
-    tri = (
-        o.join(au, "lo")
-        .join(av, "hi")
-        .select(
-            "lo", "hi", F.explode(F.array_intersect("_nu", "_nv")).alias("_c")
-        )
+    au, av = _adjacency_projections(adj)
+    return _wedge_corners(o, au, av).groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_tri")
     )
-    corners = tri.select(
-        F.explode(F.array("lo", "hi", "_c")).alias("node")
-    )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
 def bfs_hops(
@@ -293,33 +306,20 @@ def triangle_counts_bucketed(
         checkpoint_dir,
         storage_level=StorageLevel.MEMORY_AND_DISK,
     )
-    au = adj.select(F.col("lo"), F.col("_nbrs").alias("_nu"))
-    av = adj.select(F.col("lo").alias("hi"), F.col("_nbrs").alias("_nv"))
+    au, av = _adjacency_projections(adj)
     partials = []
     for b in range(n_buckets):
         eb = o.filter(
             F.pmod(F.xxhash64(F.col("lo"), F.col("hi")), F.lit(n_buckets))
             == b
         )
-        tri_b = (
-            eb.join(au, "lo")
-            .join(av, "hi")
-            .select(
-                "lo",
-                "hi",
-                F.explode(F.array_intersect("_nu", "_nv")).alias("_c"),
-            )
-        )
-        corners_b = tri_b.select(
-            F.explode(F.array("lo", "hi", "_c")).alias("node")
-        )
         # node-sized partial: materialized per pass so pass state is
         # released before the next bucket's join starts
         partials.append(
             cut_lineage(
-                corners_b.groupBy("node").agg(
-                    F.count(F.lit(1)).alias("_part")
-                ),
+                _wedge_corners(eb, au, av)
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("_part")),
                 checkpoint_dir,
             )
         )

@@ -129,25 +129,39 @@ def bmp_encode_raw24(samples: bytes, width: int = 16) -> bytes:
     return file_header + info_header + pixels
 
 
+class BmpDecodeError(ValueError):
+    """BMP container validation failure with a machine-readable ``reason``
+    code (``bad_magic`` / ``bad_header`` / ``truncated_pixels``) — the
+    quarantine router classifies on this field, never on message text, so
+    rewording a message can never silently diverge from the registered
+    oracle's reason taxonomy."""
+
+    def __init__(self, reason: str, message: str):
+        super().__init__(message)
+        self.reason = reason
+
+
 def decode_image_bmp(payload: bytes):
     """REAL image decode: parse an uncompressed 24-bit BMP container
     (stdlib ``struct``) and return (top-down flat pixel bytes, width,
     height).  Magic, header size, plane count, bit depth, compression
     mode and pixel-array offset are all validated — a corrupted or
-    non-BMP payload raises, exactly as a production decode stage would."""
+    non-BMP payload raises :class:`BmpDecodeError`, exactly as a
+    production decode stage would."""
     import struct
 
     if payload[:2] != b"BM":
-        raise ValueError("not a BMP payload (missing BM magic)")
+        raise BmpDecodeError("bad_magic", "not a BMP payload (missing BM magic)")
     _, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
     (
         hdr_size, width, height, planes, bpp, compression, _img_size,
         _xppm, _yppm, _clr, _imp,
     ) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
     if hdr_size != 40 or planes != 1 or bpp != 24 or compression != 0:
-        raise ValueError(
+        raise BmpDecodeError(
+            "bad_header",
             f"expected uncompressed 24-bit BITMAPINFOHEADER, got "
-            f"hdr={hdr_size} planes={planes} bpp={bpp} comp={compression}"
+            f"hdr={hdr_size} planes={planes} bpp={bpp} comp={compression}",
         )
     row = width * 3
     rows = [
@@ -155,7 +169,7 @@ def decode_image_bmp(payload: bytes):
         for r in range(height)
     ]
     if any(len(r) != row for r in rows):
-        raise ValueError("truncated BMP pixel array")
+        raise BmpDecodeError("truncated_pixels", "truncated BMP pixel array")
     return b"".join(reversed(rows)), width, height
 
 
@@ -643,16 +657,18 @@ QUARANTINE_DDL = (
 )
 
 
-def corrupt_bmp_payloads(media: DataFrame, modulus: int = 7) -> DataFrame:
+def corrupt_bmp_payloads(media: DataFrame) -> DataFrame:
     """Deterministic decode-fault injection: damage a fixed, id-keyed
     subset of BMP payloads in the three ways real object-store corpora
     rot — wrong container magic, an in-header field flip, and a
     truncated pixel array — leaving every other asset byte-identical.
 
-    ``media_id % modulus`` selects the fault (3 → magic, 5 → bpp header
+    ``media_id % 7`` selects the fault (3 → magic, 5 → bpp header
     field, 6 → truncation), so the quarantine split downstream is a pure
     function of the id and an ANSI-SQL oracle can restate exactly which
-    assets land on the dead-letter side and why.  Map-only Arrow pass,
+    assets land on the dead-letter side and why.  The modulus is FIXED:
+    the registered oracle and the parity tests restate ``% 7`` literally,
+    so a tunable knob here would be a silent oracle-divergence trap.  Map-only Arrow pass,
     same schema in and out — at 100 TB this stage is the test double for
     "the lake contains corrupt objects", not a production operator."""
 
@@ -663,7 +679,7 @@ def corrupt_bmp_payloads(media: DataFrame, modulus: int = 7) -> DataFrame:
             payloads = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                m = int(mid) % modulus
+                m = int(mid) % 7
                 if m == 3:
                     b = b"XX" + b[2:]
                 elif m == 5:
@@ -703,15 +719,10 @@ def bmp_decode_quarantine(media: DataFrame) -> DataFrame:
                 try:
                     data, _w, _h = decode_image_bmp(bytes(payload))
                 except Exception as exc:  # any decode failure -> DLQ row
-                    msg = str(exc)
-                    if "magic" in msg:
-                        reason = "bad_magic"
-                    elif "truncated" in msg:
-                        reason = "truncated_pixels"
-                    elif "expected uncompressed" in msg:
-                        reason = "bad_header"
-                    else:
-                        reason = "decode_error"
+                    # typed reason code when the codec classified the
+                    # fault; anything else (struct.error on a sub-header
+                    # payload, ...) is an uncategorized decode_error
+                    reason = getattr(exc, "reason", "decode_error")
                     rows.append(
                         (int(mid), "quarantined", reason, None, None)
                     )

@@ -807,11 +807,13 @@ def timeseries_time_weighted_avg(
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(SUM(t) AS DOUBLE) AS st,
              CAST(SUM(t * t) AS DOUBLE) AS st2,
-             CAST(SUM(CAST(FLOOR(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
-             CAST(SUM(CAST(FLOOR(CAST(t AS DOUBLE) * y * 1e6) AS BIGINT))
-                  AS DOUBLE) / 1e6 AS sty,
-             CAST(SUM(CAST(FLOOR(y * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
-               AS sy2
+             CAST(SUM(CAST(y * 1e6 - (y * 1e6 % 1.0) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1e6 AS sy,
+             CAST(SUM(CAST(CAST(t AS DOUBLE) * y * 1e6
+                           - (CAST(t AS DOUBLE) * y * 1e6 % 1.0)
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sty,
+             CAST(SUM(CAST(y * y * 1e6 - (y * y * 1e6 % 1.0)
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sy2
       FROM daily GROUP BY event_type
     )
     SELECT event_type,
@@ -830,10 +832,14 @@ def timeseries_time_weighted_avg(
         "sufficient-statistics shape: both passes are map-side "
         "combinable hash aggs, nothing is ever sorted or windowed.  "
         "Integer sums (t, t²) stay exact BIGINTs; the float sums (y, "
-        "ty, y²) floor-quantize addends at 1e-6 (daily revenues and "
-        "epoch-day products are not 6dp-representable — the TWA "
-        "lesson), so slope/intercept/r² are single IEEE expressions on "
-        "identical inputs, hash-exact cross-engine",
+        "ty, y²) TRUNC-quantize addends at 1e-6 via x - (x % 1.0) — "
+        "fmod is engine-identical IEEE, unlike Spark's FLOOR(double) "
+        "which returns LONG and overflows once an addend passes 9.2e18 "
+        "(the r11 ×100 stress caught exactly that: y²·1e6 ≈ 2.5e19 on "
+        "the sf10-equivalent corpus) — then accumulate in exact "
+        "DECIMAL(38,0) (the PCA-overflow fix pattern: 128-bit sums "
+        "survive any corpus size), so slope/intercept/r² are single "
+        "IEEE expressions on identical inputs, hash-exact cross-engine",
 )
 def trend_linear_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -847,9 +853,12 @@ def trend_linear_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def q6(col):
-        return F.sum(F.floor(col * F.lit(1e6)).cast("bigint")).cast(
-            "double"
-        ) / F.lit(1e6)
+        # trunc in DOUBLE space (x - x % 1.0): integer-valued doubles
+        # convert to DECIMAL(38,0) exactly in both engines; FLOOR(double)
+        # would materialize a LONG and overflow at stress scale
+        scaled = col * F.lit(1e6)
+        q = scaled - scaled % F.lit(1.0)
+        return F.sum(q.cast("decimal(38,0)")).cast("double") / F.lit(1e6)
 
     sums = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -205,7 +205,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hub degrees and dies at scale); each triangle found exactly once "
         "then credited to its three corners via explode + one hash agg.  "
         "Integer-only — no decimal scaffolding needed.  The final top-20 "
-        "window runs over the node-sized aggregate, never the base table",
+        "window runs over the node-sized aggregate, never the base table.  "
+        "SPARK_GRAFT_TRIANGLE_BUCKETS=<B> switches the probe to the "
+        "bounded-memory B-pass operator (bit-identical output; the "
+        "default-8-GiB-heap path for corpus-sized graphs — README memory "
+        "envelope, PERF.md round-11)",
 )
 def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (
@@ -231,7 +235,29 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serialized-spillable blocks — an |E|-sized deserialized block set
     # was half of the x100 heap OOM (see cut_lineage docstring)
     ue = cut_lineage(ue, None, storage_level=StorageLevel.MEMORY_AND_DISK)
-    counts = triangle_counts(ue)
+    import os
+
+    from bakery_big_data_spark.operators.graph import (
+        triangle_counts_bucketed,
+    )
+
+    raw = os.environ.get("SPARK_GRAFT_TRIANGLE_BUCKETS", "1")
+    try:
+        n_buckets = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"SPARK_GRAFT_TRIANGLE_BUCKETS must be an integer pass count, "
+            f"got {raw!r}"
+        ) from exc
+    if not 1 <= n_buckets <= 256:  # each pass is an eager job; bound it
+        raise ValueError(
+            f"SPARK_GRAFT_TRIANGLE_BUCKETS out of range [1, 256]: {n_buckets}"
+        )
+    counts = (
+        triangle_counts(ue)
+        if n_buckets == 1
+        else triangle_counts_bucketed(ue, n_buckets=n_buckets)
+    )
     # top-k FIRST (TakeOrderedAndProject: per-partition heaps + a 20-row
     # driver merge), THEN rank the 20 survivors — a global row_number
     # window here would sort the whole node-sized aggregate in ONE

@@ -318,46 +318,95 @@ def run_streaming_semantic_gate(
         bi = int(batch_id)
         if all(_applied(p, bi) for p in (bucket_path, vec_path, dec_path)):
             return
-        v = to_double_vec("embedding")
+        from pyspark.storagelevel import StorageLevel
+
+        # serialized spill-friendly blocks: these per-batch frames are
+        # CORPUS-PROPORTIONAL (vectors + L x signatures) and the default
+        # deserialized localCheckpoint level accumulated across batches
+        # is what drove the sf10-equivalent replay into the OOM killer
+        # (r11 x100 sweep; same lesson as the triangle row's edge frame)
         vecs = batch_df.select(
             "vec_id",
-            v.alias("v"),
-            dot_exact(v, v).alias("n2"),
-        ).localCheckpoint()
+            to_double_vec("embedding").alias("v"),
+        )
+        vecs = vecs.select(
+            "vec_id", "v", dot_exact(F.col("v"), F.col("v")).alias("n2")
+        ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         sigs = vecs.filter(F.col("n2") > 0).select(
             "vec_id",
             F.posexplode(
                 F.array(*[hyperplane_signature(F.col("v"), p) for p in tables])
             ).alias("t", "bucket"),
-        ).localCheckpoint()
+        ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
         index = (
             read_snapshot(spark, bucket_path).unionByName(sigs)
             if table_exists(bucket_path)
             else sigs
         )
-        n, o = sigs.alias("n"), index.alias("o")
-        # both directions + normalization, as in the MinHash gate — the
-        # new vector may be the smaller partner under out-of-order arrival
-        cand = (
-            n.join(
-                o,
-                (F.col("n.t") == F.col("o.t"))
-                & (F.col("n.bucket") == F.col("o.bucket"))
-                & (F.col("o.vec_id") != F.col("n.vec_id")),
-            )
-            .select(
-                F.least(F.col("o.vec_id"), F.col("n.vec_id")).alias("id_a"),
-                F.greatest(F.col("o.vec_id"), F.col("n.vec_id")).alias(
-                    "id_b"
-                ),
-            )
-            .distinct()
-        )
         all_vecs = (
             read_snapshot(spark, vec_path).unionByName(vecs)
             if table_exists(vec_path)
             else vecs
+        )
+        # Candidate generation is the BATCH path's two-phase blocked
+        # kernel (operators/similarity.py::semantic_dedup_pairs), not a
+        # raw (t, bucket) equi-join: at stress scale a popular bucket
+        # makes the equi-join materialize |new_bucket| x |bucket| rows in
+        # one task (the r11 ×100 sweep OOM'd exactly there — 200 k
+        # vectors over 2^4 buckets). Phase 1 groups each (table, bucket)
+        # once and scores probe(new) × index(all) inside a numpy matmul
+        # with a margined threshold, emitting only surviving pairs;
+        # old×old pairs are never re-scored (probe side is the batch's
+        # new vectors only — new×new still covered because the index side
+        # includes them). Phase 2 below re-scores survivors with the
+        # order-exact JVM fold, so decision bits still match the oracle.
+        vrows = all_vecs.select(F.col("vec_id").alias("_vid"), "v")
+        idx_rows = index.join(
+            vrows, index.vec_id == vrows._vid
+        ).select(
+            index.vec_id.alias("vid"), "v", "t", "bucket",
+            F.lit(1).alias("_side"),
+        )
+        new_rows = sigs.join(
+            vrows, sigs.vec_id == vrows._vid
+        ).select(
+            sigs.vec_id.alias("vid"), "v", "t", "bucket",
+            F.lit(0).alias("_side"),
+        )
+        margin = threshold - 1e-6
+
+        def gate_bucket_fn(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            probe = pdf[pdf["_side"] == 0]
+            idx = pdf[pdf["_side"] == 1]
+            if len(probe) == 0 or len(idx) == 0:
+                return empty
+            ids_p = probe["vid"].to_numpy()
+            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float64)
+            ids_i = idx["vid"].to_numpy()
+            mat_i = np.stack(idx["v"].to_numpy()).astype(np.float64)
+            np_ = np.sqrt((mat_p * mat_p).sum(axis=1))
+            ni = np.sqrt((mat_i * mat_i).sum(axis=1))
+            sims = (mat_p @ mat_i.T) / np.outer(np_, ni)
+            ii, jj = np.nonzero(sims >= margin)
+            a_, b_ = ids_p[ii], ids_i[jj]
+            keep = a_ != b_
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(a_, b_)[keep],
+                    "id_b": np.maximum(a_, b_)[keep],
+                }
+            )
+
+        cand = (
+            idx_rows.unionByName(new_rows)
+            .groupBy("t", "bucket")
+            .applyInPandas(gate_bucket_fn, "id_a LONG, id_b LONG")
+            .distinct()
         )
         a = all_vecs.select(
             F.col("vec_id").alias("id_a"),

@@ -100,6 +100,14 @@ TOPIC_TRIGGER: dict[str, str] = {
 }
 
 
+def topic_trigger(topic: str) -> dict[str, str]:
+    """Trigger kwargs for ``DataStreamWriter.trigger(**topic_trigger(t))``
+    at the reference's per-topic cadence (stream_to_bronze.py:70-71,
+    117-118, 168-170) — pinned by tests/test_kafka_contract.py so the
+    cadences cannot drift silently."""
+    return {"processingTime": TOPIC_TRIGGER[topic]}
+
+
 def kafka_writer_options(
     topic: str, brokers: str, checkpoint: str
 ) -> dict[str, str]:

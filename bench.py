@@ -148,15 +148,31 @@ def scaling_gate(
 
 def scaling_fingerprint(registry, sf_dir: str, small_dir: str) -> str:
     """Identity of what a cross-SF scaling table measured: the catalog
-    composition plus both corpus directories' mtimes.  While this
-    fingerprint is unchanged, a committed scaling table is still an
-    accurate measurement no matter how many plain benches re-run."""
+    composition, the PLAN SOURCE (newest mtime under the plans/operators
+    packages — a plan rewrite under an unchanged query name must
+    invalidate the table), and both corpora (resolved path + newest
+    table-file mtime, the repo's file-level staleness convention — a
+    same-second sibling dir or an in-place file overwrite must not
+    fingerprint-match).  While this fingerprint is unchanged, a committed
+    scaling table is still an accurate measurement no matter how many
+    plain benches re-run; any code or corpus change flips it stale."""
+    import glob
     import hashlib
 
     parts = [",".join(sorted(registry))]
+    src_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bakery_big_data_spark"
+    )
+    src_mtimes = [
+        os.path.getmtime(p)
+        for p in glob.glob(os.path.join(src_root, "**", "*.py"), recursive=True)
+    ]
+    parts.append(str(int(max(src_mtimes))) if src_mtimes else "?")
     for d in (sf_dir, small_dir):
         try:
-            parts.append(str(int(os.path.getmtime(d))))
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            newest = max(os.path.getmtime(p) for p in files) if files else 0
+            parts.append(f"{os.path.realpath(d)}@{int(newest)}")
         except OSError:
             parts.append("?")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]

@@ -176,3 +176,15 @@ def test_triangle_counts_bucketed_matches_one_pass(spark, sf_dir):
         for r in triangle_counts_bucketed(ue, n_buckets=4).collect()
     }
     assert bucketed == one
+
+
+def test_triangle_row_bucket_env_knob_identical(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_TRIANGLE_BUCKETS switches the catalog row to the
+    bounded-memory probe without changing a single output row."""
+    from bakery_big_data_spark.plans import REGISTRY
+
+    q = REGISTRY["graph_triangle_copurchase"]
+    base = sorted(map(tuple, q.build(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_TRIANGLE_BUCKETS", "4")
+    bucketed = sorted(map(tuple, q.build(spark, sf_dir).collect()))
+    assert bucketed == base

@@ -211,3 +211,24 @@ def test_replay_decode_plan_equals_kafka_decode_plan_modulo_source(spark):
         pk = _normalized_plan(decode_topic(kafka_shaped, topic))
         pr = _normalized_plan(decode_topic(replay_shaped, topic))
         assert pk == pr, f"{topic} decode plans diverge:\n{pk}\n---\n{pr}"
+
+
+def test_topic_trigger_cadences_pinned_and_accepted(spark):
+    """The reference's per-topic processing-time cadences
+    (stream_to_bronze.py:70-71,117-118,168-170) are pinned AND the real
+    DataStreamWriter.trigger accepts each one — the cadence values can't
+    drift or go stale as unreferenced constants."""
+    from bakery_big_data_spark.streaming.ingest import (
+        TOPIC_TRIGGER,
+        topic_trigger,
+    )
+
+    assert TOPIC_TRIGGER == {
+        "sales-events": "30 seconds",
+        "equipment-metrics": "30 seconds",
+        "inventory-updates": "60 seconds",
+    }
+    stream = spark.readStream.format("rate").load()
+    for topic in TOPIC_TRIGGER:
+        # trigger() parses/validates the interval eagerly
+        stream.writeStream.trigger(**topic_trigger(topic))
