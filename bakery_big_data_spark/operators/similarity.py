@@ -932,9 +932,15 @@ def build_ivf_served_index(
         try:
             with open(marker) as fh:
                 meta = json.load(fh)
-            stale = meta.get("tag") != tag or os.path.getmtime(
-                src
-            ) >= os.path.getmtime(marker)
+            # r11 ADVICE: the tag is embedded in out_dir so comparing it
+            # alone is dead code — a DIFFERENT corpus at a same-basename
+            # sibling path with an older mtime would silently serve the
+            # other corpus's neighbors.  Pin the index to the resolved
+            # source path + its full-precision mtime instead.
+            stale = (
+                meta.get("src_realpath") != os.path.realpath(src)
+                or meta.get("src_mtime") != os.path.getmtime(src)
+            )
         except (OSError, ValueError):
             stale = True
     if stale:
@@ -956,6 +962,8 @@ def build_ivf_served_index(
         )
         meta = {
             "tag": tag,
+            "src_realpath": os.path.realpath(src),
+            "src_mtime": os.path.getmtime(src),
             "n_clusters": n_clusters,
             "seed": seed,
             "centroids": [

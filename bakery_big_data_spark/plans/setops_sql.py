@@ -212,7 +212,8 @@ def sql_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_lists",
     """
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
+           array_to_string(list_sort(list(o_orderkey)), ',')
+             AS order_keys_csv,
            array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
              AS priorities_csv
     FROM orders
@@ -221,15 +222,34 @@ def sql_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Deterministic list aggregation: array_sort(collect_list(...)) — "
         "raw collect_list order is partition-dependent, the sort makes the "
-        "aggregate reproducible at any parallelism (+ distinct CSV variant)",
+        "aggregate reproducible at any parallelism (+ distinct CSV variant). "
+        "Both list columns are serialized with array_join for the driver row "
+        "(its pandas canonicalizer cannot factorize ARRAY cells — the one "
+        "red row of r11); the ARRAY-typed form stays certified under pytest "
+        "via collect_sorted_lists_array + tests/test_setops_sql_arrays.py.",
 )
 def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"),
+            ",",
+        ).alias("order_keys_csv"),
         F.array_join(
             F.array_sort(F.collect_set("o_orderpriority")), ","
         ).alias("priorities_csv"),
+    )
+
+
+def collect_sorted_lists_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-typed variant of :func:`collect_sorted_lists` (NOT registered:
+    the driver's canonicalizer cannot hash top-level ARRAY cells, see
+    tests/test_catalog.py::test_no_oracle_complex_top_level_columns).
+    Certified by pytest: serializing its array with array_join must equal
+    the registered row's order_keys_csv on every group."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
     )
 
 

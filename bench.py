@@ -160,19 +160,29 @@ def scaling_fingerprint(registry, sf_dir: str, small_dir: str) -> str:
     import hashlib
 
     parts = [",".join(sorted(registry))]
-    src_root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bakery_big_data_spark"
-    )
-    src_mtimes = [
-        os.path.getmtime(p)
-        for p in glob.glob(os.path.join(src_root, "**", "*.py"), recursive=True)
-    ]
-    parts.append(str(int(max(src_mtimes))) if src_mtimes else "?")
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    src_root = os.path.join(repo_root, "bakery_big_data_spark")
+    # r11 ADVICE: full-precision mtimes + sizes (a same-second in-place
+    # regeneration must flip the fingerprint), and bench.py itself is in
+    # the source scan (its gate thresholds are part of the measurement).
+    src_files = sorted(
+        glob.glob(os.path.join(src_root, "**", "*.py"), recursive=True)
+    ) + [os.path.abspath(__file__)]
+    src_sig = hashlib.md5()
+    for p in src_files:
+        try:
+            st = os.stat(p)
+            src_sig.update(f"{p}:{st.st_mtime!r}:{st.st_size}|".encode())
+        except OSError:
+            src_sig.update(f"{p}:?|".encode())
+    parts.append(src_sig.hexdigest())
     for d in (sf_dir, small_dir):
         try:
-            files = glob.glob(os.path.join(d, "*.parquet"))
-            newest = max(os.path.getmtime(p) for p in files) if files else 0
-            parts.append(f"{os.path.realpath(d)}@{int(newest)}")
+            sig = hashlib.md5()
+            for p in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                st = os.stat(p)
+                sig.update(f"{p}:{st.st_mtime!r}:{st.st_size}|".encode())
+            parts.append(f"{os.path.realpath(d)}@{sig.hexdigest()}")
         except OSError:
             parts.append("?")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]

@@ -49,6 +49,54 @@ def test_no_oracle_column_types_hugeint(con):
             )
 
 
+def test_no_oracle_complex_top_level_columns(con):
+    """The driver's canonicalizer pandas-sorts every output column before
+    hashing; `sort_values` factorizes cell values, and Python lists/dicts are
+    unhashable — the ONE red driver row of r11 (`collect_sorted_lists`) was
+    exactly this, with values verified exact.  Bind every registered oracle
+    (no execution) and assert no top-level column is a LIST/ARRAY/MAP/STRUCT:
+    serialize complex aggregates with array_to_string/to_json in BOTH the
+    query and the oracle, and keep the complex-typed form under pytest."""
+    # DuckDB JSON is excluded: it materializes as a plain (hashable) str
+    # in pandas, so the canonicalizer handles it fine.
+    banned = ("[]", "LIST", "MAP(", "STRUCT(", "UNION(")
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            assert not any(b in t for b in banned), (
+                f"{name}.{col} types {typ}: the driver canonicalizer cannot "
+                f"hash complex cells — serialize (array_to_string / to_json) "
+                f"in both query and oracle"
+            )
+
+
+def test_collect_sorted_lists_array_variant_parity(spark, sf_dir):
+    """The unregistered ARRAY-typed list aggregation must serialize to the
+    registered driver row exactly (same groups, same element order)."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.plans.setops_sql import (
+        collect_sorted_lists_array,
+    )
+
+    arr = collect_sorted_lists_array(spark, sf_dir).select(
+        "o_custkey",
+        F.array_join(F.col("order_keys").cast("array<string>"), ",").alias(
+            "order_keys_csv"
+        ),
+    )
+    reg = REGISTRY["collect_sorted_lists"].build(spark, sf_dir).select(
+        "o_custkey", "order_keys_csv"
+    )
+    a = sorted(map(tuple, arr.collect()))
+    b = sorted(map(tuple, reg.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_seeded_rand_is_reproducible(spark, sf_dir):
     q = REGISTRY["seeded_synthetic_features"]
     a = sorted(map(tuple, q.build(spark, sf_dir).collect()))

@@ -232,3 +232,66 @@ def test_topic_trigger_cadences_pinned_and_accepted(spark):
     for topic in TOPIC_TRIGGER:
         # trigger() parses/validates the interval eagerly
         stream.writeStream.trigger(**topic_trigger(topic))
+
+
+def _streaming_raw(spark, kafka_shaped: bool):
+    """A genuinely STREAMING frame (isStreaming=True) shaped like the
+    Kafka source (full KAFKA_RAW_DDL column set, BINARY value) or like
+    file replay (bare STRING value), built on the built-in rate source so
+    no broker/connector is needed."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    if kafka_shaped:
+        return rate.selectExpr(
+            "CAST(NULL AS BINARY) AS key",
+            "CAST(CAST(value AS STRING) AS BINARY) AS value",
+            "'t' AS topic",
+            "CAST(0 AS INT) AS partition",
+            "value AS offset",
+            "timestamp",
+            "CAST(0 AS INT) AS timestampType",
+        )
+    return rate.selectExpr("CAST(value AS STRING) AS value")
+
+
+def test_streaming_decode_plan_parity_includes_watermark(spark):
+    """r11 ADVICE: the batch-frame plan-parity test skips decode_topic's
+    `raw.isStreaming` watermark branch on BOTH sides, so the asserted
+    equality never covered the inventory 48 h watermark.  This variant
+    feeds STREAMING frames: (1) the inventory topic's decoded plan must
+    carry an EventTimeWatermark node with the pinned 48-hour delay on
+    event_time, (2) kafka-shaped vs replay-shaped STREAMING plans must
+    still match modulo source — i.e. file replay adds the SAME watermark
+    a real Kafka read would, (3) non-inventory topics add none."""
+    from bakery_big_data_spark.streaming.ingest import decode_topic
+
+    def norm(df) -> str:
+        # decode_topic's own deepest node is the from_json Project;
+        # everything below it (the rate-source shaping projection + the
+        # StreamingRelation leaf) is the source side this test permits
+        # to differ — truncate there.
+        import re
+
+        # EventTimeWatermark prints a per-plan random node UUID
+        plan = re.sub(
+            r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b",
+            "<uuid>",
+            _normalized_plan(df),
+        )
+        lines = plan.splitlines()
+        cut = max(i for i, line in enumerate(lines) if "from_json" in line)
+        return "\n".join(lines[: cut + 1])
+
+    for topic in ("sales-events", "equipment-metrics", "inventory-updates"):
+        pk = norm(decode_topic(_streaming_raw(spark, True), topic))
+        pr = norm(decode_topic(_streaming_raw(spark, False), topic))
+        assert pk == pr, f"{topic} streaming decode plans diverge:\n{pk}\n---\n{pr}"
+        has_wm = "EventTimeWatermark" in pk
+        if topic == "inventory-updates":
+            assert has_wm, f"missing watermark node:\n{pk}"
+            wm_line = next(
+                line for line in pk.splitlines() if "EventTimeWatermark" in line
+            )
+            assert "event_time" in wm_line
+            assert "2 days" in wm_line or "48 hours" in wm_line, wm_line
+        else:
+            assert not has_wm, f"{topic} unexpectedly watermarked:\n{pk}"
