@@ -241,3 +241,136 @@ def last_commit_meta(table_path: str) -> dict | None:
     table does not exist yet or the commit carried no meta)."""
     m = _load_manifest(table_path)
     return m.get("meta", {}).get(str(m.get("current")))
+
+
+# --------------------------------------------------------------------------
+# Append-only log tables (r11 verdict task 4)
+#
+# write_snapshot rewrites the WHOLE table every commit — right for
+# versioned batch tables, wrong for streaming state that only grows: a
+# replay of B micro-batches rewrites O(corpus) state B times (the
+# dominant cost of streaming_semantic_ingest_gate's ×100 run in r11).
+# An append-log table commits only the Δ each batch (same atomic
+# manifest swap, same per-version meta for exactly-once batch guards);
+# readers union the base + appended segments, and compact_log folds the
+# segments back into one base when the segment count grows — the
+# Iceberg/Delta append+compact shape at file granularity.
+# --------------------------------------------------------------------------
+
+
+def append_commit(
+    df: DataFrame, table_path: str, meta: dict | None = None
+) -> int:
+    """Commit ``df`` as a Δ-sized APPEND segment (next version).
+
+    I/O is proportional to ``df``, never to the accumulated table.  The
+    manifest swap is the same crash-safe atomic rename as
+    :func:`write_snapshot`; ``meta`` rides the swap, so an applied-batch
+    id and its data commit together (exactly-once under checkpoint
+    re-delivery)."""
+    import datetime
+
+    m = _load_manifest(table_path)
+    version = m["current"] + 1
+    vdir = os.path.join(table_path, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    stamps = dict(m.get("committed_at", {}))
+    stamps[str(version)] = datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+    metas = dict(m.get("meta", {}))
+    if meta is not None:
+        metas[str(version)] = meta
+    kinds = dict(m.get("kind", {}))
+    kinds[str(version)] = "append"
+    m = {
+        "current": version,
+        "versions": m["versions"] + [version],
+        "committed_at": stamps,
+        "meta": metas,
+        "kind": kinds,
+    }
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, _manifest_path(table_path))
+    return version
+
+
+def _log_segments(table_path: str) -> list[int]:
+    """Versions a log read unions: the newest base (compacted) segment,
+    if any, plus every append segment after it.  Versions written by
+    plain :func:`write_snapshot` (no ``kind`` entry) count as base —
+    a log table can start from a full snapshot and go append-only."""
+    m = _load_manifest(table_path)
+    kinds = m.get("kind", {})
+    bases = [v for v in m["versions"] if kinds.get(str(v), "base") == "base"]
+    floor_v = max(bases) if bases else 0
+    return sorted(
+        v
+        for v in m["versions"]
+        if v == floor_v or (v > floor_v and kinds.get(str(v)) == "append")
+    )
+
+
+def read_log(spark: SparkSession, table_path: str) -> DataFrame:
+    """Union of the current base segment + all later append segments —
+    the accumulated state of an append-log table.  One multi-path
+    parquet scan (a single relation, not a union tree), so partition
+    count tracks total data, not segment count."""
+    segs = _log_segments(table_path)
+    if not segs:
+        raise ValueError(f"no segments at {table_path}")
+    return spark.read.parquet(
+        *[os.path.join(table_path, f"v={v}") for v in segs]
+    )
+
+
+def compact_log(
+    spark: SparkSession, table_path: str, max_segments: int = 16
+) -> bool:
+    """Fold the log's segments into one BASE version when more than
+    ``max_segments`` would otherwise accumulate (unbounded segment
+    counts mean unbounded open-file/list costs at 100 TB).  The
+    compacted rewrite is one new version committed with the same atomic
+    swap; old segments are expired after the swap, so a crash leaves
+    either the old segment list or the new base — never a partial mix.
+    Returns True if a compaction ran."""
+    segs = _log_segments(table_path)
+    if len(segs) <= max_segments:
+        return False
+    m = _load_manifest(table_path)
+    merged = read_log(spark, table_path)
+    version = m["current"] + 1
+    vdir = os.path.join(table_path, f"v={version}")
+    merged.write.mode("overwrite").parquet(vdir)
+    import datetime
+    import shutil
+
+    stamps = dict(m.get("committed_at", {}))
+    stamps[str(version)] = datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+    metas = dict(m.get("meta", {}))
+    cur_meta = metas.get(str(m["current"]))
+    if cur_meta is not None:  # the batch guard must survive compaction
+        metas[str(version)] = cur_meta
+    kinds = dict(m.get("kind", {}))
+    kinds[str(version)] = "base"
+    keep = [v for v in m["versions"] if v not in set(segs)] + [version]
+    new_m = {
+        "current": version,
+        "versions": sorted(keep),
+        "committed_at": {k: v for k, v in stamps.items() if int(k) in set(keep)},
+        "meta": {k: v for k, v in metas.items() if int(k) in set(keep)},
+        "kind": {k: v for k, v in kinds.items() if int(k) in set(keep)},
+    }
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_m, fh)
+    os.replace(tmp, _manifest_path(table_path))
+    for v in segs:
+        shutil.rmtree(
+            os.path.join(table_path, f"v={v}"), ignore_errors=True
+        )
+    return True

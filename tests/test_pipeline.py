@@ -701,3 +701,58 @@ def test_streaming_rate_gate_out_of_order(spark, sf_dir):
     assert shuffled == ordered
     admitted = sum(1 for (_, _, _, adm) in ordered if adm)
     assert 0 < admitted < len(ordered)  # the quota actually bites
+
+
+def test_streaming_semantic_gate_threshold_boundary_pair(spark):
+    """r11 ADVICE: the numpy candidate pre-filter drops pairs below
+    ``threshold - margin`` before the order-exact phase-2 re-score; a pair
+    whose EXACT cosine sits exactly AT the threshold must survive the
+    pre-filter (margin covers matmul-vs-JVM-fold divergence) and be marked
+    duplicate.  Engineered corpus: v1=[3,4,0...], v2=[4,3,0...] has cosine
+    exactly 24/25 = 0.96 in float64 (integer components, exact norms), run
+    at threshold=0.96 — equality, the knife edge.  v3 is orthogonal
+    (cosine 0) and must stay kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_semantic_gate,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    corpus_dir = tempfile.mkdtemp(dir=SCRATCH)
+    dim = 64
+    v1 = [0.0] * dim
+    v1[0], v1[1] = 3.0, 4.0
+    v2 = [0.0] * dim
+    v2[0], v2[1] = 4.0, 3.0
+    v3 = [0.0] * dim
+    v3[7] = 5.0
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+                "embedding": pa.array(
+                    [v1, v2, v3], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(corpus_dir, "embeddings.parquet"),
+    )
+
+    decisions = {
+        r.vec_id: (r.canonical_id, r.is_kept)
+        for r in run_streaming_semantic_gate(
+            spark,
+            corpus_dir,
+            tempfile.mkdtemp(dir=SCRATCH),
+            n_chunks=2,
+            threshold=0.96,
+        ).collect()
+    }
+    assert decisions[1] == (1, True)
+    assert decisions[2] == (1, False), (
+        "boundary pair (exact cosine == threshold) was lost by the "
+        "candidate pre-filter margin"
+    )
+    assert decisions[3] == (3, True)

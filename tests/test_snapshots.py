@@ -177,3 +177,51 @@ def test_timestamp_time_travel(spark, sf_dir, tmp_path):
     assert read_snapshot_as_of(spark, table, t2).count() == base.count()
     with pytest.raises(ValueError, match="at or before"):
         read_snapshot_as_of(spark, table, t1)
+
+
+def test_append_log_accumulates_and_compacts(spark, sf_dir, tmp_path):
+    """Append-log tables (streaming-gate state, r11 verdict task 4):
+    each commit is Δ-sized; read_log unions base + appends; compact_log
+    folds segments into one base without changing content, carries the
+    newest commit's meta (the exactly-once batch guard), and later
+    appends keep accumulating on top of the compacted base."""
+    from bakery_big_data_spark.sources.snapshots import (
+        append_commit,
+        compact_log,
+        last_commit_meta,
+        read_log,
+        table_exists,
+    )
+
+    table = str(tmp_path / "log")
+    assert not table_exists(table)
+    rows = _base(spark, sf_dir).limit(90)
+    chunks = [
+        rows.filter(F.col("event_id") % 3 == k).localCheckpoint()
+        for k in range(3)
+    ]
+    for bi, chunk in enumerate(chunks):
+        append_commit(chunk, table, meta={"batch": bi})
+        # a segment dir per commit, each containing only its Δ
+        assert os.path.isdir(os.path.join(table, f"v={bi + 1}"))
+    assert last_commit_meta(table) == {"batch": 2}
+    expect = {tuple(r) for c in chunks for r in c.collect()}
+    assert {tuple(r) for r in read_log(spark, table).collect()} == expect
+
+    # idempotent batch re-delivery guard: the caller checks
+    # last_commit_meta before appending — meta survives compaction
+    assert compact_log(spark, table, max_segments=2) is True
+    assert last_commit_meta(table) == {"batch": 2}
+    assert {tuple(r) for r in read_log(spark, table).collect()} == expect
+    # segments folded: the original append dirs are gone
+    for bi in range(3):
+        assert not os.path.isdir(os.path.join(table, f"v={bi + 1}"))
+
+    # appends continue on top of the compacted base
+    extra = _base(spark, sf_dir).filter(
+        (F.col("event_id") >= 90) & (F.col("event_id") < 120)
+    ).localCheckpoint()
+    append_commit(extra, table, meta={"batch": 3})
+    expect |= {tuple(r) for r in extra.collect()}
+    assert {tuple(r) for r in read_log(spark, table).collect()} == expect
+    assert compact_log(spark, table, max_segments=2) is False  # under limit
