@@ -684,3 +684,333 @@ def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("dsir_score_q").desc(), F.col("doc_id")
     ).limit(100)
+
+
+@register(
+    "text_quality_classifier_infer",
+    """
+    WITH split AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, ws[g.i] AS tok, g.i AS pos
+      FROM split, UNNEST(generate_series(1, len(ws))) AS g(i)
+      WHERE ws[g.i] <> ''
+    ), uni AS (
+      SELECT doc_id,
+             COUNT(*) AS n_uni,
+             SUM((('0x' || substr(md5('u:' || tok), 1, 8))::BIGINT
+                  & 2147483647) % 2001 - 1000) AS w_uni
+      FROM toks GROUP BY doc_id
+    ), bi AS (
+      SELECT a.doc_id,
+             COUNT(*) AS n_bi,
+             SUM((('0x' || substr(md5('b:' || a.tok || ' ' || b.tok), 1, 8))
+                    ::BIGINT & 2147483647) % 2001 - 1000) AS w_bi
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_uni AS BIGINT) AS n_tokens,
+           CAST(COALESCE(b.n_bi, 0) AS BIGINT) AS n_bigrams,
+           CAST(u.w_uni + COALESCE(b.w_bi, 0) + 37 AS DOUBLE)
+             / (1000.0 * (u.n_uni + COALESCE(b.n_bi, 0) + 1)) AS logit,
+           CAST(u.w_uni + COALESCE(b.w_bi, 0) + 37 AS DOUBLE)
+             / (1000.0 * (u.n_uni + COALESCE(b.n_bi, 0) + 1)) >= 0.0
+             AS is_high_quality
+    FROM uni u LEFT JOIN bi b ON b.doc_id = u.doc_id
+    """,
+    doc="fastText-style hashed-bigram linear quality classifier INFERENCE "
+        "(Joulin et al. 2017 shape: mean of hashed unigram+bigram feature "
+        "weights -> linear layer -> sign), the standard pretraining "
+        "quality-filter pass (e.g. CCNet/GPT-3 Wikipedia-vs-CommonCrawl "
+        "filters).  Weights are a seeded stand-in derived from the "
+        "catalog's portable md5-half hash (production would load trained "
+        "weights keyed by the same buckets; the certified artifact is "
+        "the INFERENCE KERNEL: vocabulary-unbounded hashing, bigram "
+        "adjacency, mean-pool, threshold gate).  Numerics: per-feature "
+        "weights are INTEGERS (hash %% 2001 - 1000), summed exactly as "
+        "BIGINT, with ONE double division at the end — order-independent "
+        "and bit-identical cross-engine; the sigmoid is monotone so the "
+        "quality gate thresholds the logit directly.  Plan: map-only "
+        "token/bigram expansion, ONE hash agg keyed doc_id (partial "
+        "map-side combine), no dictionary, no UDF — at 100 TB this is a "
+        "single corpus pass, the same scaling class as "
+        "text_feature_hashing",
+)
+def text_quality_classifier_infer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("_ws")
+    )
+    # unigram / bigram feature streams share one split; empty tokens are
+    # dropped BEFORE adjacency, matching the oracle's positional filter
+    clean = docs.select(
+        "doc_id", F.filter(F.col("_ws"), lambda w: w != "").alias("ws")
+    )
+
+    def half_weight(expr: F.Column) -> F.Column:
+        # integer weight in [-1000, 1000]: md5-half hash % 2001 - 1000
+        return (
+            F.conv(F.substring(F.md5(expr), 1, 8), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit(2147483647))
+            % 2001
+            - 1000
+        )
+
+    uni = (
+        clean.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(half_weight(F.concat(F.lit("u:"), F.col("tok"))))
+            .alias("_wu"),
+        )
+    )
+    bi = (
+        clean.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum(half_weight(F.concat(F.lit("b:"), F.col("bg"))))
+            .alias("_wb"),
+        )
+    )
+    j = uni.join(bi, "doc_id", "left")
+    n_bi = F.coalesce(F.col("_nb"), F.lit(0)).cast("bigint")
+    logit = (
+        (F.col("_wu") + F.coalesce(F.col("_wb"), F.lit(0)) + 37)
+        .cast("double")
+        / (F.lit(1000.0) * (F.col("n_tokens") + n_bi + 1))
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        n_bi.alias("n_bigrams"),
+        logit.alias("logit"),
+        (logit >= 0.0).alias("is_high_quality"),
+    )
+
+
+@register(
+    "curation_url_canonical_dedup",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT & 2147483647 AS hh
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             (CASE WHEN hh % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+             || '://'
+             || (CASE WHEN (hh // 2) % 2 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.Example.'
+             || (CASE WHEN (hh // 4) % 2 = 0 THEN 'COM' ELSE 'org' END)
+             || (CASE (hh // 8) % 3
+                   WHEN 0 THEN ''
+                   WHEN 1 THEN (CASE WHEN hh % 2 = 0 THEN ':80' ELSE ':443' END)
+                   ELSE ':8080' END)
+             || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+             || (CASE WHEN (hh // 24) % 2 = 0 THEN '/' ELSE '' END)
+             || '?'
+             || (CASE WHEN (hh // 48) % 2 = 0
+                   THEN 'id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_source=feed'
+                   ELSE 'utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) END)
+             || (CASE WHEN (hh // 96) % 2 = 0 THEN '&ref=x' ELSE '' END)
+             || (CASE WHEN (hh // 192) % 2 = 0 THEN '#top' ELSE '' END)
+               AS url
+      FROM h
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
+                            '#.*$', '') AS rest
+      FROM raw
+    ), comp AS (
+      SELECT doc_id, url, scheme,
+             lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+                                  ':[0-9]+$', '')) AS host,
+             regexp_extract(regexp_extract(rest, '^([^/?]+)', 1),
+                            ':([0-9]+)$', 1) AS port,
+             regexp_replace(regexp_replace(rest, '^[^/?]+', ''),
+                            '\\?.*$', '') AS path,
+             regexp_extract(rest, '\\?(.*)$', 1) AS query
+      FROM parts
+    ), canon AS (
+      SELECT doc_id, url, scheme,
+             regexp_replace(host, '^www\\.', '') AS host_c,
+             CASE WHEN port <> ''
+                   AND NOT ((scheme = 'http' AND port = '80')
+                            OR (scheme = 'https' AND port = '443'))
+                  THEN ':' || port ELSE '' END AS port_c,
+             CASE WHEN path IN ('', '/') THEN '/'
+                  ELSE regexp_replace(path, '/$', '') END AS path_c,
+             array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND p NOT LIKE 'utm_%')), '&') AS query_c
+      FROM comp
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host_c || port_c || path_c
+             || (CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END)
+             AS canonical_url,
+           regexp_extract(host_c, '([^.]+\\.[^.]+)$', 1)
+             AS registrable_domain,
+           doc_id = MIN(doc_id) OVER (
+             PARTITION BY scheme || '://' || host_c || port_c || path_c
+               || (CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END)
+           ) AS is_canonical_rep
+    FROM canon
+    """,
+    doc="URL/host canonicalization + domain-level dedup keys — the "
+        "crawl-curation pass that precedes content dedup (one fetch per "
+        "canonical URL; per-registrable-domain quotas).  documents.parquet "
+        "carries no URL column, so a deterministic seeded URL is "
+        "synthesized per doc (md5-half bits drive scheme/host case, "
+        "optional www, default vs explicit ports, trailing slash, query "
+        "param order, utm_* noise, fragments — the join_cross_synthesize "
+        "precedent); the CERTIFIED artifact is the canonicalizer itself, "
+        "which parses the URL string with mirrored regexes: lowercase "
+        "scheme+host, strip www/fragment/default ports (keep :8080), "
+        "collapse trailing slash, drop utm_* params and SORT the rest, "
+        "extract the naive registrable domain (last two labels; a "
+        "public-suffix list would slot in as a broadcast dim at "
+        "production).  is_canonical_rep = min-doc_id-wins over the "
+        "canonical key.  Plan: map-only string surgery (zero UDF) + ONE "
+        "window over the canonical key — at 100 TB the window shuffle is "
+        "the only exchange and keys are short strings",
+)
+def curation_url_canonical_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    hh = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit(2147483647))
+    )
+    is_http = hh % 2 == 0
+    url = F.concat(
+        F.when(is_http, F.lit("http")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when((hh / 2).cast("bigint") % 2 == 0, F.lit("WWW.")).otherwise(
+            F.lit("")
+        ),
+        F.col("source"),
+        F.lit(".Example."),
+        F.when((hh / 4).cast("bigint") % 2 == 0, F.lit("COM")).otherwise(
+            F.lit("org")
+        ),
+        F.when((hh / 8).cast("bigint") % 3 == 0, F.lit(""))
+        .when(
+            (hh / 8).cast("bigint") % 3 == 1,
+            F.when(is_http, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit(":8080")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when((hh / 24).cast("bigint") % 2 == 0, F.lit("/")).otherwise(
+            F.lit("")
+        ),
+        F.lit("?"),
+        F.when(
+            (hh / 48).cast("bigint") % 2 == 0,
+            F.concat(
+                F.lit("id="), (F.col("doc_id") % 50).cast("string"),
+                F.lit("&utm_source=feed"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("utm_source=feed&id="),
+                (F.col("doc_id") % 50).cast("string"),
+            )
+        ),
+        F.when((hh / 96).cast("bigint") % 2 == 0, F.lit("&ref=x")).otherwise(
+            F.lit("")
+        ),
+        F.when((hh / 192).cast("bigint") % 2 == 0, F.lit("#top")).otherwise(
+            F.lit("")
+        ),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace("url", r"^[A-Za-z]+://", ""), r"#.*$", ""
+    )
+    parts = raw.select(
+        "doc_id", "url", scheme.alias("scheme"), rest.alias("rest")
+    )
+    hostport = F.regexp_extract("rest", r"^([^/?]+)", 1)
+    comp = parts.select(
+        "doc_id", "url", "scheme",
+        F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")).alias("host"),
+        F.regexp_extract(hostport, r":([0-9]+)$", 1).alias("port"),
+        F.regexp_replace(
+            F.regexp_replace("rest", r"^[^/?]+", ""), r"\?.*$", ""
+        ).alias("path"),
+        F.regexp_extract("rest", r"\?(.*)$", 1).alias("query"),
+    )
+    host_c = F.regexp_replace("host", r"^www\.", "")
+    keep_port = (F.col("port") != "") & ~(
+        ((F.col("scheme") == "http") & (F.col("port") == "80"))
+        | ((F.col("scheme") == "https") & (F.col("port") == "443"))
+    )
+    port_c = F.when(keep_port, F.concat(F.lit(":"), F.col("port"))).otherwise(
+        F.lit("")
+    )
+    path_c = F.when(F.col("path").isin("", "/"), F.lit("/")).otherwise(
+        F.regexp_replace("path", r"/$", "")
+    )
+    query_c = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = comp.select(
+        "doc_id", "url", "scheme",
+        host_c.alias("host_c"), port_c.alias("port_c"),
+        path_c.alias("path_c"), query_c.alias("query_c"),
+    )
+    canonical_url = F.concat(
+        F.col("scheme"), F.lit("://"), F.col("host_c"), F.col("port_c"),
+        F.col("path_c"),
+        F.when(
+            F.col("query_c") != "", F.concat(F.lit("?"), F.col("query_c"))
+        ).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy(canonical_url)
+    return canon.select(
+        "doc_id", "url",
+        canonical_url.alias("canonical_url"),
+        F.regexp_extract("host_c", r"([^.]+\.[^.]+)$", 1).alias(
+            "registrable_domain"
+        ),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+            "is_canonical_rep"
+        ),
+    )

@@ -280,3 +280,25 @@ def test_ivf_served_index_detects_sibling_corpus_with_older_mtime(spark, sf_dir)
             "/root/repo/.scratch/ivf_index/embeddings_sfSIB_k2_s7",
             ignore_errors=True,
         )
+
+
+def test_hyperplane_prefix_property_and_scaled_params():
+    """dedup_semantic_scaled's oracle masks ONE 12-bit signature per table
+    down to k low bits — sound only if the first k of a 12-plane draw
+    equal a k-plane draw (numpy Generator draws are sequential).  Pin the
+    property and the Python/SQL-mirrored dial itself."""
+    from bakery_big_data_spark.operators.similarity import hyperplane_planes
+    from bakery_big_data_spark.plans.similarity import (
+        semdedup_scaled_params,
+    )
+
+    for seed in (7, 1007, 11007):
+        full = hyperplane_planes(12, 64, seed)
+        for k in (4, 6, 11):
+            assert hyperplane_planes(k, 64, seed) == full[:k]
+
+    assert semdedup_scaled_params(125) == (4, 0)    # calibration floor
+    assert semdedup_scaled_params(500) == (6, 1)    # sf0.001 / sf0.01
+    assert semdedup_scaled_params(2000) == (8, 1)   # sf0.1
+    assert semdedup_scaled_params(20000) == (11, 1)  # x10 corpus
+    assert semdedup_scaled_params(200000) == (12, 1)  # x100 corpus (clamp)
