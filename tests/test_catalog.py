@@ -124,15 +124,35 @@ def test_driver_window_composition():
     """The first 50 registrations are the driver-checked window: they must be
     exactly DRIVER_WINDOW, in order, and every one must carry a DuckDB oracle
     (a hash-checkable row, not a weaker rows-only record)."""
-    from bakery_big_data_spark.plans import R11_ROTATION_PLAN
-
     names = list(REGISTRY)
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) == 50
     missing_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert not missing_oracle, f"window queries without an oracle: {missing_oracle}"
-    # r11 backlog drain: the window leads with the ENTIRE rotation plan
-    # (r10-judge-verified == the never-driver-checked backlog), so after
-    # this window every registered query has carried a driver row
-    assert DRIVER_WINDOW[: len(R11_ROTATION_PLAN)] == R11_ROTATION_PLAN
-    assert len(R11_ROTATION_PLAN) == 31
+
+
+def test_driver_window_follows_rotation_policy():
+    """r11 verdict task 5: the committed window literal must equal the
+    standing policy's output for the pinned ROTATION_AS_OF horizon —
+    anchors first, then never-certified newborns, then
+    oldest-certification-first.  Artifacts from rounds AFTER the pin
+    (e.g. this round's own CORRECTNESS file landing at round close) do
+    not participate, so the assertion is stable within a round; the
+    next round bumps ROTATION_AS_OF and regenerates."""
+    from bakery_big_data_spark.plans.rotation import (
+        ANCHOR_ROWS,
+        ROTATION_AS_OF,
+        certification_ledger,
+        compute_rotation,
+    )
+
+    assert ROTATION_AS_OF == 11
+    assert DRIVER_WINDOW == compute_rotation(list(REGISTRY))
+    # anchors always resident, and every anchor actually registered
+    assert DRIVER_WINDOW[: len(ANCHOR_ROWS)] == ANCHOR_ROWS
+    # every never-certified registration is in the window (the
+    # register-and-certify-same-round discipline cannot regress)
+    ledger = certification_ledger()
+    newborn = [n for n in REGISTRY if n not in ledger]
+    missing = [n for n in newborn if n not in set(DRIVER_WINDOW)]
+    assert not missing, f"never-certified rows outside the window: {missing}"
