@@ -803,10 +803,13 @@ def text_quality_classifier_infer(
     )
 
 
-@register(
-    "curation_url_canonical_dedup",
-    """
-    WITH h AS (
+# Shared URL-synthesis + canonicalization CTE chain (used by the
+# canonical-dedup row and the per-domain quota row below): h -> raw
+# (seeded synthesized URL) -> parts/comp (mirrored-regex parse) -> canon
+# (lowercased, de-www'd, default-port-stripped, utm-filtered,
+# param-sorted components).
+_URL_CANON_CTES = """
+    h AS (
       SELECT doc_id, source,
              ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8))
                ::BIGINT & 2147483647 AS hh
@@ -861,7 +864,13 @@ def text_quality_classifier_infer(
                string_split(query, '&'),
                p -> p <> '' AND p NOT LIKE 'utm_%')), '&') AS query_c
       FROM comp
-    )
+    )"""
+
+
+@register(
+    "curation_url_canonical_dedup",
+    f"""
+    WITH {_URL_CANON_CTES}
     SELECT doc_id, url,
            scheme || '://' || host_c || port_c || path_c
              || (CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END)
@@ -897,6 +906,32 @@ def curation_url_canonical_dedup(
 ) -> DataFrame:
     from pyspark.sql import Window
 
+    canon = _synth_canon_urls(spark, sf_dir)
+    canonical_url = F.concat(
+        F.col("scheme"), F.lit("://"), F.col("host_c"), F.col("port_c"),
+        F.col("path_c"),
+        F.when(
+            F.col("query_c") != "", F.concat(F.lit("?"), F.col("query_c"))
+        ).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy(canonical_url)
+    return canon.select(
+        "doc_id", "url",
+        canonical_url.alias("canonical_url"),
+        F.regexp_extract("host_c", r"([^.]+\.[^.]+)$", 1).alias(
+            "registrable_domain"
+        ),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+            "is_canonical_rep"
+        ),
+    )
+
+
+def _synth_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded synthesized URL per doc + mirrored-regex canonical
+    components (doc_id, url, scheme, host_c, port_c, path_c, query_c) —
+    the Spark twin of the _URL_CANON_CTES oracle chain, shared by the
+    canonical-dedup and per-domain quota rows."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     hh = (
         F.conv(
@@ -991,26 +1026,73 @@ def curation_url_canonical_dedup(
         ),
         "&",
     )
-    canon = comp.select(
+    return comp.select(
         "doc_id", "url", "scheme",
         host_c.alias("host_c"), port_c.alias("port_c"),
         path_c.alias("path_c"), query_c.alias("query_c"),
     )
-    canonical_url = F.concat(
-        F.col("scheme"), F.lit("://"), F.col("host_c"), F.col("port_c"),
-        F.col("path_c"),
-        F.when(
-            F.col("query_c") != "", F.concat(F.lit("?"), F.col("query_c"))
-        ).otherwise(F.lit("")),
+
+
+@register(
+    "curation_domain_quota_sample",
+    f"""
+    WITH {_URL_CANON_CTES},
+    dom AS (
+      SELECT doc_id,
+             regexp_extract(regexp_replace(host_c, '^www\\.', ''),
+                            '([^.]+\\.[^.]+)$', 1) AS registrable_domain
+      FROM canon
+    ), ranked AS (
+      SELECT doc_id, registrable_domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY registrable_domain
+               ORDER BY md5('q:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS domain_rank,
+             COUNT(*) OVER (PARTITION BY registrable_domain) AS domain_total
+      FROM dom
     )
-    w = Window.partitionBy(canonical_url)
-    return canon.select(
-        "doc_id", "url",
-        canonical_url.alias("canonical_url"),
-        F.regexp_extract("host_c", r"([^.]+\.[^.]+)$", 1).alias(
-            "registrable_domain"
-        ),
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias(
-            "is_canonical_rep"
-        ),
+    SELECT doc_id, registrable_domain,
+           CAST(domain_rank AS BIGINT) AS domain_rank,
+           CAST(domain_total AS BIGINT) AS domain_total,
+           domain_rank <= 120 AS kept
+    FROM ranked
+    """,
+    doc="Per-domain quota sampling (host-level downsampling) — the "
+        "crawl-curation step after URL canonicalization: cap every "
+        "registrable domain at K=120 docs so no domain dominates the "
+        "training mix (the C4/RefinedWeb per-host cap shape).  Selection "
+        "rank is the md5 hash order of doc_id (deterministic, "
+        "layout-independent, and temporally unbiased — doc_id order would "
+        "systematically prefer old pages), tie-broken by doc_id; output "
+        "keeps EVERY doc with its rank, domain total, and kept bit so the "
+        "sampling decision is auditable.  Plan: the shared synthesized-URL "
+        "canonical chain (map-only string surgery), then ONE window "
+        "shuffle keyed registrable_domain carrying (doc_id, domain) only "
+        "— at 100 TB the quota pass moves ~16 bytes/doc through a single "
+        "exchange; a skewed mega-domain bounds one partition, mitigated "
+        "by the same two-pass count+rank split the topk family documents",
+)
+def curation_domain_quota_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    canon = _synth_canon_urls(spark, sf_dir)
+    dom = canon.select(
+        "doc_id",
+        F.regexp_extract(
+            F.regexp_replace("host_c", r"^www\.", ""),
+            r"([^.]+\.[^.]+)$", 1,
+        ).alias("registrable_domain"),
+    )
+    order_key = F.md5(F.concat(F.lit("q:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("registrable_domain").orderBy(
+        order_key, F.col("doc_id")
+    )
+    wtot = Window.partitionBy("registrable_domain")
+    return dom.select(
+        "doc_id", "registrable_domain",
+        F.row_number().over(w).cast("bigint").alias("domain_rank"),
+        F.count(F.lit(1)).over(wtot).cast("bigint").alias("domain_total"),
+        (F.row_number().over(w) <= 120).alias("kept"),
     )
