@@ -598,13 +598,17 @@ def semantic_dedup_pairs(
     # once per (table, own-bucket) as an INDEX row and once per (table,
     # probe-bucket) as a PROBE row; ONE shuffle groups each bucket, and a
     # numpy matmul scores probe × index inside the group with a margined
-    # threshold (strict superset — float64 matmul error ~1e-13 vs margin
-    # 1e-6).  An interpreted 64-dim fold per candidate would be ~100×
-    # slower, and a pair-level vector join would re-shuffle |candidates| ×
-    # vector-width.  Phase 2 re-scores the few distinct survivors with the
-    # order-exact JVM fold at the true threshold, so the output bits match
-    # the oracle exactly.
-    margin = threshold - 1e-6
+    # threshold (strict superset).  The shuffled vector payload and the
+    # matmul are FLOAT32 (r12): half the Arrow bytes through the
+    # bucket-grouping exchange and ~2× the SIMD matmul throughput, at a
+    # worst-case unit-cosine error ~1e-5 — three orders under the 1e-3
+    # margin, so the candidate set stays a strict superset and the
+    # OUTPUT BITS are unchanged (phase 2 below re-scores survivors with
+    # the order-exact float64 JVM fold at the true threshold, exactly as
+    # the oracle does).  An interpreted 64-dim fold per candidate would
+    # be ~100× slower, and a pair-level vector join would re-shuffle
+    # |candidates| × vector-width.
+    margin = threshold - 1e-3
     # ONE explode carries both roles (separate probe/index branches would
     # evaluate every signature fold per row twice): each row emits its own
     # bucket per table as the INDEX side, plus (only with probing) the
@@ -626,7 +630,7 @@ def semantic_dedup_pairs(
     ]
     bucket_rows = base.select(
         "vid",
-        F.col("_v").alias("v"),
+        F.col("_v").cast("array<float>").alias("v"),
         F.explode(F.array(*entries)).alias("b"),
     ).select("vid", "v", "b.t", "b.s", F.col("b.side").alias("_side"))
 
@@ -639,13 +643,13 @@ def semantic_dedup_pairs(
         if len(index) == 0:
             return empty
         ids_i = index["vid"].to_numpy()
-        mat_i = np.stack(index["v"].to_numpy()).astype(np.float64)
+        mat_i = np.stack(index["v"].to_numpy()).astype(np.float32)
         ni = np.sqrt((mat_i * mat_i).sum(axis=1))
         outs = []
 
         def emit(ids_a, mat_a, na):
             sims = (mat_a @ mat_i.T) / np.outer(na, ni)
-            ii, jj = np.nonzero(sims >= margin)
+            ii, jj = np.nonzero(sims >= np.float32(margin))
             a, b = ids_a[ii], ids_i[jj]
             keep = a != b
             lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
@@ -655,7 +659,7 @@ def semantic_dedup_pairs(
         probe = pdf[pdf["_side"] == 0]
         if len(probe):  # widened radius (probe × index)
             ids_p = probe["vid"].to_numpy()
-            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float64)
+            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float32)
             emit(ids_p, mat_p, np.sqrt((mat_p * mat_p).sum(axis=1)))
         return pd.concat(outs, ignore_index=True) if outs else empty
 

@@ -371,7 +371,10 @@ def run_streaming_semantic_gate(
         # new vectors only — new×new still covered because the index side
         # includes them). Phase 2 below re-scores survivors with the
         # order-exact JVM fold, so decision bits still match the oracle.
-        vrows = all_vecs.select(F.col("vec_id").alias("_vid"), "v")
+        vrows = all_vecs.select(
+            F.col("vec_id").alias("_vid"),
+            F.col("v").cast("array<float>").alias("v"),
+        )
         idx_rows = index.join(
             vrows, index.vec_id == vrows._vid
         ).select(
@@ -384,13 +387,15 @@ def run_streaming_semantic_gate(
             sigs.vec_id.alias("vid"), "v", "t", "bucket",
             F.lit(0).alias("_side"),
         )
-        # r11 ADVICE: 1e-4 (was 1e-6) — the margin only has to dominate
-        # float64-matmul-vs-JVM-fold rounding divergence on UNIT-scale
-        # cosines, and survivors are exactly re-scored in phase 2, so a
-        # wider margin costs a few extra rescores and risks nothing;
-        # tests/test_streaming_dedup.py engineers a pair AT the threshold
-        # boundary and asserts it survives the pre-filter.
-        margin = threshold - 1e-4
+        # r11 ADVICE widened the margin 1e-6 → 1e-4; r12 widens to 1e-3
+        # and ships/scores the pre-filter in FLOAT32 (half the Arrow
+        # bytes through the bucket shuffle, ~2× SIMD matmul — the batch
+        # operator's r12 change).  Worst-case unit-cosine f32 error is
+        # ~1e-5, two orders under the margin; survivors are exactly
+        # re-scored by the f64 JVM fold below, so decision bits are
+        # unchanged.  tests/test_pipeline.py engineers a pair with exact
+        # cosine == threshold and asserts it survives the pre-filter.
+        margin = threshold - 1e-3
 
         def gate_bucket_fn(key, pdf):
             import numpy as np
@@ -402,13 +407,13 @@ def run_streaming_semantic_gate(
             if len(probe) == 0 or len(idx) == 0:
                 return empty
             ids_p = probe["vid"].to_numpy()
-            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float64)
+            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float32)
             ids_i = idx["vid"].to_numpy()
-            mat_i = np.stack(idx["v"].to_numpy()).astype(np.float64)
+            mat_i = np.stack(idx["v"].to_numpy()).astype(np.float32)
             np_ = np.sqrt((mat_p * mat_p).sum(axis=1))
             ni = np.sqrt((mat_i * mat_i).sum(axis=1))
             sims = (mat_p @ mat_i.T) / np.outer(np_, ni)
-            ii, jj = np.nonzero(sims >= margin)
+            ii, jj = np.nonzero(sims >= np.float32(margin))
             a_, b_ = ids_p[ii], ids_i[jj]
             keep = a_ != b_
             return pd.DataFrame(
