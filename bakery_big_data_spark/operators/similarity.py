@@ -544,6 +544,12 @@ def rademacher_planes(num_comps: int, dim: int, seed: int = 11) -> list[list[int
     ]
 
 
+#: Phase-1 candidate scoring dtype for the SemDeDup family (r12): ship
+#: and score float32 (half Arrow bytes, ~2x SIMD) — the 1e-3 margin
+#: dominates f32 unit-cosine error and phase 2 re-scores exactly.
+_PHASE1_F32 = True
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str,
@@ -580,12 +586,23 @@ def semantic_dedup_pairs(
         for t in range(num_tables)
     ]
     masks = _probe_masks(num_planes, probe_hamming)
+    # _vf: the phase-1 shuffle payload, cast to float32 HERE — below the
+    # explode.  An expression in the same projection as the explode lands
+    # ABOVE the Generate and re-evaluates once per generated row (~L×(1+k)
+    # times per vector — measured 1.7× slower than shipping f64!); a
+    # plain column reference is just copied.  On an ARRAY<FLOAT> source
+    # the cast is a no-op and phase 1 ships the original f32 bytes.
     base = (
-        with_norm2(corpus, vec_col, "_n2")
+        with_norm2(
+            corpus.withColumn("_vf", F.col(vec_col).cast("array<float>")),
+            vec_col,
+            "_n2",
+        )
         .filter(F.col("_n2") > 0)
         .select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("_v"),
+            "_vf",
             "_n2",
             *[
                 hyperplane_signature(vec_col, p).alias(f"_s{t}")
@@ -609,6 +626,7 @@ def semantic_dedup_pairs(
     # be ~100× slower, and a pair-level vector join would re-shuffle
     # |candidates| × vector-width.
     margin = threshold - 1e-3
+    f32 = _PHASE1_F32
     # ONE explode carries both roles (separate probe/index branches would
     # evaluate every signature fold per row twice): each row emits its own
     # bucket per table as the INDEX side, plus (only with probing) the
@@ -630,7 +648,7 @@ def semantic_dedup_pairs(
     ]
     bucket_rows = base.select(
         "vid",
-        F.col("_v").cast("array<float>").alias("v"),
+        (F.col("_vf") if f32 else F.col("_v")).alias("v"),
         F.explode(F.array(*entries)).alias("b"),
     ).select("vid", "v", "b.t", "b.s", F.col("b.side").alias("_side"))
 
@@ -643,13 +661,13 @@ def semantic_dedup_pairs(
         if len(index) == 0:
             return empty
         ids_i = index["vid"].to_numpy()
-        mat_i = np.stack(index["v"].to_numpy()).astype(np.float32)
+        mat_i = np.stack(index["v"].to_numpy()).astype(np.float32 if f32 else np.float64)
         ni = np.sqrt((mat_i * mat_i).sum(axis=1))
         outs = []
 
         def emit(ids_a, mat_a, na):
             sims = (mat_a @ mat_i.T) / np.outer(na, ni)
-            ii, jj = np.nonzero(sims >= np.float32(margin))
+            ii, jj = np.nonzero(sims >= sims.dtype.type(margin))
             a, b = ids_a[ii], ids_i[jj]
             keep = a != b
             lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
@@ -659,7 +677,7 @@ def semantic_dedup_pairs(
         probe = pdf[pdf["_side"] == 0]
         if len(probe):  # widened radius (probe × index)
             ids_p = probe["vid"].to_numpy()
-            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float32)
+            mat_p = np.stack(probe["v"].to_numpy()).astype(np.float32 if f32 else np.float64)
             emit(ids_p, mat_p, np.sqrt((mat_p * mat_p).sum(axis=1)))
         return pd.concat(outs, ignore_index=True) if outs else empty
 
