@@ -1084,3 +1084,150 @@ def ivf_served_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def ivf_index_upsert(
+    spark,
+    index_path: str,
+    new_rows: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Incremental IVF index MAINTENANCE: assign new vectors to their
+    nearest EXISTING centroid (manifest literals — map-only, zero
+    training) and append them into the cluster-partitioned parquet
+    layout.  I/O is Δ-sized (only the new rows' partition files are
+    written; existing files untouched), the manifest is unchanged, and
+    the serve path (:func:`ivf_served_topk`) needs no code change — the
+    appended rows are picked up by the same partition-pruned scan.  This
+    is the production shape for a growing corpus: retrain the quantizer
+    on drift schedules, not per ingest batch.  Centroid-assignment uses
+    the same Euclidean ranking as the probe path, so an upserted vector
+    is always found by probing its own assignment first."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, _IVF_INDEX_META)) as fh:
+        centers = json.load(fh)["centroids"]
+
+    def dist2(vec, center):
+        lit_c = F.lit([float(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    feat = with_norm2(new_rows, vec_col, "_cn").select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        "_cn",
+    )
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    dist2(F.col("_cv"), ctr).alias("d"),
+                    F.lit(i).alias("cluster"),
+                )
+                for i, ctr in enumerate(centers)
+            ]
+        )
+    )
+    (
+        feat.withColumn("_cluster", ranked[0].getField("cluster"))
+        .write.mode("append")
+        .partitionBy("_cluster")
+        .parquet(index_path)
+    )
+
+
+def build_ivf_upserted_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 7,
+    holdout_mod: int = 17,
+) -> str:
+    """Disk-memoized index certifying the upsert path: the quantizer is
+    trained on the corpus MINUS the ``id %% holdout_mod == 0`` slice, the
+    base index is written cluster-partitioned, and the held-out slice is
+    then :func:`ivf_index_upsert`-ed into it — all inside the tmp dir,
+    rename-swapped, so the artifact is atomic and idempotent (same
+    src-realpath+mtime staleness discipline as
+    :func:`build_ivf_served_index`)."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = (
+        f"/root/repo/.scratch/ivf_index/{table}_{tag}"
+        f"_k{n_clusters}_s{seed}_up{holdout_mod}"
+    )
+    marker = os.path.join(out_dir, _IVF_INDEX_META)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    stale = True
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+            stale = (
+                meta.get("src_realpath") != os.path.realpath(src)
+                or meta.get("src_mtime") != os.path.getmtime(src)
+            )
+        except (OSError, ValueError):
+            stale = True
+    if stale:
+        tmp = f"{out_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        corpus = spark.read.parquet(src)
+        base = corpus.filter(F.col(id_col) % holdout_mod != 0)
+        feat = with_norm2(base, vec_col, "_cn").select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
+        ).withColumn("_feat", array_to_vector(F.col("_cv")))
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_feat",
+            predictionCol="_cluster",
+        ).fit(feat)
+        (
+            model.transform(feat)
+            .select("c_id", "_cv", "_cn", "_cluster")
+            .write.partitionBy("_cluster")
+            .parquet(tmp)
+        )
+        meta = {
+            "tag": tag,
+            "src_realpath": os.path.realpath(src),
+            "src_mtime": os.path.getmtime(src),
+            "n_clusters": n_clusters,
+            "seed": seed,
+            "holdout_mod": holdout_mod,
+            "centroids": [
+                [float(x) for x in ctr] for ctr in model.clusterCenters()
+            ],
+        }
+        with open(os.path.join(tmp, _IVF_INDEX_META), "w") as fh:
+            json.dump(meta, fh)
+        # the upsert happens INSIDE the tmp dir so the swap is atomic:
+        # readers either see the pre-upsert artifact never, or the full
+        # base+upserted index
+        ivf_index_upsert(
+            spark,
+            tmp,
+            corpus.filter(F.col(id_col) % holdout_mod == 0),
+            id_col,
+            vec_col,
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:  # lost the race — a concurrent session just won
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir

@@ -1634,3 +1634,64 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_c"), F.lit(False)).alias("caught_by_scaled"),
         )
     )
+
+
+@register(
+    "similarity_ivf_upsert_served",
+    f"""
+    WITH {_VEC_CTE}
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           CAST(50 AS BIGINT) AS n_possible,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nrm
+             WHERE vec_id % 17 = 0) AS n_upserted,
+           TRUE AS meets_recall_floor
+    """,
+    doc="Incremental IVF index MAINTENANCE (the path a growing corpus "
+        "actually runs between quantizer retrains): the quantizer is "
+        "trained WITHOUT the vec_id %% 17 == 0 slice, the slice is then "
+        "ivf_index_upsert-ed — nearest-existing-centroid assignment from "
+        "manifest literals, map-only, Delta-sized appends into the "
+        "cluster-partitioned layout, manifest untouched — and the "
+        "UNCHANGED serve path (ivf_served_topk: partition-pruned scan + "
+        "exact rerank) must still clear the same >= 25/50 recall floor "
+        "against brute force over the FULL corpus, upserted vectors "
+        "included.  n_upserted is SQL-restated (COUNT of nonzero-norm "
+        "held-out vectors), so the hash certifies the upsert actually "
+        "carried every servable held-out row "
+        "(operators/similarity.py::ivf_index_upsert, "
+        "::build_ivf_upserted_index)",
+)
+def similarity_ivf_upsert_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bakery_big_data_spark.operators.similarity import (
+        build_ivf_upserted_index,
+        ivf_served_topk,
+    )
+
+    index_path = build_ivf_upserted_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = ivf_served_topk(
+        spark, index_path, queries, "vec_id", "embedding", k=10, n_probe=8
+    ).select("q_id", "c_id")
+    bf = brute_force_topk(queries, emb, "vec_id", "embedding", k=10).select(
+        "q_id", "c_id"
+    )
+    hits = bf.join(ann, ["q_id", "c_id"]).agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    # n_upserted read from the index itself (bounded scalar: one count
+    # over the held-out slice's index rows), so the certified number
+    # reflects what is actually ON DISK, not what should be
+    idx_up = (
+        spark.read.parquet(index_path)
+        .filter(F.col("c_id") % 17 == 0)
+        .agg(F.count(F.lit(1)).alias("_n_up"))
+    )
+    return hits.crossJoin(F.broadcast(idx_up)).select(
+        F.lit(5).cast("bigint").alias("n_queries"),
+        F.lit(50).cast("bigint").alias("n_possible"),
+        F.col("_n_up").cast("bigint").alias("n_upserted"),
+        (F.col("_hits") >= 25).alias("meets_recall_floor"),
+    )

@@ -302,3 +302,58 @@ def test_hyperplane_prefix_property_and_scaled_params():
     assert semdedup_scaled_params(2000) == (8, 1)   # sf0.1
     assert semdedup_scaled_params(20000) == (11, 1)  # x10 corpus
     assert semdedup_scaled_params(200000) == (12, 1)  # x100 corpus (clamp)
+
+
+def test_ivf_upsert_appends_servable_rows(spark, sf_dir):
+    """The upsert path's two claims: (1) every nonzero-norm held-out
+    vector lands in the cluster-partitioned layout with a valid cluster
+    assignment; (2) an upserted vector is SERVABLE — probing with the
+    vector itself returns it as the top cosine hit (its own assignment
+    is the first probed cluster)."""
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.similarity import (
+        build_ivf_upserted_index,
+        ivf_served_topk,
+    )
+    from bakery_big_data_spark.plans.base import t
+
+    path = build_ivf_upserted_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    idx = spark.read.parquet(path)
+
+    # (1) counts: base + upserted == all nonzero-norm vectors, upserted
+    # rows carry real cluster ids
+    from bakery_big_data_spark.operators.similarity import with_norm2
+
+    n_all = with_norm2(emb, "embedding", "_n2").count()
+    assert idx.count() == n_all
+    up = idx.filter(F.col("c_id") % 17 == 0)
+    assert up.count() > 0
+    n_clusters = idx.select("_cluster").distinct().count()
+    assert up.filter(
+        (F.col("_cluster") < 0) | (F.col("_cluster") >= 16)
+    ).count() == 0 and n_clusters <= 16
+
+    # (2) serve an upserted vector's own neighborhood: probing with the
+    # vector itself must return the vector as a top hit (cosine 1 with
+    # itself is excluded; instead assert it appears among ANOTHER
+    # query's candidates when that query IS the vector + tiny noise —
+    # simplest exact check: top-1 of a query equal to the upserted
+    # vector is its exact duplicate or itself-excluded nearest; so we
+    # check the vector is RETRIEVABLE: a self-query at k=1, n_probe=1
+    # must hit its own cluster and return SOME neighbor)
+    probe_vec = up.limit(1).collect()[0]
+    q = spark.createDataFrame(
+        [(999_999_999, [float(x) for x in probe_vec._cv])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = ivf_served_topk(
+        spark, path, q, "vec_id", "embedding", k=5, n_probe=1
+    ).collect()
+    assert got, "upserted vector's own cluster served no candidates"
+    # the nearest neighbor of the upserted vector's exact position must
+    # include the upserted row itself (cosine 1.0, id != query id)
+    assert any(r.c_id == probe_vec.c_id for r in got), (
+        "upserted row not retrievable from its assigned cluster"
+    )
