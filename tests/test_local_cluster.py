@@ -290,3 +290,43 @@ def test_executor_kill_mid_query_still_driver_exact(lc_spark, tmp_path):
             break
         time.sleep(1.0)
     assert len(_executor_pids()) >= 2, "killed executor was not relaunched"
+
+
+def test_semantic_gate_append_log_under_local_cluster(lc_spark, tmp_path):
+    """r12: the semantic gate's APPEND-LOG state (Δ-sized append_commit /
+    multi-path read_log segments / demotion-record fold) must produce the
+    exact single-JVM certified decision table when the per-batch probe
+    matmul and the log reads/writes run on two separate worker JVMs —
+    remote shuffle fetches, cross-JVM Arrow workers, and segment files
+    written by different executors."""
+    import duckdb
+
+    from bakery_big_data_spark.plans import REGISTRY
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_semantic_gate,
+    )
+
+    dec = {
+        tuple(r)
+        for r in run_streaming_semantic_gate(
+            lc_spark, SF_DIR, str(tmp_path / "semgate"), n_chunks=3
+        ).collect()
+    }
+    assert len(dec) > 0
+    # exact compare vs the DuckDB oracle of the registered row (the
+    # same decision-table SQL the driver hashes)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    oracle = {
+        (int(a), int(b), bool(k))
+        for a, b, k in con.execute(
+            REGISTRY["streaming_semantic_ingest_gate"].oracle
+        ).fetchall()
+    }
+    got = {(int(a), int(b), bool(k)) for a, b, k in dec}
+    assert got == oracle, (
+        "append-log gate decisions diverge from the certified oracle "
+        "under local-cluster"
+    )
