@@ -1118,10 +1118,17 @@ def ivf_index_upsert(
             lambda acc, d: acc + d,
         )
 
-    feat = with_norm2(new_rows, vec_col, "_cn").select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("_cv"),
-        "_cn",
+    # zero-norm vectors are excluded from the index (they have no cosine
+    # direction — keeping them would NaN the serve rerank and break the
+    # oracle's n2>0 count parity; matches the nrm CTE on the oracle side)
+    feat = (
+        with_norm2(new_rows, vec_col, "_cn")
+        .filter(F.col("_cn") > 0)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("_cv"),
+            "_cn",
+        )
     )
     ranked = F.array_sort(
         F.array(
@@ -1189,7 +1196,11 @@ def build_ivf_upserted_index(
         shutil.rmtree(tmp, ignore_errors=True)
         corpus = spark.read.parquet(src)
         base = corpus.filter(F.col(id_col) % holdout_mod != 0)
-        feat = with_norm2(base, vec_col, "_cn").select(
+        # zero-norm vectors excluded, matching ivf_index_upsert and the
+        # oracle's nrm (n2 > 0) CTE
+        feat = with_norm2(base, vec_col, "_cn").filter(
+            F.col("_cn") > 0
+        ).select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
         ).withColumn("_feat", array_to_vector(F.col("_cv")))
         model = KMeans(

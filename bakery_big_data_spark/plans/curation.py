@@ -692,7 +692,12 @@ def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH split AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), toks AS (
-      SELECT doc_id, ws[g.i] AS tok, g.i AS pos
+      -- pos renumbered AFTER dropping empty tokens, so bigram adjacency
+      -- is over the filtered token sequence (texts with consecutive
+      -- interior spaces still pair across the gap, matching Spark's
+      -- filter-then-zip construction)
+      SELECT doc_id, ws[g.i] AS tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.i) AS pos
       FROM split, UNNEST(generate_series(1, len(ws))) AS g(i)
       WHERE ws[g.i] <> ''
     ), uni AS (
@@ -745,7 +750,8 @@ def text_quality_classifier_infer(
         "doc_id", F.split(F.col("text"), " ").alias("_ws")
     )
     # unigram / bigram feature streams share one split; empty tokens are
-    # dropped BEFORE adjacency, matching the oracle's positional filter
+    # dropped BEFORE adjacency, so bigrams pair across runs of spaces —
+    # the oracle renumbers positions after its empty filter to match
     clean = docs.select(
         "doc_id", F.filter(F.col("_ws"), lambda w: w != "").alias("ws")
     )
@@ -862,7 +868,7 @@ _URL_CANON_CTES = """
                   ELSE regexp_replace(path, '/$', '') END AS path_c,
              array_to_string(list_sort(list_filter(
                string_split(query, '&'),
-               p -> p <> '' AND p NOT LIKE 'utm_%')), '&') AS query_c
+               p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS query_c
       FROM comp
     )"""
 

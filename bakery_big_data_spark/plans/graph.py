@@ -206,10 +206,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "then credited to its three corners via explode + one hash agg.  "
         "Integer-only — no decimal scaffolding needed.  The final top-20 "
         "window runs over the node-sized aggregate, never the base table.  "
-        "SPARK_GRAFT_TRIANGLE_BUCKETS=<B> switches the probe to the "
-        "bounded-memory B-pass operator (bit-identical output; the "
-        "default-8-GiB-heap path for corpus-sized graphs — README memory "
-        "envelope, PERF.md round-11)",
+        "The probe pass count B is CORPUS-SCALED by default (auto: "
+        "B = ceil(E / 15 M), the measured per-pass envelope of the "
+        "default 8 GiB heap — PERF.md round-11/12), so the default path "
+        "cannot be OOM'd by graph growth; "
+        "SPARK_GRAFT_TRIANGLE_BUCKETS=<B> pins it (bit-identical output "
+        "for any B)",
 )
 def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (
@@ -241,14 +243,29 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts_bucketed,
     )
 
-    raw = os.environ.get("SPARK_GRAFT_TRIANGLE_BUCKETS", "1")
-    try:
-        n_buckets = int(raw)
-    except ValueError as exc:
-        raise ValueError(
-            f"SPARK_GRAFT_TRIANGLE_BUCKETS must be an integer pass count, "
-            f"got {raw!r}"
-        ) from exc
+    raw = os.environ.get("SPARK_GRAFT_TRIANGLE_BUCKETS", "auto")
+    if raw == "auto":
+        # corpus-scaled pass count (r12 verdict task 4, the
+        # dedup_semantic_scaled k(n) discipline): the one-pass probe's
+        # in-flight state is |E| × O(√E) neighbor arrays — the measured
+        # ×100 boundary is ~120 M edges OOM-killing the default 8 GiB
+        # heap while 8 bucketed passes (~15 M base edges each) complete
+        # (PERF.md round-11/12).  B = ceil(E / 15 M) keeps every pass at
+        # or under that measured per-pass envelope: sf0.1 (~1 M edges)
+        # stays one-pass, the ×100 corpus lands on the proven B=8 point,
+        # and larger corpora scale passes linearly instead of heap.  The
+        # edge count is one eager metadata-cheap action over the already-
+        # materialized edge blocks (same class as dedup_semantic_scaled's
+        # corpus count).
+        n_buckets = min(max(-(-ue.count() // 15_000_000), 1), 256)
+    else:
+        try:
+            n_buckets = int(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"SPARK_GRAFT_TRIANGLE_BUCKETS must be an integer pass "
+                f"count or 'auto', got {raw!r}"
+            ) from exc
     if not 1 <= n_buckets <= 256:  # each pass is an eager job; bound it
         raise ValueError(
             f"SPARK_GRAFT_TRIANGLE_BUCKETS out of range [1, 256]: {n_buckets}"

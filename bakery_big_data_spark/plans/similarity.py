@@ -1636,6 +1636,86 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SDC_SQL = f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {_SDS_SAMPLE}
+    ), nrm AS MATERIALIZED (
+      SELECT vec_id, v, n2 FROM (
+        SELECT vec_id, v, {_FOLD_DOT.format(a='v', b='v')} AS n2 FROM e
+      ) WHERE n2 > 0
+    ), sig AS MATERIALIZED (
+      SELECT vec_id, {_SDS_SIG_SQL} FROM e
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+      JOIN sig sa ON sa.vec_id = a.vec_id
+      JOIN sig sb ON sb.vec_id = b.vec_id
+      WHERE ({_SDS_PINNED_COND})
+        AND {_FOLD_DOT.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2) >= 0.45
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT ed.b, reach.r FROM reach JOIN edges ed ON ed.a = reach.node
+    ), canon AS (
+      SELECT node AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY node
+    )
+    SELECT vec_id, CAST(canonical_id AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size,
+           vec_id = canonical_id AS is_kept
+    FROM canon
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    _SDC_SQL,
+    doc="SemDeDup keep-one-per-cluster canonicalization END TO END (r12 "
+        "verdict task 5c — the step the pair rows stop short of): the "
+        "banded-LSH verified pair stream "
+        "(operators/similarity.py::semantic_dedup_pairs, the "
+        "dedup_semantic_embedding operating point) is contracted to TRUE "
+        "connected components via the iterative min-label fixpoint "
+        "(operators/dedup.py::connected_components — chains across "
+        "buckets resolve to one cluster, which single-pass star "
+        "contraction cannot do), and every vector gets its cluster "
+        "verdict: canonical member (min vec_id), cluster size, keep/drop. "
+        "Zero-norm vectors emit no pairs and canonicalize to themselves. "
+        "Certified on the deterministic vec_id<2000 certificate "
+        "slice (the full corpus at every oracle SF) against a recursive-"
+        "CTE transitive closure; the corpus-scale path swaps in the k(n) "
+        "scaled dial exactly as dedup_semantic_scaled does — the ×100 "
+        "PERF entry runs THAT composition (full-corpus scaled pairs + "
+        "fixpoint), so the certified semantics and the stress-measured "
+        "plan are the same code",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bakery_big_data_spark.operators.dedup import connected_components
+    from bakery_big_data_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < _SDS_SAMPLE)
+    pairs = semantic_dedup_pairs(
+        sample, "vec_id", "embedding", threshold=0.45
+    ).select("id_a", "id_b")
+    comp = connected_components(sample.select("vec_id"), pairs, "vec_id")
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "canonical_id").select(
+        "vec_id",
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("vec_id") == F.col("canonical_id")).alias("is_kept"),
+    )
+
+
 @register(
     "similarity_ivf_upsert_served",
     f"""

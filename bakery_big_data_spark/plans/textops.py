@@ -60,6 +60,23 @@ def _adjacent_pairs(ws: str) -> Column:
     )
 
 
+def _adjacent_triples(ws: str) -> Column:
+    """Adjacent (w1, w2, w3) token triples with the same empty-range
+    short-circuit as :func:`_adjacent_pairs` (a <3-token or null-text doc
+    must yield zero triples, not a descending Spark ``sequence``)."""
+    idx = F.when(
+        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"),
+            F.element_at(ws, i + 1).alias("w2"),
+            F.element_at(ws, i + 2).alias("w3"),
+        ),
+    )
+
+
 #: GPT-2-shaped pretokenizer classes restricted to constructs whose
 #: semantics are identical in Java regex (Spark) and DuckDB's RE2:
 #: optional leading space + letter run | digit run | punctuation run.
@@ -526,6 +543,173 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+#: keep gate for the interpolated-LM filter: held-out docs whose mean
+#: interpolated trigram probability clears this floor survive (tuned so
+#: both classes are non-empty at every oracle SF — asserted in
+#: tests/test_textops.py)
+_PPL_KEEP_MIN = 0.03
+
+#: interpolation weights, strongest model first (KenLM-shaped λ's);
+#: written as one left-assoc expression on BOTH engines so the double
+#: rounding sequence is identical
+_PPL_INTERP = "0.6 * {p3} + 0.3 * {p2} + 0.1 * {p1}"
+
+
+@register(
+    "text_perplexity_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), tri AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 2),
+                      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1],
+                                       w3 := ws[i + 2]))) AS g
+        FROM toks)
+    ), train AS (
+      SELECT * FROM tri WHERE doc_id % 2 = 0
+    ), m3 AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY w1, w2) AS p3
+      FROM train GROUP BY w1, w2, w3
+    ), m2 AS (
+      SELECT w2, w3, CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY w2) AS p2
+      FROM train GROUP BY w2, w3
+    ), m1 AS (
+      SELECT w3, CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER () AS p1
+      FROM train GROUP BY w3
+    ), scored AS (
+      SELECT f.doc_id,
+             COUNT(*) AS n_trigrams,
+             COUNT(m3.p3) AS n_known,
+             CAST(SUM(CAST(FLOOR((
+               {_PPL_INTERP.format(p3='COALESCE(m3.p3, 0.0)',
+                                   p2='COALESCE(m2.p2, 0.0)',
+                                   p1='COALESCE(m1.p1, 0.0)')}
+             ) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*) AS lm_score
+      FROM tri f
+      LEFT JOIN m3 ON f.w1 = m3.w1 AND f.w2 = m3.w2 AND f.w3 = m3.w3
+      LEFT JOIN m2 ON f.w2 = m2.w2 AND f.w3 = m2.w3
+      LEFT JOIN m1 ON f.w3 = m1.w3
+      WHERE f.doc_id % 2 = 1
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(s.n_known, 0) AS BIGINT) AS n_known,
+           COALESCE(s.lm_score, 0.0) AS lm_score,
+           COALESCE(s.lm_score, 0.0) >= {_PPL_KEEP_MIN} AS is_kept
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+    doc="Interpolated-trigram LM perplexity FILTER (r12 verdict task 5a — "
+        "the KenLM-shaped quality gate of CCNet/LLaMA-style curation, "
+        "generalizing text_lm_quality_score's bigram scorer to a "
+        "3-2-1-gram interpolation with a keep/drop verdict): trigram, "
+        "bigram and unigram conditionals are estimated on the train half "
+        "(even doc_ids) FROM ONE exploded trigram lineage (continuation-"
+        "style denominators — c(w1w2w3)/c(w1w2·), c(w2w3·)/c(w2··), "
+        "c(w3)/N — so all three models reduce from the same stream), and "
+        "every held-out doc is scored with λ=(0.6, 0.3, 0.1) "
+        "interpolation; docs whose mean interpolated probability clears "
+        "the floor survive.  Mean-of-probabilities instead of mean-log "
+        "for the same cross-engine reason as text_lm_quality_score "
+        "(count-ratio divisions and the floor-quantized 1e-12 BIGINT sum "
+        "are bit-identical; ln() is not), and the verdict thresholds the "
+        "monotone score directly.  Plan: one explode feeds three "
+        "counts-reduced model aggs and the scoring joins (vocab-sized "
+        "shuffles; AQE broadcasts when they fit), then one doc-keyed agg "
+        "— trigram-less held-out docs re-enter via the doc-table left "
+        "join with score 0 (dropped).  At 100 TB this is the same "
+        "two-pass shape as every quality filter here: model fit = one "
+        "corpus pass, inference = one corpus pass",
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens("text").alias("ws")
+    )
+    tri = d.select(
+        "doc_id", F.explode(_adjacent_triples("ws")).alias("g")
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    train = tri.filter(F.col("doc_id") % 2 == 0)
+    m3 = (
+        train.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_n3"))
+        .select(
+            "w1", "w2", "w3",
+            (
+                F.col("_n3").cast("double")
+                / F.sum("_n3").over(Window.partitionBy("w1", "w2"))
+            ).alias("p3"),
+        )
+    )
+    m2 = (
+        train.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_n2"))
+        .select(
+            "w2", "w3",
+            (
+                F.col("_n2").cast("double")
+                / F.sum("_n2").over(Window.partitionBy("w2"))
+            ).alias("p2"),
+        )
+    )
+    # unigram denominator via a 1-row broadcast cross (the corpus-total
+    # idiom of text_vocab_coverage — a global window would single-
+    # partition the vocab)
+    n_train = train.agg(F.count(F.lit(1)).alias("_nt"))
+    m1 = (
+        train.groupBy("w3")
+        .agg(F.count(F.lit(1)).alias("_n1"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "w3",
+            (F.col("_n1").cast("double") / F.col("_nt")).alias("p1"),
+        )
+    )
+    interp = (
+        F.lit(0.6) * F.coalesce(F.col("p3"), F.lit(0.0))
+        + F.lit(0.3) * F.coalesce(F.col("p2"), F.lit(0.0))
+        + F.lit(0.1) * F.coalesce(F.col("p1"), F.lit(0.0))
+    )
+    scored = (
+        tri.filter(F.col("doc_id") % 2 == 1)
+        .join(m3, ["w1", "w2", "w3"], "left")
+        .join(m2, ["w2", "w3"], "left")
+        .join(m1, ["w3"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_tri"),
+            F.count("p3").alias("_n_known"),
+            (
+                F.sum(F.floor(interp * 1e12).cast("bigint"))
+                .cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("_score"),
+        )
+    )
+    held = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    ).select("doc_id")
+    return held.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_n_tri"), F.lit(0)).cast("bigint").alias(
+            "n_trigrams"
+        ),
+        F.coalesce(F.col("_n_known"), F.lit(0)).cast("bigint").alias(
+            "n_known"
+        ),
+        F.coalesce(F.col("_score"), F.lit(0.0)).alias("lm_score"),
+        (
+            F.coalesce(F.col("_score"), F.lit(0.0)) >= _PPL_KEEP_MIN
+        ).alias("is_kept"),
+    )
 
 
 @register(

@@ -450,7 +450,18 @@ def run_streaming_semantic_gate(
             .select("id_a", "id_b")
             .distinct()
         )
-        smaller = verified.groupBy("id_b").agg(F.min("id_a").alias("_mn"))
+        # MATERIALIZE before any state commit: `smaller` lazily reads the
+        # bucket/vec append-logs, and the compact_log calls below delete
+        # superseded segment dirs — with >max_segments micro-batches the
+        # dec append would otherwise execute this plan against
+        # just-deleted segment paths and fail with FileNotFound
+        # (r12 ADVICE). Batch-sized (demotion records only), so the
+        # checkpoint is cheap.
+        smaller = (
+            verified.groupBy("id_b")
+            .agg(F.min("id_a").alias("_mn"))
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
 
         # Δ-sized commits: signatures and vectors append their batch;
         # decisions append the batch's DEMOTION RECORDS (id_b -> min

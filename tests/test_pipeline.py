@@ -756,3 +756,105 @@ def test_streaming_semantic_gate_threshold_boundary_pair(spark):
         "candidate pre-filter margin"
     )
     assert decisions[3] == (3, True)
+
+
+def test_streaming_semantic_gate_compaction_pressure_and_replay(spark):
+    """r12 verdict task 6 + r12 ADVICE (medium): a replay long enough to
+    cross ``compact_log``'s ``max_segments`` MID-STREAM (>16 micro-batches)
+    must
+
+    - not fail when compaction deletes superseded segment dirs while the
+      batch's lazy frames are pending (the gate now materializes its
+      decision frame before any state commit — pre-fix this run died with
+      FileNotFound on batch 17 reading just-deleted bucket/vec segments),
+    - keep the decision table identical to all-at-once delivery (the
+      arrival-order-independence contract survives compaction), and
+    - carry the exactly-once batch guard across compaction + a full
+      checkpoint replay (meta rides the compacted base; replaying the
+      stream applies nothing twice).
+    """
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bakery_big_data_spark.streaming.dedup_gate import (
+        run_streaming_semantic_gate,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    corpus_dir = tempfile.mkdtemp(dir=SCRATCH)
+    dim = 64
+    n_chunks = 18
+
+    # 36 deterministic vectors, 2 per chunk; vec i and i+18 are identical
+    # (cosine 1.0) so every chunk's pair partner arrives 9 chunks later —
+    # late demotions keep landing while segments accumulate and compact
+    vecs, ids = [], []
+    for i in range(36):
+        v = [0.0] * dim
+        base = i % 18
+        v[base % dim] = 3.0
+        v[(base + 7) % dim] = 4.0
+        vecs.append(v)
+        ids.append(i + 1)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(corpus_dir, "embeddings.parquet"),
+    )
+
+    want = {
+        tuple(r)
+        for r in run_streaming_semantic_gate(
+            spark, corpus_dir, tempfile.mkdtemp(dir=SCRATCH), n_chunks=1
+        ).collect()
+    }
+    # the engineered duplicates must actually bite: each i+18 demotes to i
+    assert {(19, 1, False), (36, 18, False)} <= want
+
+    base = tempfile.mkdtemp(dir=SCRATCH)
+    got = {
+        tuple(r)
+        for r in run_streaming_semantic_gate(
+            spark, corpus_dir, base, n_chunks=n_chunks
+        ).collect()
+    }
+    assert got == want
+
+    # compaction genuinely fired mid-stream: 18 appends per state table
+    # against max_segments=16 must leave a compacted 'base' segment (a
+    # version > 1 with kind=base) and fewer live segments than batches
+    for table in ("bucket_state", "vec_state", "decisions"):
+        with open(f"{base}/{table}/_snapshot_manifest.json") as fh:
+            m = json.load(fh)
+        compacted = [
+            int(v) for v, k in m.get("kind", {}).items()
+            if k == "base" and int(v) > 1
+        ]
+        assert compacted, f"{table}: no mid-stream compaction happened"
+        assert len(m["versions"]) < n_chunks
+        # the exactly-once batch guard survived compaction
+        assert m["meta"][str(m["current"])]["batch"] == n_chunks - 1
+
+    # full checkpoint replay: nothing re-applies, decisions unchanged
+    manifests_before = {}
+    for table in ("bucket_state", "vec_state", "decisions"):
+        with open(f"{base}/{table}/_snapshot_manifest.json") as fh:
+            manifests_before[table] = json.load(fh)
+    replay = {
+        tuple(r)
+        for r in run_streaming_semantic_gate(
+            spark, corpus_dir, base, n_chunks=n_chunks
+        ).collect()
+    }
+    assert replay == want
+    for table in ("bucket_state", "vec_state", "decisions"):
+        with open(f"{base}/{table}/_snapshot_manifest.json") as fh:
+            assert json.load(fh) == manifests_before[table], (
+                f"{table}: replay re-applied state"
+            )

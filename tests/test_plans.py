@@ -92,6 +92,10 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy total-token count crossed onto
     # the top-20 frame for the CMS error-bound column
     "sketch_count_min_heavy_hitters",
+    # deliberate 1-row broadcast: the lazy train-token total crossed onto
+    # the unigram vocab frame for the p1 denominator (the tfidf idf-N /
+    # vocab-coverage idiom)
+    "text_perplexity_filter",
     # deliberate 4-row broadcast cross: the per-quantile sample estimates
     # crossed onto events for the exact-rank certification pass
     "sketch_bottomk_quantiles",
@@ -146,6 +150,10 @@ NESTED_LOOP_ALLOWED = {
     # deliberate 1-row broadcast: the lazy max-date cross bounding the
     # 28-day backtest window
     "timeseries_forecast_backtest",
+    # deliberate 1-row × 1-row broadcast cross: the n_upserted scalar
+    # joined onto the served-topk summary row for the certified output
+    # (same class as sketch_incremental_distinct's final assembly)
+    "similarity_ivf_upsert_served",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but

@@ -46,3 +46,27 @@ def test_bm25_retrieved_docs_contain_a_query_term(spark, sf_dir):
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(1 <= r["n_terms"] <= 3 for r in rs)
+
+
+def test_perplexity_filter_gate_bites(spark, sf_dir):
+    """The keep floor must split the held-out corpus non-trivially (a gate
+    that keeps or drops everything certifies nothing), and trigram-less
+    docs must surface with score 0 / dropped rather than vanish."""
+    from bakery_big_data_spark.plans import REGISTRY
+
+    rows = REGISTRY["text_perplexity_filter"].build(spark, sf_dir).collect()
+    kept = sum(1 for r in rows if r.is_kept)
+    assert 0 < kept < len(rows)
+    # every held-out doc is present exactly once
+    from pyspark.sql import functions as F
+    from bakery_big_data_spark.plans.base import t
+
+    n_held = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .count()
+    )
+    assert len(rows) == n_held
+    for r in rows:
+        if r.n_trigrams == 0:
+            assert r.lm_score == 0.0 and not r.is_kept
