@@ -755,6 +755,42 @@ def dist2_exact(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
 
 
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """The n_clusters-row (j, cv) centroid frame contracted to ONE row
+    holding a j-sorted ``_cents`` array — the broadcast form that lets the
+    per-vector nearest-centroid argmin run entirely MAP-SIDE.  The former
+    shape (crossJoin against the 16-row frame + a row_number window
+    partitioned by vector id) exploded every corpus row 16x and then
+    shuffled AND sorted that 16x stream just to keep rank 1; per Lloyd
+    round that was a corpus×16 Exchange+Sort+Window for what is
+    arithmetically a per-row min over 16 candidates (guide §2.1: the best
+    shuffle is the one you delete)."""
+    return cent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "cv"))).alias("_cents")
+    )
+
+
+def _centroid_ranks(vec: Column) -> Column:
+    """(d, j) structs for ``vec`` against every centroid in the broadcast
+    ``_cents`` array — order-exact dist2, ready for array_min (argmin,
+    ties -> smaller j: struct comparison is field-wise, d then j — the
+    same total order the former ``orderBy(dist2, j)`` window used) or
+    array_sort + slice (top-n_probe)."""
+    return F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            dist2_exact(vec, c.getField("cv")).alias("d"),
+            c.getField("j").alias("j"),
+        ),
+    )
+
+
+def _argmin_cluster(vec: Column) -> Column:
+    """j of the nearest centroid (order-exact dist2, ties -> smaller j),
+    computed per row with zero shuffle."""
+    return F.array_min(_centroid_ranks(vec)).getField("j")
+
+
 def lloyd_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -781,11 +817,12 @@ def lloyd_centroids(
       clusters that lose all members keep their previous centroid;
     - returns the final (j, cv) centroid frame (n_clusters rows).
 
-    Everything is DataFrame ops: the argmin is a broadcast cross join
-    against the n_clusters-row centroid frame + one window rank, the
-    update is one (cluster, dim) hash aggregation; per round that is one
-    tiny broadcast and one map-side-combinable shuffle of at most
-    clusters x dim rows per partition — Lloyd's cost profile at 100 TB.
+    Everything is DataFrame ops: the argmin is a MAP-SIDE array_min over
+    the broadcast 1-row centroid-array frame (zero shuffle — see
+    :func:`_centroid_array`), the update is one (cluster, dim) hash
+    aggregation; per round that is one tiny broadcast and one
+    map-side-combinable shuffle of at most clusters x dim rows per
+    partition — Lloyd's cost profile at 100 TB.
     The bigint fixed-point sum holds exactly below ~9e15, i.e. ~9000
     vectors per (cluster, dim) at unit-scale values — the certification
     operating point, not a production limit (production uses ivf_topk).
@@ -804,14 +841,13 @@ def lloyd_centroids(
         .localCheckpoint(eager=True)  # tiny; cut before the loop doubles it
     )
     for _ in range(n_iters):
-        asg_w = Window.partitionBy("_vid").orderBy(
-            dist2_exact(F.col("_v"), F.col("cv")), F.col("j")
-        )
         asg = (
-            nrm.crossJoin(F.broadcast(cent))
-            .withColumn("_rk", F.row_number().over(asg_w))
-            .filter(F.col("_rk") == 1)
-            .select("_vid", "_v", F.col("j").alias("_cluster"))
+            nrm.crossJoin(F.broadcast(_centroid_array(cent)))
+            .select(
+                "_vid",
+                "_v",
+                _argmin_cluster(F.col("_v")).alias("_cluster"),
+            )
         )
         upd = (
             asg.select(
@@ -864,31 +900,41 @@ def lloyd_ivf_topk(
     cluster equi-join, per-query window) with the trained-quantizer RNG
     replaced by the portable recipe."""
     cent = lloyd_centroids(corpus, id_col, vec_col, n_clusters, n_iters)
+    centarr = _centroid_array(cent)
 
     c0 = with_norm2(corpus, vec_col, "_cn").select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
     )
-    asg_w = Window.partitionBy("c_id").orderBy(
-        dist2_exact(F.col("_cv"), F.col("cv")), F.col("j")
-    )
-    assigned = (
-        c0.crossJoin(F.broadcast(cent))
-        .withColumn("_rk", F.row_number().over(asg_w))
-        .filter(F.col("_rk") == 1)
-        .select("c_id", "_cv", "_cn", F.col("j").alias("_cluster"))
+    # map-side argmin over the broadcast centroid array — same total
+    # order (dist2, then j) the former per-c_id window used, with no
+    # corpus×16 Exchange+Sort behind it
+    assigned = c0.crossJoin(F.broadcast(centarr)).select(
+        "c_id",
+        "_cv",
+        "_cn",
+        _argmin_cluster(F.col("_cv")).alias("_cluster"),
     )
 
     q0 = with_norm2(queries, vec_col, "_qn").select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"), "_qn"
     )
-    probe_w = Window.partitionBy("q_id").orderBy(
-        dist2_exact(F.col("_qv"), F.col("cv")), F.col("j")
-    )
-    probes = (
-        q0.crossJoin(F.broadcast(cent))
-        .withColumn("_rk", F.row_number().over(probe_w))
-        .filter(F.col("_rk") <= n_probe)
-        .select("q_id", "_qv", "_qn", F.col("j").alias("_cluster"))
+    # top-n_probe clusters per query: sort the 16 (d, j) structs in-row
+    # and explode the head — the query frame is tiny, the win is plan
+    # uniformity (no window at all in this function)
+    probes = q0.crossJoin(F.broadcast(centarr)).select(
+        "q_id",
+        "_qv",
+        "_qn",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_centroid_ranks(F.col("_qv"))),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s.getField("j"),
+            )
+        ).alias("_cluster"),
     )
     cosine = dot_exact(F.col("_qv"), F.col("_cv")) / F.sqrt(
         F.col("_qn") * F.col("_cn")

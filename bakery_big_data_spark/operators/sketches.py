@@ -49,7 +49,11 @@ def _bucket(h: Column, row: int, width: int) -> Column:
 
 
 def count_min_build(
-    keyed: DataFrame, key_col: str, depth: int = 4, width: int = 512
+    keyed: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: one (row, bucket, cnt) cell per populated counter.
 
@@ -57,24 +61,42 @@ def count_min_build(
     the shuffle carries at most ``depth*width`` rows per mapper no matter
     how many distinct keys the stream holds.  Cell-wise addition of two
     builds equals the build of the concatenated streams (mergeable).
+
+    ``weight_col``: build from a PRE-AGGREGATED (key, weight) frame —
+    each cell sums the weights instead of counting rows.  Bit-identical
+    to the unweighted build over the raw stream (a cell's counter is the
+    integer sum of its keys' frequencies either way), but the explode
+    runs over |distinct keys| rows instead of |stream| rows, so a query
+    that already pays the per-key rollup (for exact counts riding along)
+    never re-scans the raw stream just to sketch it (guide §1.2:
+    don't compute the same pass twice).  The hash is projected once per
+    key row before the explode (the Bloom-row lesson: inlining md5 into
+    the Generate repeats it per hash row and bloats codegen).
     """
-    h = portable_key_hash(F.col(key_col))
-    cells = keyed.select(
+    cols = [portable_key_hash(F.col(key_col)).alias("_h")] + (
+        [F.col(weight_col).alias("_w")] if weight_col else []
+    )
+    hashed = keyed.select(*cols)
+    cells = hashed.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("row"),
-                        _bucket(h, i, width).alias("bucket"),
+                        _bucket(F.col("_h"), i, width).alias("bucket"),
                     )
                     for i in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
+        *([F.col("_w")] if weight_col else []),
     )
-    return cells.groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    agg = (
+        F.sum("_w").cast("bigint") if weight_col else F.count(F.lit(1))
+    ).alias("cnt")
+    return cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(agg)
 
 
 def count_min_estimate(
@@ -120,30 +142,38 @@ BLOOM_B = [0, 97531, 12345, 424243, 390451, 28411]
 _WORD_BITS = 63
 
 
-def _masks() -> Column:
-    """Literal power-of-two table: ``_masks()[bit + 1]`` == ``1 << bit``
-    as an exact BIGINT (shiftleft's PySpark wrapper only takes a literal
-    shift, and pow() goes through double, which is inexact past 2^53).
-    Built lazily — Column construction needs an active SparkContext."""
-    return F.array(*[F.lit(1 << b).cast("bigint") for b in range(_WORD_BITS)])
+def _bloom_positions(h: Column, num_bits: int, num_hashes: int) -> Column:
+    """Array of the key's ``num_hashes`` bit positions, from an ALREADY
+    PROJECTED base-hash column.
+
+    The hash must be a real column (projected once per row), not the
+    md5 expression inline: inlining it re-evaluates md5 per hash row and
+    — worse — blows the expression tree up ~12x (measured on the Bloom
+    row: the Generate node carried 12 md5 subtrees plus 12 copies of a
+    63-literal mask array, and plan/codegen time dominated the query).
+    """
+    return F.array(
+        *[
+            ((F.lit(BLOOM_A[i]) * h + F.lit(BLOOM_B[i])) % _P) % num_bits
+            for i in range(num_hashes)
+        ]
+    )
 
 
-def _bloom_cells(key: Column, num_bits: int, num_hashes: int) -> Column:
-    """Array of (word, mask) cells for one key — one per hash row."""
-    h = portable_key_hash(key)
-    masks = _masks()
-    cells = []
-    for i in range(num_hashes):
-        pos = ((F.lit(BLOOM_A[i]) * h + F.lit(BLOOM_B[i])) % _P) % num_bits
-        cells.append(
-            F.struct(
-                F.floor(pos / _WORD_BITS).cast("bigint").alias("word"),
-                F.element_at(
-                    masks, ((pos % _WORD_BITS) + 1).cast("int")
-                ).alias("mask"),
-            )
-        )
-    return F.array(*cells)
+def _bloom_word_mask(pos: Column) -> tuple[Column, Column]:
+    """(word, mask) for a bit position: word = floor(pos / 63) (the
+    division is exact in double for pos < 2^31) and mask = 1 << (pos % 63)
+    via shiftleft on BIGINT — exact for shifts 0..62, identical to the
+    former 63-entry literal power-of-two table but without repeating the
+    63 literals per hash row in the plan.  ``call_function`` because the
+    ``F.shiftleft`` wrapper only accepts a literal shift."""
+    word = F.floor(pos / F.lit(_WORD_BITS)).cast("bigint")
+    mask = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("bigint"),
+        (pos % _WORD_BITS).cast("int"),
+    )
+    return word, mask
 
 
 def bloom_build(
@@ -165,15 +195,25 @@ def bloom_build(
     construction: md5-half base hash + Carter-Wegman bit positions in
     exact BIGINT arithmetic, 63-bit words so the sign bit never flips —
     every word is bit-identical cross-engine.
+
+    Plan shape note (guide §4.2/§7.2 spirit): the base hash is projected
+    ONCE per row and the explode carries plain bit positions; word/mask
+    derive from the exploded position.  The naive inline form evaluated
+    md5 once per (hash row, struct field) — 12x — and shipped a 63-literal
+    array per copy through the plan, which made planning/codegen, not the
+    data, the cost of a small build.
     """
-    cells = keyed.select(
+    hashed = keyed.select(
+        portable_key_hash(F.col(key_col).cast("string")).alias("_h")
+    )
+    pos = hashed.select(
         F.explode(
-            _bloom_cells(F.col(key_col).cast("string"), num_bits, num_hashes)
-        ).alias("c")
+            _bloom_positions(F.col("_h"), num_bits, num_hashes)
+        ).alias("pos")
     )
-    return cells.groupBy(F.col("c.word").alias("word")).agg(
-        F.bit_or(F.col("c.mask")).alias("bits")
-    )
+    word, mask = _bloom_word_mask(F.col("pos"))
+    cells = pos.select(word.alias("word"), mask.alias("mask"))
+    return cells.groupBy("word").agg(F.bit_or(F.col("mask")).alias("bits"))
 
 
 def bloom_probe(
@@ -189,12 +229,17 @@ def bloom_probe(
     broadcast, so the probe is a map-side join — zero shuffle of the
     probe side, the property that makes Bloom pruning worth it at scale.
     No false negatives ever; false positives at the designed rate."""
-    probes = keys.select(
+    hashed = keys.select(
+        key_col,
+        portable_key_hash(F.col(key_col).cast("string")).alias("_h"),
+    )
+    word, mask = _bloom_word_mask(F.col("pos"))
+    probes = hashed.select(
         key_col,
         F.explode(
-            _bloom_cells(F.col(key_col).cast("string"), num_bits, num_hashes)
-        ).alias("p"),
-    ).select(key_col, F.col("p.word").alias("word"), F.col("p.mask").alias("mask"))
+            _bloom_positions(F.col("_h"), num_bits, num_hashes)
+        ).alias("pos"),
+    ).select(key_col, word.alias("word"), mask.alias("mask"))
     return (
         probes.join(F.broadcast(bloom), "word", "left")
         .groupBy(key_col)

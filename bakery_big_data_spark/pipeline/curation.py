@@ -44,11 +44,33 @@ MIN_CHARS = 20
 MIN_TTR = 0.30
 CONTAMINATION_MAX = 0.5
 
+#: Persisted per-(session, sf) manifest — two registered rows consume the
+#: full chained manifest (curation_pipeline_manifest emits it verbatim,
+#: curation_license_gate joins governance onto it), and each used to
+#: re-run the whole gate→dedup→decontaminate→split chain.  The manifest is
+#: doc-count-sized (one row per doc, no text), so the persisted frame is
+#: tiny relative to the chain that builds it.
+_MANIFEST_CACHE = None  # initialized lazily to avoid an import cycle
+
 
 def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document curation manifest: every doc with its gate flags,
-    duplicate-cluster canonical, contamination ratio, split, and the final
-    ``is_training`` verdict."""
+    """Per-document curation manifest (cached per session/sf): every doc
+    with its gate flags, duplicate-cluster canonical, contamination ratio,
+    split, and the final ``is_training`` verdict."""
+    global _MANIFEST_CACHE
+    if _MANIFEST_CACHE is None:
+        from bakery_big_data_spark.operators.cache import PlanCache
+
+        _MANIFEST_CACHE = PlanCache(max_entries=2)
+    return _MANIFEST_CACHE.get_or_build(
+        spark,
+        (sf_dir, "curation_manifest"),
+        lambda: _build_curation_manifest(spark, sf_dir).persist(),
+    )
+
+
+def _build_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncached manifest chain body (see :func:`curation_manifest`)."""
     from bakery_big_data_spark.operators.repetition import with_passes_gopher
     from bakery_big_data_spark.plans.base import spread, t
     from bakery_big_data_spark.plans.dedup import _lsh_pairs, _shingled

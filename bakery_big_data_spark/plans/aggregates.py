@@ -207,10 +207,19 @@ def seasonality_ratio_of_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_count_distinct_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
-        F.countDistinct("user_id").alias("exact_users"),
-    ).select(
+    # Two single-pass aggregates + a 1-row broadcast cross, NOT one mixed
+    # aggregate: planning COUNT(DISTINCT) next to another aggregate goes
+    # through Expand, whose phase-1 grouping key is (gid, user_id) — so
+    # the rsd=0.01 HLL (a multi-KB register buffer) was being allocated
+    # PER DISTINCT USER in the partial aggregation instead of once per
+    # task (guide §2.3/§5: watch what the partial-agg state actually is).
+    # Split, each leg is a plain one-buffer/percolated-distinct pass over
+    # the single projected column; the integers are unchanged.
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.crossJoin(F.broadcast(approx)).select(
         "exact_users",
         (
             F.abs(F.col("_approx") - F.col("exact_users"))

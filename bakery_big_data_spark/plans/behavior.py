@@ -1075,16 +1075,23 @@ def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     is_c = F.col("user_id") % 2 == 0
     is_t = F.col("user_id") % 2 == 1
-    pur = F.col("event_type") == "purchase"
-    counts = ev.agg(
-        F.countDistinct(F.when(is_c, F.col("user_id"))).alias("n_c"),
-        F.countDistinct(F.when(is_t, F.col("user_id"))).alias("n_t"),
-        F.countDistinct(F.when(is_c & pur, F.col("user_id"))).alias(
-            "conv_c"
-        ),
-        F.countDistinct(F.when(is_t & pur, F.col("user_id"))).alias(
-            "conv_t"
-        ),
+    # Per-user pre-aggregate first: one map-side-combinable shuffle of
+    # |distinct users| partial rows, then plain conditional counts over
+    # the per-user frame.  The four-way COUNT(DISTINCT ...) form planned
+    # a 4x Expand of every event row into the exchange; the integers are
+    # identical (a distinct user count IS a count over the user rollup,
+    # and 'converted' is MAX(is purchase) per user).
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("_p")
+    )
+    conv = F.col("_p") == 1
+    counts = per_user.agg(
+        F.count_if(is_c).alias("n_c"),
+        F.count_if(is_t).alias("n_t"),
+        F.count_if(is_c & conv).alias("conv_c"),
+        F.count_if(is_t & conv).alias("conv_t"),
     )
     rates = counts.select(
         "n_c",

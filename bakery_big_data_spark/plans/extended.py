@@ -12,11 +12,12 @@ from bakery_big_data_spark.operators.asof import asof_join
 from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.plans.base import dsum, register, sql_dsum, t
 
-# Holds the CMS bigram stream, the MG sentinel-keyed stream, and the
-# logistic standardized corpus — one artifact per family, sized so a full
-# catalog sweep at one SF never LRU-thrashes mid-sweep (the _SIG_CACHE
-# rationale; eviction unpersists, so the only cost of a miss is a rebuild).
-_EXT_CACHE = PlanCache(max_entries=4)
+# Holds the CMS bigram freq table, the MG sentinel-keyed stream, the
+# logistic standardized corpus, and the two CMS per-key rollups — one
+# artifact per family, sized so a full catalog sweep at one SF never
+# LRU-thrashes mid-sweep (the _SIG_CACHE rationale; eviction unpersists,
+# so the only cost of a miss is a rebuild).
+_EXT_CACHE = PlanCache(max_entries=6)
 
 
 @register(
@@ -849,22 +850,27 @@ def sketch_count_min_heavy_hitters(
 
     d = spread(t(spark, sf_dir, "documents").select("text"))
     ws = F.split(F.col("text"), " ")
-    # consumed three times (N, sketch build, exact top-20); memoized per
-    # (session, sf) through the bounded PlanCache so repeated builds
-    # don't each pin a fresh CacheManager entry — eviction unpersists
-    bg = _EXT_CACHE.get_or_build(
+    # The per-bigram FREQUENCY table (not the raw occurrence stream) is
+    # the shared artifact: N rides as SUM(f), the sketch builds weighted
+    # from it (bit-identical counters, |distinct bigrams| explode instead
+    # of |occurrences|), and the exact top-20 is its ORDER BY head — one
+    # explode+rollup pass over the corpus total, where the occurrence-
+    # stream form re-aggregated the cached stream three times.  Memoized
+    # per (session, sf) through the bounded PlanCache.
+    bgf = _EXT_CACHE.get_or_build(
         spark,
-        (sf_dir, "cms_bigrams"),
+        (sf_dir, "cms_bigram_freq"),
         lambda: d.select(F.explode(_adjacent_pairs(ws)).alias("p"))
         .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
         .select(F.concat_ws("_", "p.w1", "p.w2").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("f"))
         .persist(),
     )
-    n_row = bg.groupBy().agg(F.count(F.lit(1)).alias("n_tok"))
-    sketch = count_min_build(bg, "g", depth=4, width=512)
+    n_row = bgf.groupBy().agg(F.sum("f").alias("n_tok"))
+    sketch = count_min_build(bgf, "g", depth=4, width=512, weight_col="f")
     exact = (
-        bg.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("true_count"))
+        bgf.select("g", F.col("f").alias("true_count"))
         .orderBy(F.col("true_count").desc(), "g")
         .limit(20)
     )
@@ -1459,12 +1465,16 @@ _MB_MIN_SUPPORT = 3
         "certifies the statistics bit-for-bit",
 )
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The basket projection feeds five consumers (both pair-join legs,
-    # both item-support legs, the order count).  Measured at x10 (r12
-    # adjudication): leaving them as independent columnar scans +
-    # distinct shuffles beats materializing the projection once — a
-    # localCheckpoint of the ~6M-row distinct costs 2.4x the five
-    # whole-stage-codegen parquet passes it saves.
+    # The basket projection still feeds the two item-support legs and the
+    # order count as independent columnar scans (measured at x10, r12
+    # adjudication: a localCheckpoint of the ~6M-row distinct costs 2.4x
+    # the whole-stage-codegen parquet passes it saves).  The PAIR leg —
+    # the expensive per-basket self-join — is the shared materialized
+    # co-purchase support frame the triangle rows also consume (one
+    # build per session/sf instead of two; guide §1.2): identical join,
+    # identical groupBy counts.
+    from bakery_big_data_spark.plans.graph import _copurchase_support
+
     pp = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1472,20 +1482,13 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = pp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = pp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a = pp.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = pp.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
-    )
     pair = (
-        a.join(
-            b,
-            (F.col("ok") == F.col("ok2"))
-            & (F.col("part_a") < F.col("part_b")),
+        _copurchase_support(spark, sf_dir)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "support",
         )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _MB_MIN_SUPPORT)
     )
     ia = item.select(
@@ -1808,15 +1811,27 @@ def sketch_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("k")
     )
-    freq = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("f"))
-    # n_rows = SUM(f) rides the same per-key rollup — no separate
-    # count-the-table scan
+    # ONE corpus pass: the per-key rollup feeds BOTH the exact moments
+    # (n_rows = SUM(f) — no separate count-the-table scan) and the
+    # weighted sketch build (bit-identical counters; the raw-stream build
+    # was a second full scan exploding |lineitem|x4 rows where this
+    # explodes |distinct keys|x4).  Persisted because it has two
+    # consumers; |distinct l_partkey| rows only.
+    freq = _EXT_CACHE.get_or_build(
+        spark,
+        (sf_dir, "cms_lpartkey_freq"),
+        lambda: keyed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist(),
+    )
     exact = freq.agg(
         F.sum("f").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.col("f") * F.col("f")).alias("exact_f2"),
     )
-    cells = count_min_build(keyed, "k", depth=_JS_DEPTH, width=_JS_WIDTH)
+    cells = count_min_build(
+        freq, "k", depth=_JS_DEPTH, width=_JS_WIDTH, weight_col="f"
+    )
     est = (
         cells.groupBy("row")
         .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
@@ -1912,10 +1927,38 @@ def sketch_cms_join_size_estimate(
         F.col("l_partkey").cast("string").alias("k"), "l_shipdate"
     )
     cut = F.lit("1998-07-01").cast("timestamp")
-    h1 = li.filter(F.col("l_shipdate") < cut).select("k")
-    h2 = li.filter(F.col("l_shipdate") >= cut).select("k")
-    c1 = count_min_build(h1, "k", depth=_JS_DEPTH, width=_JS_WIDTH)
-    c2 = count_min_build(h2, "k", depth=_JS_DEPTH, width=_JS_WIDTH).select(
+    # ONE corpus pass: per-key (f1, f2) half-frequencies in a single
+    # rollup.  Everything downstream is arithmetic on this |distinct
+    # keys|-row frame — the sizes are column sums, the EXACT join count
+    # is SUM(f1*f2) (each key contributes f1·f2 matched pairs; the old
+    # form physically materialized those pairs in an equi-join, ~n²/keys
+    # rows, just to count them), and the two sketches build weighted
+    # (bit-identical counters to the per-occurrence builds).  Was: five
+    # lineitem scans + a pair-materializing shuffle join.
+    fr = _EXT_CACHE.get_or_build(
+        spark,
+        (sf_dir, "cms_js_freq"),
+        lambda: li.groupBy("k")
+        .agg(
+            F.count_if(F.col("l_shipdate") < cut).alias("f1"),
+            F.count_if(F.col("l_shipdate") >= cut).alias("f2"),
+        )
+        .persist(),
+    )
+    c1 = count_min_build(
+        fr.filter(F.col("f1") > 0).select("k", "f1"),
+        "k",
+        depth=_JS_DEPTH,
+        width=_JS_WIDTH,
+        weight_col="f1",
+    )
+    c2 = count_min_build(
+        fr.filter(F.col("f2") > 0).select("k", "f2"),
+        "k",
+        depth=_JS_DEPTH,
+        width=_JS_WIDTH,
+        weight_col="f2",
+    ).select(
         F.col("row").alias("row2"),
         F.col("bucket").alias("bucket2"),
         F.col("cnt").alias("cnt2"),
@@ -1930,18 +1973,12 @@ def sketch_cms_join_size_estimate(
         .agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("ip"))
         .agg(F.min("ip").alias("est_join"))
     )
-    n1 = h1.agg(F.count(F.lit(1)).alias("n1"))
-    n2 = h2.agg(F.count(F.lit(1)).alias("n2"))
-    a = h1.select(F.col("k").alias("ka"))
-    b = h2.select(F.col("k").alias("kb"))
-    exact = a.join(b, F.col("ka") == F.col("kb")).agg(
-        F.count(F.lit(1)).alias("exact_join")
+    sizes = fr.agg(
+        F.sum("f1").alias("n1"),
+        F.sum("f2").alias("n2"),
+        F.sum(F.col("f1") * F.col("f2")).alias("exact_join"),
     )
-    out = (
-        n1.crossJoin(F.broadcast(n2))
-        .crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(est))
-    )
+    out = sizes.crossJoin(F.broadcast(est))
     return out.select(
         "n1",
         "n2",
@@ -2003,12 +2040,27 @@ def _ri_oracle() -> str:
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for name, child, fk, parent, pk in _RI_EDGES:
-        c = t(spark, sf_dir, child).select(F.col(fk).alias("_fk"))
+        # Pre-aggregate the child side to (fk, f) BEFORE the parent join
+        # (guide §2.3 "aggregate before you shuffle"): the join then
+        # carries |distinct fk| rows instead of |child| rows — at 100 TB
+        # the fact-fact edges (lineitem->orders) stop shuffling the whole
+        # fact table just to count orphans.  n_child_rows = SUM(f) and
+        # n_orphans = SUM(f) over unmatched keys: identical integers
+        # (every child row of one fk value shares one match verdict).
+        c = (
+            t(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("_fk"))
+            .agg(F.count(F.lit(1)).alias("_f"))
+        )
         p = t(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
         joined = c.join(p, F.col("_fk") == F.col("_pk"), "left")
         row = joined.agg(
-            F.count(F.lit(1)).alias("n_child_rows"),
-            F.count_if(F.col("_pk").isNull()).alias("n_orphans"),
+            F.sum("_f").alias("n_child_rows"),
+            # otherwise(0) so an orphan-free edge sums to 0, not NULL —
+            # count_if's behavior in the pre-rollup form
+            F.sum(
+                F.when(F.col("_pk").isNull(), F.col("_f")).otherwise(0)
+            ).alias("n_orphans"),
         ).select(
             F.lit(name).alias("fk_edge"),
             "n_child_rows",
@@ -2564,14 +2616,35 @@ def _fd_oracle() -> str:
 def audit_functional_dependencies(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    out = None
+    # ONE scan + ONE aggregate per TABLE, not per candidate FD: the three
+    # orders-table FDs used to be three independent scans/aggregates
+    # unioned (3 corpus passes over the same bytes at 100 TB).  All of a
+    # table's distinct counters now ride a single Aggregate (Catalyst
+    # plans the multi-distinct via Expand — rows × distinct-aggs, still
+    # map-side partial, one shuffle, the audit_column_profile shape), and
+    # the 1-row wide frame unpivots into per-FD rows with stack() —
+    # values, rows, and the oracle are unchanged.
+    by_tbl: dict[str, list[tuple[str, str]]] = {}
     for tbl, det, dep in _FD_CANDIDATES:
+        by_tbl.setdefault(tbl, []).append((det, dep))
+    out = None
+    for tbl, fds in by_tbl.items():
         d = t(spark, sf_dir, tbl)
-        row = d.agg(
-            F.countDistinct(det).alias("n_determinants"),
-            F.countDistinct(det, dep).alias("n_pairs"),
+        aggs = []
+        for i, (det, dep) in enumerate(fds):
+            aggs.append(F.countDistinct(det).alias(f"nd_{i}"))
+            aggs.append(F.countDistinct(det, dep).alias(f"np_{i}"))
+        wide = d.agg(*aggs)
+        stack = ", ".join(
+            f"'{tbl}.{det} -> {dep}', nd_{i}, np_{i}"
+            for i, (det, dep) in enumerate(fds)
+        )
+        rows = wide.select(
+            F.expr(
+                f"stack({len(fds)}, {stack}) AS (fd, n_determinants, n_pairs)"
+            )
         ).select(
-            F.lit(f"{tbl}.{det} -> {dep}").alias("fd"),
+            "fd",
             F.col("n_determinants").cast("bigint").alias("n_determinants"),
             F.col("n_pairs").cast("bigint").alias("n_pairs"),
             (F.col("n_pairs") == F.col("n_determinants")).alias("holds"),
@@ -2579,7 +2652,7 @@ def audit_functional_dependencies(
             .cast("bigint")
             .alias("n_extra_mappings"),
         )
-        out = row if out is None else out.unionByName(row)
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 

@@ -23,9 +23,93 @@ from pyspark.sql.window import Window
 
 from pyspark.storagelevel import StorageLevel
 
+from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.operators.checkpointing import cut_lineage
 from bakery_big_data_spark.operators.graph import pagerank, triangle_counts
 from bakery_big_data_spark.plans.base import register, t
+
+#: Shared per-(session, sf) edge materializations.  Three rows (PageRank,
+#: BFS, SSSP) derive from the SAME nation-trade star-join aggregate and two
+#: rows (exact triangles, DOULION) from the SAME co-purchase edge set; each
+#: row used to rebuild its edges from the corpus — the only corpus-sized
+#: stage any of them has — so the catalog paid the identical star join /
+#: distinct self-join up to three times per sweep (guide §1.2: remove
+#: redundant passes before touching anything else).  The first row to run
+#: pays the build; the rest reuse the materialized blocks.
+_GRAPH_CACHE = PlanCache(max_entries=4)
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w) nation-trade edge aggregate — lineitem ⋈ orders ⋈
+    customer ⋈ supplier grouped to nation pairs, built ONCE per (session,
+    sf) and lineage-cut (nation²-bounded: ≤ 25×25 rows)."""
+
+    def build() -> DataFrame:
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        edges = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+            .groupBy(
+                F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        return cut_lineage(edges, None)
+
+    return _GRAPH_CACHE.get_or_build(spark, (sf_dir, "trade_edges"), build)
+
+
+def _copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, support) undirected co-purchase pairs (u < v) WITH their
+    per-basket co-occurrence counts: the per-basket self-join that
+    dominates both triangle rows AND `market_basket_rules`, built ONCE
+    per (session, sf).  The groupBy subsumes the former `.distinct()`
+    (same pair set) while the count rides along for free — the basket
+    row consumes `support` directly, the graph rows project (u, v).
+    Materialized as serialized-spillable blocks (an |E|-sized
+    deserialized block set was half of the ×100 heap OOM — see
+    cut_lineage docstring)."""
+
+    def build() -> DataFrame:
+        pp = (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = pp.alias("a")
+        b = pp.alias("b")
+        sup = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        return cut_lineage(
+            sup, None, storage_level=StorageLevel.MEMORY_AND_DISK
+        )
+
+    return _GRAPH_CACHE.get_or_build(
+        spark, (sf_dir, "copurchase_support"), build
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edge set (u < v) — the (u, v)
+    projection of the shared support frame."""
+    return _copurchase_support(spark, sf_dir).select("u", "v")
+
 
 _PR_ITERS = 4
 _PR_DAMPING = 0.85
@@ -128,25 +212,10 @@ def _pagerank_oracle(k: int, damping: float) -> str:
         "the final ranks bit-for-bit",
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    # The rank loop references edges every round; materialize the (tiny,
-    # nation²-bounded) edge aggregate once instead of re-running the
-    # lineitem star join per iteration.
-    edges = cut_lineage(edges, None)
+    # The rank loop references edges every round; the shared materialized
+    # (tiny, nation²-bounded) edge aggregate is built once per session/sf
+    # instead of re-running the lineitem star join per row and per round.
+    edges = _trade_edges(spark, sf_dir)
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return ranks.join(
@@ -214,29 +283,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "for any B)",
 )
 def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = pp.alias("a")
-    b = pp.alias("b")
-    ue = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    # materialize the edge set: the corpus-scale distinct self-join is
-    # referenced three times downstream (degree union x2 + orientation);
-    # serialized-spillable blocks — an |E|-sized deserialized block set
-    # was half of the x100 heap OOM (see cut_lineage docstring)
-    ue = cut_lineage(ue, None, storage_level=StorageLevel.MEMORY_AND_DISK)
+    # shared materialized edge set: the corpus-scale distinct self-join is
+    # referenced three times downstream (degree union x2 + orientation)
+    # and by the DOULION row — built once per session/sf (_GRAPH_CACHE)
+    ue = _copurchase_edges(spark, sf_dir)
     import os
 
     from bakery_big_data_spark.operators.graph import (
@@ -349,26 +399,9 @@ def graph_triangle_doulion_estimate(
 ) -> DataFrame:
     from bakery_big_data_spark.operators.graph import triangle_counts
 
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = pp.alias("a")
-    b = pp.alias("b")
-    ue = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    # consumed twice (total count + sample); serialized-spillable blocks
-    ue = cut_lineage(ue, None, storage_level=StorageLevel.MEMORY_AND_DISK)
+    # consumed twice (total count + sample) and shared with the exact
+    # triangle row — one materialization per session/sf (_GRAPH_CACHE)
+    ue = _copurchase_edges(spark, sf_dir)
     h = (
         F.conv(
             F.substring(
@@ -451,30 +484,16 @@ _BFS_HOPS = 4
 def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.operators.graph import bfs_hops
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges_all = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    # shared nation²-bounded edge aggregate (one star join per session/sf,
+    # the PageRank discipline); the sparsification cut is derived lazily
+    # from the materialized blocks — max(w) is a 1-row broadcast
+    edges_all = _trade_edges(spark, sf_dir)
     mx = edges_all.agg(F.max("w").alias("mw"))
     edges = (
         edges_all.crossJoin(F.broadcast(mx))
         .filter(F.col("w") * 3 >= F.col("mw"))
         .select("src", "dst")
     )
-    # nation²-bounded: materialize once instead of re-running the star
-    # join every BFS round (the PageRank discipline)
-    edges = cut_lineage(edges, None)
     nation = t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -550,26 +569,14 @@ def _sssp_oracle(rounds: int) -> str:
         "(the 2^k lesson, third appearance)",
 )
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(
-            (F.expr("1000000 div count(1)") + F.lit(1))
-            .cast("bigint")
-            .alias("cost")
-        )
+    # shared nation²-bounded edge aggregate; cost derives lazily from the
+    # materialized (src, dst, w) blocks — same integers as the inline
+    # `1000000 div count(1) + 1` aggregate the row used to rebuild
+    edges = _trade_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (F.expr("1000000 div w") + F.lit(1)).cast("bigint").alias("cost"),
     )
-    edges = cut_lineage(edges, None)
     d = spark.range(1).select(
         F.lit(0).cast("bigint").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),

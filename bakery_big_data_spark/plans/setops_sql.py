@@ -328,6 +328,35 @@ _RCTE_BODY = """
 def sql_recursive_cte_reachability(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    for name in ("lineitem", "orders", "customer", "supplier"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_RCTE_BODY)
+    # The edges_all CTE is character-for-character the nation-trade edge
+    # aggregate that PageRank/BFS/SSSP share — source it from the one
+    # materialized build per (session, sf) instead of re-running the
+    # 4-way star join here (guide §1.2).  The RECURSIVE tail below this
+    # substitution is the _RCTE_BODY text verbatim, so the row still
+    # certifies Spark's native UnionLoop execution end to end; the oracle
+    # runs the full original text and the edge aggregate is deterministic,
+    # so the values are unchanged.
+    from bakery_big_data_spark.plans.graph import _trade_edges
+
+    _trade_edges(spark, sf_dir).createOrReplaceTempView(
+        "v_trade_edges_rcte"
+    )
+    return spark.sql(
+        """
+    WITH RECURSIVE edges_all AS (
+      SELECT src, dst, w FROM v_trade_edges_rcte
+    ), mx AS (
+      SELECT MAX(w) AS mw FROM edges_all
+    ), edges AS (
+      SELECT src, dst FROM edges_all, mx WHERE w * 3 >= mw
+    ), reach(node, d) AS (
+      SELECT CAST(10 AS INT), 0
+      UNION ALL
+      SELECT CAST(e.dst AS INT), r.d + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.d < 3
+    )
+    SELECT CAST(node AS INT) AS nationkey, CAST(MIN(d) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+    """
+    )

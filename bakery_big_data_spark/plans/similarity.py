@@ -26,9 +26,54 @@ from bakery_big_data_spark.plans.base import register, t
 
 #: Persisted per-(session, sf) pair frames shared across query rows: the
 #: exact all-pairs truth at cosine>=0.45 (near-dup row + recall row's
-#: labeled verifier) and the LSH candidate pairs at the same threshold
-#: (recall row + SemDeDup canonicalization row).
-_SIM_CACHE = PlanCache(max_entries=4)
+#: labeled verifier), the LSH candidate pairs at the same threshold
+#: (recall row + SemDeDup canonicalization row), the 5-query brute-force
+#: top-10 ground truth (five rows measure recall against the identical
+#: frame), and the pinned-dial SemDeDup pairs on the vec_id<2000
+#: certificate slice (scaled + clusters rows).  max_entries covers one
+#: sf's full working set without LRU thrash during a catalog sweep.
+_SIM_CACHE = PlanCache(max_entries=8)
+
+
+def _bf_truth_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the deterministic vec_id < 5
+    query set — the recall ground truth five rows compare against
+    (bruteforce, ann_recall, ivf_recall, ivf_served, ivf_upsert_served).
+    One full-corpus scoring pass per (session, sf) instead of five
+    (guide §1.2: the same decision table re-derived per row is the first
+    redundancy to remove); the persisted frame is 5×10 rows."""
+    return _SIM_CACHE.get_or_build(
+        spark,
+        (sf_dir, "bf_topk5_k10"),
+        lambda: brute_force_topk(
+            t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5),
+            t(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            k=10,
+        ).persist(),
+    )
+
+
+def _sds_pinned_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs at the PINNED operating point (default 12×4 banding,
+    threshold 0.45) over the deterministic vec_id < 2000 certificate
+    slice — shared by dedup_semantic_scaled (labels them caught/missed)
+    and dedup_semantic_clusters (contracts them to components)."""
+    from bakery_big_data_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    return _SIM_CACHE.get_or_build(
+        spark,
+        (sf_dir, "sds_pinned_sample", 0.45),
+        lambda: semantic_dedup_pairs(
+            t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _SDS_SAMPLE),
+            "vec_id",
+            "embedding",
+            threshold=0.45,
+        ).persist(),
+    )
 
 
 def _truth_pairs_045(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,9 +154,7 @@ _VEC_CTE = f"""
         "the ANN baseline; zip_with/aggregate order-exact dot products",
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    return _bf_truth_topk(spark, sf_dir)
 
 
 @register(
@@ -250,9 +293,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=4,
         probe_hamming=2,
     ).select("q_id", "c_id")
-    bf = brute_force_topk(queries, emb, "vec_id", "embedding", k=10).select(
-        "q_id", "c_id"
-    )
+    bf = _bf_truth_topk(spark, sf_dir).select("q_id", "c_id")
     hits = bf.join(ann, ["q_id", "c_id"]).groupBy("q_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -713,9 +754,7 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "embedding", k=10, n_probe=8,
         cache_key=sf_dir + ":recall8",
     ).select("q_id", "c_id")
-    bf = brute_force_topk(queries, emb, "vec_id", "embedding", k=10).select(
-        "q_id", "c_id"
-    )
+    bf = _bf_truth_topk(spark, sf_dir).select("q_id", "c_id")
     hits = bf.join(ann, ["q_id", "c_id"]).agg(
         F.count(F.lit(1)).alias("_hits")
     )
@@ -1495,9 +1534,7 @@ def similarity_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_served_topk(
         spark, index_path, queries, "vec_id", "embedding", k=10, n_probe=8
     ).select("q_id", "c_id")
-    bf = brute_force_topk(queries, emb, "vec_id", "embedding", k=10).select(
-        "q_id", "c_id"
-    )
+    bf = _bf_truth_topk(spark, sf_dir).select("q_id", "c_id")
     hits = bf.join(ann, ["q_id", "c_id"]).agg(
         F.count(F.lit(1)).alias("_hits")
     )
@@ -1619,10 +1656,9 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     k, h = semdedup_scaled_params(emb.count())
-    sample = emb.filter(F.col("vec_id") < _SDS_SAMPLE)
-    pinned = semantic_dedup_pairs(
-        sample, "vec_id", "embedding", threshold=0.45
-    )
+    # pinned-dial pairs on the certificate slice: shared with
+    # dedup_semantic_clusters via _SIM_CACHE (one banding pass, not two)
+    pinned = _sds_pinned_sample_pairs(spark, sf_dir)
     scaled = semantic_dedup_pairs(
         emb, "vec_id", "embedding", threshold=0.45,
         num_planes=k, probe_hamming=h,
@@ -1695,15 +1731,12 @@ _SDC_SQL = f"""
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.operators.dedup import connected_components
-    from bakery_big_data_spark.operators.similarity import (
-        semantic_dedup_pairs,
-    )
 
     emb = t(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") < _SDS_SAMPLE)
-    pairs = semantic_dedup_pairs(
-        sample, "vec_id", "embedding", threshold=0.45
-    ).select("id_a", "id_b")
+    # pinned-dial pairs on the certificate slice: shared with
+    # dedup_semantic_scaled via _SIM_CACHE (one banding pass, not two)
+    pairs = _sds_pinned_sample_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = connected_components(sample.select("vec_id"), pairs, "vec_id")
     sizes = comp.groupBy("canonical_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -1755,9 +1788,7 @@ def similarity_ivf_upsert_served(
     ann = ivf_served_topk(
         spark, index_path, queries, "vec_id", "embedding", k=10, n_probe=8
     ).select("q_id", "c_id")
-    bf = brute_force_topk(queries, emb, "vec_id", "embedding", k=10).select(
-        "q_id", "c_id"
-    )
+    bf = _bf_truth_topk(spark, sf_dir).select("q_id", "c_id")
     hits = bf.join(ann, ["q_id", "c_id"]).agg(
         F.count(F.lit(1)).alias("_hits")
     )

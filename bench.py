@@ -414,6 +414,10 @@ def main() -> None:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
+    # an explicit SPARK_GRAFT_DETAIL_PATH may point into a directory that
+    # does not exist yet — create it up front, not after the timed sweep
+    # (a 20-minute run must not die on the final open())
+    os.makedirs(os.path.dirname(os.path.abspath(detail_path)), exist_ok=True)
     # Regression gate vs the COMMITTED previous round's detail (whatever
     # is on disk before this run overwrites it): normalize by the
     # common-set total, flag >2x per-query outliers.  Mechanical

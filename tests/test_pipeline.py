@@ -789,13 +789,17 @@ def test_streaming_semantic_gate_compaction_pressure_and_replay(spark):
 
     # 36 deterministic vectors, 2 per chunk; vec i and i+18 are identical
     # (cosine 1.0) so every chunk's pair partner arrives 9 chunks later —
-    # late demotions keep landing while segments accumulate and compact
+    # late demotions keep landing while segments accumulate and compact.
+    # Distinct bases use DISJOINT coordinate pairs (2b, 2b+1) so cross-base
+    # cosine is exactly 0 — an overlapping layout (b, b+7) silently put
+    # bases 7 apart at cosine 12/25 = 0.48 >= the 0.45 gate threshold and
+    # perturbed the expected canonicals.
     vecs, ids = [], []
     for i in range(36):
         v = [0.0] * dim
         base = i % 18
-        v[base % dim] = 3.0
-        v[(base + 7) % dim] = 4.0
+        v[2 * base] = 3.0
+        v[2 * base + 1] = 4.0
         vecs.append(v)
         ids.append(i + 1)
     pq.write_table(

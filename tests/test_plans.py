@@ -154,6 +154,11 @@ NESTED_LOOP_ALLOWED = {
     # joined onto the served-topk summary row for the certified output
     # (same class as sketch_incremental_distinct's final assembly)
     "similarity_ivf_upsert_served",
+    # deliberate 1-row × 1-row broadcast cross: the HLL estimate joined
+    # onto the exact-count row — split from one mixed aggregate so the
+    # Expand-planned distinct no longer allocates an rsd=0.01 HLL buffer
+    # per (gid, user_id) partial group
+    "approx_count_distinct_scale",
 }
 
 # mapInPandas/applyInPandas plans (python stages); still shuffle-sane but
