@@ -891,6 +891,7 @@ def lloyd_ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 3,
     n_iters: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF top-k over the :func:`lloyd_centroids` quantizer — the
     hash-certifiable IVF row: probe the ``n_probe`` nearest centroids
@@ -898,22 +899,42 @@ def lloyd_ivf_topk(
     probed clusters' members, ``row_number`` ties broken on candidate id.
     Identical plan shape to :func:`ivf_topk` (broadcast centroid frame,
     cluster equi-join, per-query window) with the trained-quantizer RNG
-    replaced by the portable recipe."""
-    cent = lloyd_centroids(corpus, id_col, vec_col, n_clusters, n_iters)
-    centarr = _centroid_array(cent)
+    replaced by the portable recipe.
 
-    c0 = with_norm2(corpus, vec_col, "_cn").select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
-    )
-    # map-side argmin over the broadcast centroid array — same total
-    # order (dist2, then j) the former per-c_id window used, with no
-    # corpus×16 Exchange+Sort behind it
-    assigned = c0.crossJoin(F.broadcast(centarr)).select(
-        "c_id",
-        "_cv",
-        "_cn",
-        _argmin_cluster(F.col("_cv")).alias("_cluster"),
-    )
+    ``cache_key``: like :func:`ivf_topk`'s, pins the trained index — the
+    cluster-assigned corpus and the centroid array — in the shared
+    ``_IVF_INDEX_CACHE`` (bounded LRU, unpersist-on-evict).  A quantizer
+    is an index: build once per (session, corpus), serve every query
+    batch from it; the recipe is seeded/deterministic so cached and
+    fresh builds are bit-identical."""
+
+    def _build_index(persist: bool):
+        cent = lloyd_centroids(corpus, id_col, vec_col, n_clusters, n_iters)
+        centarr = _centroid_array(cent)
+        c0 = with_norm2(corpus, vec_col, "_cn").select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "_cn"
+        )
+        # map-side argmin over the broadcast centroid array — same total
+        # order (dist2, then j) the former per-c_id window used, with no
+        # corpus×16 Exchange+Sort behind it
+        built = c0.crossJoin(F.broadcast(centarr)).select(
+            "c_id",
+            "_cv",
+            "_cn",
+            _argmin_cluster(F.col("_cv")).alias("_cluster"),
+        )
+        if persist:
+            built = built.persist()
+        return built, centarr
+
+    if cache_key is not None:
+        assigned, centarr = _IVF_INDEX_CACHE.get_or_build(
+            corpus.sparkSession,
+            (cache_key, "lloyd", n_clusters, n_iters),
+            lambda: _build_index(True),
+        )
+    else:
+        assigned, centarr = _build_index(False)
 
     q0 = with_norm2(queries, vec_col, "_qn").select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"), "_qn"

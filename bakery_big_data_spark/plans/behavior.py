@@ -644,12 +644,23 @@ def drift_chisquare_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") / F.lit(25.0)).cast("bigint"), F.lit(8)
         ).alias("bin"),
     )
-    g = src.groupBy("bin").agg(F.count(F.lit(1)).alias("gc"))
-    gt = src.agg(F.count(F.lit(1)).alias("gn"))
-    o = src.groupBy("event_type", "d", "bin").agg(
-        F.count(F.lit(1)).alias("oc")
+    # r13: ONE events pass — the finest-grain contingency cube `o` is
+    # aggregated once and the global-bin/global-total/per-(type,day)
+    # margins are BIGINT-exact rollups of it (sum of counts = count),
+    # where previously each margin re-scanned events (guide §1.2/§2.3).
+    # The cut stops the four consumers re-running the scan; |o| is
+    # |types × days × bins| — tiny.
+    from bakery_big_data_spark.operators.checkpointing import cut_lineage
+
+    o = cut_lineage(
+        src.groupBy("event_type", "d", "bin").agg(
+            F.count(F.lit(1)).alias("oc")
+        ),
+        None,
     )
-    n = src.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("nk"))
+    g = o.groupBy("bin").agg(F.sum("oc").alias("gc"))
+    gt = o.agg(F.sum("oc").alias("gn"))
+    n = o.groupBy("event_type", "d").agg(F.sum("oc").alias("nk"))
     base = (
         n.crossJoin(F.broadcast(g))
         .crossJoin(F.broadcast(gt))
@@ -1393,14 +1404,23 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = se.groupBy("user_id", "sid").agg(
         F.min("us").alias("s_us"), F.max("us").alias("e_us")
     )
+    # r13: +1/−1 boundary events via ONE explode instead of a two-leg
+    # union — the union re-executed the whole sessionization chain
+    # (events scan + two windows + groupBy) once per leg (guide §1.2).
+    # Same (us, delta) multiset.
     bounds = sessions.select(
-        F.col("s_us").alias("us"), F.lit(1).alias("delta")
-    ).unionAll(
-        sessions.select(
-            (F.col("e_us") + F.lit(1)).alias("us"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_us").alias("us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("e_us") + F.lit(1)).alias("us"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_b")
+    ).select("_b.us", "_b.delta")
     wr = Window.orderBy("us", "delta").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

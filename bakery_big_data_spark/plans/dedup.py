@@ -26,7 +26,6 @@ from bakery_big_data_spark.operators.cache import PlanCache
 from bakery_big_data_spark.operators.dedup import (
     canonical_assignment,
     connected_components,
-    exact_ngram_pairs,
     portable_candidate_pairs,
     simhash_banded_pairs,
     verify_pairs,
@@ -188,6 +187,73 @@ def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFram
     )
 
 
+#: Shared-shingle intersection counts with both set sizes attached —
+#: (id_a, id_b, _inter, _na, _nb) for every doc pair sharing >= 1 trigram
+#: shingle.  THREE rows derive their answer from exactly this frame
+#: (dedup_ngram_jaccard_pairs, the truth side of dedup_minhash_recall and
+#: dedup_containment_pairs), and each previously re-ran the Σ df² shared-
+#: token self-join to rebuild it (guide §1.2: the same decision table
+#: re-derived per row is the first redundancy to remove).  ~1.13M rows of
+#: five numerics at sf0.1 — small enough to pin, corpus-pass-sized to build.
+_INTER_CACHE = PlanCache(max_entries=2)
+
+
+def _inter_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = _shingled(spark, sf_dir, cache=True)
+        tok = docs.select(
+            "doc_id", F.explode(F.col("shingles")).alias("_tok")
+        )
+        a, b = tok.alias("a"), tok.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a._tok") == F.col("b._tok"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        sizes = docs.select("doc_id", F.size(F.col("shingles")).alias("_n"))
+        return (
+            inter.join(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("_n").alias("_na")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("_n").alias("_nb")
+                ),
+                "id_b",
+            )
+            .persist()
+        )
+
+    return _INTER_CACHE.get_or_build(spark, (sf_dir, "inter_sized"), build)
+
+
+def _exact_pairs_from_inter(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard pairs at ``threshold`` off the shared intersection
+    frame — selection order, expressions and output schema identical to
+    ``operators.dedup.exact_ngram_pairs`` (same counts, same single IEEE
+    divide), only the intersection join is shared instead of rebuilt."""
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    )
+    return (
+        _inter_sized(spark, sf_dir)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 @register(
     "dedup_exact_content",
     """
@@ -224,9 +290,7 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100%-recall baseline the LSH path is measured against",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_ngram_pairs(
-        _shingled(spark, sf_dir, cache=True), "doc_id", "shingles", threshold=0.5
-    )
+    return _exact_pairs_from_inter(spark, sf_dir, threshold=0.5)
 
 
 @register(
@@ -707,12 +771,11 @@ def _portable_minhash_recall_oracle() -> str:
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bakery_big_data_spark.operators.dedup import (
-        exact_ngram_pairs,
         with_portable_minhash_bands,
     )
 
     sh = _shingled(spark, sf_dir, cache=True)
-    truth = exact_ngram_pairs(sh, "doc_id", "shingles", threshold=0.5)
+    truth = _exact_pairs_from_inter(spark, sf_dir, threshold=0.5)
     bands = with_portable_minhash_bands(
         sh.filter(F.size("shingles") > 0), "doc_id", "shingles"
     )
@@ -809,29 +872,16 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token among the |A| - ceil(t|A|) + 1 rarest of A)",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _shingled(spark, sf_dir, cache=True)
-    tok = docs.filter(F.size("shingles") > 0).select(
-        "doc_id", F.explode("shingles").alias("_b")
-    )
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a._b") == F.col("b._b"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sizes = docs.select("doc_id", F.size("shingles").alias("n"))
-    j = inter.join(
-        sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+    # the undirected intersection join is the SHARED frame (r13: one
+    # Σ df² pass serves this row, the exact-Jaccard baseline and the
+    # minhash-recall truth side); column names restated for the ratio
+    # projections below, values identical to the former inline join
+    j = _inter_sized(spark, sf_dir).select(
         "id_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
         "id_b",
+        F.col("_inter").alias("i"),
+        F.col("_na").alias("na"),
+        F.col("_nb").alias("nb"),
     )
     fwd = j.filter(
         F.col("i").cast("double") / F.col("na") >= 0.8

@@ -1216,28 +1216,34 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("side"),
         "user_id",
     ).distinct()
+    # r13: ONE distinct pass feeds the sketches AND every exact leg —
+    # the row previously re-ran the events scan + global distinct SIX
+    # times (one per exact aggregate + the sketch + the intersect join;
+    # guide §1.2).  The cut stops the two consumers below re-executing
+    # the scan+distinct; ~2×|users| rows.
+    from bakery_big_data_spark.operators.checkpointing import cut_lineage
+
+    src = cut_lineage(src, None)
     sk = kmv_side_sketches(src, "side", "user_id", k=k, salt_buckets=32)
     a = sk.filter(F.col("side") == "a").select(F.col("arr").alias("a_arr"))
     b = sk.filter(F.col("side") == "b").select(F.col("arr").alias("b_arr"))
-    ea = src.filter(F.col("side") == "a").agg(
-        F.countDistinct("user_id").alias("exact_a")
+    # per-user side membership: every exact count is a conditional count
+    # over this rollup (src is distinct (side, user) pairs, so
+    # countDistinct-per-side == count of users whose membership flag is
+    # set — identical integers to the former four separate aggregates)
+    m = src.groupBy("user_id").agg(
+        F.max(F.col("side") == "a").alias("_in_a"),
+        F.max(F.col("side") == "b").alias("_in_b"),
     )
-    eb = src.filter(F.col("side") == "b").agg(
-        F.countDistinct("user_id").alias("exact_b")
+    exacts = m.agg(
+        F.count(F.when(F.col("_in_a"), F.lit(1))).alias("exact_a"),
+        F.count(F.when(F.col("_in_b"), F.lit(1))).alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.count(
+            F.when(F.col("_in_a") & F.col("_in_b"), F.lit(1))
+        ).alias("exact_intersect"),
     )
-    eu = src.agg(F.countDistinct("user_id").alias("exact_union"))
-    ua = src.filter(F.col("side") == "a").select("user_id")
-    ub = src.filter(F.col("side") == "b").select("user_id")
-    ei = ua.join(ub, "user_id").agg(
-        F.count(F.lit(1)).alias("exact_intersect")
-    )
-    row = (
-        a.crossJoin(b)
-        .crossJoin(F.broadcast(ea))
-        .crossJoin(F.broadcast(eb))
-        .crossJoin(F.broadcast(eu))
-        .crossJoin(F.broadcast(ei))
-    )
+    row = a.crossJoin(b).crossJoin(F.broadcast(exacts))
     u_arr = F.slice(
         F.array_sort(F.array_distinct(F.concat(F.col("a_arr"), F.col("b_arr")))),
         1,
@@ -2038,8 +2044,69 @@ def _ri_oracle() -> str:
         "between tables.  Exact integer counts, one IEEE divide",
 )
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
-    for name, child, fk, parent, pk in _RI_EDGES:
+    # r13: the three lineitem FK edges ride ONE fact scan (guide §1.2 —
+    # remove redundant passes): explode each row into (edge_idx, fk) and
+    # aggregate to (edge, key, f) in one map-side-combinable pass, then
+    # left-join the per-edge parent key unions and roll up per edge.  At
+    # 100 TB this is 1 fact scan instead of 3; integers are identical
+    # (every exploded row contributes exactly its edge's key, and a key's
+    # match verdict is per-(edge, key), as before).
+    li_edges = [e for e in _RI_EDGES if e[1] == "lineitem"]
+    rest = [e for e in _RI_EDGES if e[1] != "lineitem"]
+
+    li = t(spark, sf_dir, "lineitem")
+    ex = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_e"), F.col(fk).alias("_fk")
+                    )
+                    for i, (_n, _c, fk, _p, _pk) in enumerate(li_edges)
+                ]
+            )
+        ).alias("_s")
+    )
+    c_agg = ex.groupBy(
+        F.col("_s._e").alias("_e"), F.col("_s._fk").alias("_fk")
+    ).agg(F.count(F.lit(1)).alias("_f"))
+    par = None
+    for i, (_n, _c, _fk, parent, pk) in enumerate(li_edges):
+        pdf = t(spark, sf_dir, parent).select(
+            F.lit(i).alias("_e"), F.col(pk).cast("bigint").alias("_pk")
+        )
+        par = pdf if par is None else par.unionByName(pdf)
+    name_expr = None
+    for i, (name, _c, _fk, _p, _pk) in enumerate(li_edges):
+        cond = F.when(F.col("_e") == i, F.lit(name))
+        name_expr = cond if name_expr is None else name_expr.when(
+            F.col("_e") == i, F.lit(name)
+        )
+    out = (
+        c_agg.alias("c")
+        .join(
+            par.alias("p"),
+            (F.col("c._e") == F.col("p._e"))
+            & (F.col("c._fk") == F.col("p._pk")),
+            "left",
+        )
+        .groupBy(F.col("c._e").alias("_e"))
+        .agg(
+            F.sum("_f").alias("n_child_rows"),
+            F.sum(
+                F.when(F.col("p._pk").isNull(), F.col("_f")).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .select(
+            name_expr.alias("fk_edge"),
+            "n_child_rows",
+            "n_orphans",
+            (
+                F.col("n_orphans").cast("double") / F.col("n_child_rows")
+            ).alias("orphan_rate"),
+        )
+    )
+    for name, child, fk, parent, pk in rest:
         # Pre-aggregate the child side to (fk, f) BEFORE the parent join
         # (guide §2.3 "aggregate before you shuffle"): the join then
         # carries |distinct fk| rows instead of |child| rows — at 100 TB
@@ -2708,16 +2775,24 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    n_row = digits.agg(F.count(F.lit(1)).alias("n_tot"))
     expect = F.lit(None).cast("double")
     for d in range(9, 0, -1):
         expect = F.when(
             F.col("digit") == d, F.lit(_BENFORD_P[d - 1])
         ).otherwise(expect)
+    # r13: n_tot = sum of the ≤9 per-digit group counts via a full-frame
+    # window over the Aggregate (identical BIGINT; count = sum of group
+    # counts) — was a separate full orders scan + 1-row broadcast cross
+    # (guide §1.2: one pass, not two).
+    from pyspark.sql.window import Window
+
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         digits.groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_amounts"))
-        .crossJoin(F.broadcast(n_row))
+        .withColumn("n_tot", F.sum("n_amounts").over(wtot))
         .select(
             "digit",
             F.col("n_amounts").cast("bigint").alias("n_amounts"),
@@ -2793,13 +2868,18 @@ def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    tot = rev.agg(
-        F.sum(F.col("revenue").cast("decimal(30,6)"))
-        .cast("double")
-        .alias("total")
-    )
+    # r13: the grand total is the SAME decimal sum the cumulative window
+    # computes, taken over the full frame — a second full-frame window on
+    # the per-part aggregate replaces the former separate lineitem
+    # re-scan + re-aggregate + 1-row broadcast cross (guide §1.2: one
+    # fact pass, not two).  Decimal sums are order-free ⇒ bit-identical
+    # to the former rev.agg() total; both windows sit above the Aggregate
+    # (|parts| rows), per the global-window guard convention.
     w = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = rev.select(
         "partkey",
@@ -2808,8 +2888,12 @@ def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("cum"),
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .over(wtot)
+        .cast("double")
+        .alias("total"),
     )
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+    classed = ranked.select(
         "revenue",
         "total",
         F.when(F.col("cum") <= F.lit(0.8) * F.col("total"), "A")
