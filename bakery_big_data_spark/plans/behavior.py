@@ -1201,17 +1201,22 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    n_row = purchases.agg(F.count(F.lit(1)).alias("n_total"))
     attributed = asof_join(
         purchases, touches, "user_id", "ts", "ts", ["channel"]
     )
+    # r13: n_total = window-sum of the per-channel counts — asof_join is
+    # left-preserving (one output row per purchase, NULL channel when no
+    # prior touch), so the sum over channel groups IS the purchase count
+    # the former third events scan + 1-row broadcast cross recomputed
+    # (guide §1.2).  Window sits above the Aggregate (≤|channels| rows).
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        attributed.crossJoin(F.broadcast(n_row))
-        .groupBy(
+        attributed.groupBy(
             F.coalesce(F.col("channel"), F.lit("unattributed")).alias(
                 "channel"
             ),
-            "n_total",
         )
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
@@ -1219,6 +1224,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+        .withColumn("n_total", F.sum("n_purchases").over(wtot))
         .select(
             "channel",
             "n_purchases",

@@ -2044,69 +2044,16 @@ def _ri_oracle() -> str:
         "between tables.  Exact integer counts, one IEEE divide",
 )
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r13: the three lineitem FK edges ride ONE fact scan (guide §1.2 —
-    # remove redundant passes): explode each row into (edge_idx, fk) and
-    # aggregate to (edge, key, f) in one map-side-combinable pass, then
-    # left-join the per-edge parent key unions and roll up per edge.  At
-    # 100 TB this is 1 fact scan instead of 3; integers are identical
-    # (every exploded row contributes exactly its edge's key, and a key's
-    # match verdict is per-(edge, key), as before).
-    li_edges = [e for e in _RI_EDGES if e[1] == "lineitem"]
-    rest = [e for e in _RI_EDGES if e[1] != "lineitem"]
-
-    li = t(spark, sf_dir, "lineitem")
-    ex = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("_e"), F.col(fk).alias("_fk")
-                    )
-                    for i, (_n, _c, fk, _p, _pk) in enumerate(li_edges)
-                ]
-            )
-        ).alias("_s")
-    )
-    c_agg = ex.groupBy(
-        F.col("_s._e").alias("_e"), F.col("_s._fk").alias("_fk")
-    ).agg(F.count(F.lit(1)).alias("_f"))
-    par = None
-    for i, (_n, _c, _fk, parent, pk) in enumerate(li_edges):
-        pdf = t(spark, sf_dir, parent).select(
-            F.lit(i).alias("_e"), F.col(pk).cast("bigint").alias("_pk")
-        )
-        par = pdf if par is None else par.unionByName(pdf)
-    name_expr = None
-    for i, (name, _c, _fk, _p, _pk) in enumerate(li_edges):
-        cond = F.when(F.col("_e") == i, F.lit(name))
-        name_expr = cond if name_expr is None else name_expr.when(
-            F.col("_e") == i, F.lit(name)
-        )
-    out = (
-        c_agg.alias("c")
-        .join(
-            par.alias("p"),
-            (F.col("c._e") == F.col("p._e"))
-            & (F.col("c._fk") == F.col("p._pk")),
-            "left",
-        )
-        .groupBy(F.col("c._e").alias("_e"))
-        .agg(
-            F.sum("_f").alias("n_child_rows"),
-            F.sum(
-                F.when(F.col("p._pk").isNull(), F.col("_f")).otherwise(0)
-            ).alias("n_orphans"),
-        )
-        .select(
-            name_expr.alias("fk_edge"),
-            "n_child_rows",
-            "n_orphans",
-            (
-                F.col("n_orphans").cast("double") / F.col("n_child_rows")
-            ).alias("orphan_rate"),
-        )
-    )
-    for name, child, fk, parent, pk in rest:
+    # r13 note: a one-fact-scan consolidation of the three lineitem edges
+    # (explode to (edge_idx, fk) + single mixed-key aggregate) was
+    # implemented, oracle-verified and then REVERTED on measurement: with
+    # parquet column pruning the three per-edge scans each read a
+    # DISJOINT single key column (same total bytes as one 3-column scan),
+    # while the explode tripled the aggregate's input rows — ×10-corpus
+    # A/B 3.48 s → 4.13 s.  The per-edge pre-aggregation below (batch 2)
+    # remains the scale-relevant fix.
+    out = None
+    for name, child, fk, parent, pk in _RI_EDGES:
         # Pre-aggregate the child side to (fk, f) BEFORE the parent join
         # (guide §2.3 "aggregate before you shuffle"): the join then
         # carries |distinct fk| rows instead of |child| rows — at 100 TB
