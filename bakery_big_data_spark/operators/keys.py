@@ -99,6 +99,8 @@ def add_prefix_sum(
     value_col: str,
     out_col: str = "prefix_sum",
     num_partitions: int | None = None,
+    out_type: str | None = "bigint",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Scalable running SUM of ``value_col`` within each ``partition_by``
     group, in ``order_by`` order (inclusive of the current row).
@@ -111,7 +113,22 @@ def add_prefix_sum(
     group) partial sums (tiny frame), cumulate THOSE per group (window
     over O(partitions) rows), broadcast the offsets back, and add a
     partition-local running sum.  ``order_by`` must be a total order
-    within each group.
+    within each group — OR rows tying on (group, order) must be
+    interchangeable for the caller (identical ``value_col`` and the
+    downstream consumer order-invariant over ties, e.g. a MAX/multiset
+    aggregate), since ties may straddle two adjacent range partitions.
+
+    ``out_type`` casts the result (default ``bigint`` for the original
+    count-style callers); pass ``None`` to keep the native sum type —
+    exact for DECIMAL running sums, whose addition is associative, so the
+    decomposed partial+offset sum is bit-identical to the single-task
+    window's.
+
+    ``total_col`` additionally attaches each group's GRAND TOTAL of
+    ``value_col`` (the ``SUM() OVER (PARTITION BY g)`` unbounded frame),
+    folded into the offsets broadcast as one unbounded window over the
+    O(partitions)-row partials — no second corpus pass, no second
+    unbounded window over the data, no extra broadcast join.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
@@ -128,6 +145,7 @@ def add_prefix_sum(
     partials = ranged.groupBy(_PID, partition_by).agg(
         F.sum(value_col).alias(_CNT)
     )
+    offset_cols = [_PID, partition_by, _OFF]
     offsets = partials.withColumn(
         _OFF,
         F.coalesce(
@@ -138,7 +156,21 @@ def add_prefix_sum(
             ),
             F.lit(0),
         ),
-    ).select(_PID, partition_by, _OFF)
+    )
+    if total_col is not None:
+        # group grand total folded into the SAME broadcast frame (one
+        # unbounded window over the O(partitions)-row partials) — no
+        # second rollup job, no second broadcast join
+        offsets = offsets.withColumn(
+            total_col,
+            F.sum(_CNT).over(
+                Window.partitionBy(partition_by).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        offset_cols.append(total_col)
+    offsets = offsets.select(*offset_cols)
     local = ranged.withColumn(
         _RN,
         F.sum(value_col).over(
@@ -147,9 +179,12 @@ def add_prefix_sum(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    running = F.col(_OFF) + F.col(_RN)
+    if out_type is not None:
+        running = running.cast(out_type)
     return (
         local.join(F.broadcast(offsets), [_PID, partition_by])
-        .withColumn(out_col, (F.col(_OFF) + F.col(_RN)).cast("bigint"))
+        .withColumn(out_col, running)
         .drop(_PID, _RN, _OFF)
     )
 

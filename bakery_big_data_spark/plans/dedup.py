@@ -197,9 +197,36 @@ def _shingled(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFram
 #: five numerics at sf0.1 — small enough to pin, corpus-pass-sized to build.
 _INTER_CACHE = PlanCache(max_entries=2)
 
+#: r14 (r13 verdict task 4): persisting the pair frame WINS at sf0.1
+#: (trio 0.53×) and ×10 (<1.0×) but LOSES at ×100 (1.35× — the columnar
+#: cache write+read of the ~100×-scaled pair frame exceeds the two saved
+#: Σ df² joins' codegen recompute).  Gate the persist on the input corpus
+#: size: below the threshold the shared frame is pinned, above it each
+#: consumer keeps the plain (unpersisted) builder — identical plan, no
+#: cache materialization.  Parameterised for non-local tiers; the default
+#: sits between the measured ×10 win and ×100 loss (documents.parquet is
+#: ~0.6 MB at sf0.1, ~6 MB at ×10, ~60 MB at ×100).
+_INTER_PERSIST_MAX_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_INTER_PERSIST_MAX_BYTES", str(24 * 1024 * 1024)
+    )
+)
+
+
+def _inter_persist_ok(sf_dir: str) -> bool:
+    import os
+
+    try:
+        return (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            <= _INTER_PERSIST_MAX_BYTES
+        )
+    except OSError:
+        return True  # unknown layout — keep the bench-SF-proven default
+
 
 def _inter_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build() -> DataFrame:
+    def build(persist: bool = True) -> DataFrame:
         docs = _shingled(spark, sf_dir, cache=True)
         tok = docs.select(
             "doc_id", F.explode(F.col("shingles")).alias("_tok")
@@ -218,7 +245,7 @@ def _inter_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("_inter"))
         )
         sizes = docs.select("doc_id", F.size(F.col("shingles")).alias("_n"))
-        return (
+        out = (
             inter.join(
                 sizes.select(
                     F.col("doc_id").alias("id_a"), F.col("_n").alias("_na")
@@ -231,9 +258,12 @@ def _inter_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "id_b",
             )
-            .persist()
         )
+        return out.persist() if persist else out
 
+    if not _inter_persist_ok(sf_dir):
+        # above the size gate: plain builder per consumer, no pinning
+        return build(persist=False)
     return _INTER_CACHE.get_or_build(spark, (sf_dir, "inter_sized"), build)
 
 

@@ -2793,10 +2793,12 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broken by part key), class boundaries compared in double "
         "against 0.8/0.95 of the exact total — identical compares in "
         "both engines because every operand is bit-identical.  Plan "
-        "shape: the corpus-sized stage is the per-part revenue "
-        "aggregate; the running sum and classing run over the "
-        "AGGREGATE-BOUNDED part frame (O(parts), the allowed global-"
-        "window shape), final 3-row class rollup",
+        "shape (r14): the corpus-sized stage is the per-part revenue "
+        "aggregate; the running sum is RANGE-DECOMPOSED over the "
+        "aggregate-bounded part frame (add_prefix_sum — |parts| is "
+        "still linear in corpus, so no single-task global window even "
+        "here), the grand total rolls up from the same partials, final "
+        "3-row class rollup",
 )
 def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -2815,30 +2817,46 @@ def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    # r13: the grand total is the SAME decimal sum the cumulative window
-    # computes, taken over the full frame — a second full-frame window on
-    # the per-part aggregate replaces the former separate lineitem
-    # re-scan + re-aggregate + 1-row broadcast cross (guide §1.2: one
-    # fact pass, not two).  Decimal sums are order-free ⇒ bit-identical
-    # to the former rev.agg() total; both windows sit above the Aggregate
-    # (|parts| rows), per the global-window guard convention.
-    w = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = rev.select(
+    # r14 (r13 verdict task 3): the cumulative-revenue running sum was a
+    # GLOBAL unpartitioned window over the per-part aggregate — bounded
+    # by |parts| but still one task, and |parts| is linear in corpus at
+    # 100 TB (within pareto's 9.98 s at the ×100 corpus).  add_prefix_sum
+    # range-decomposes it (operators/keys.py): range-partition on
+    # (revenue DESC, partkey) — a total order, so the decomposition is
+    # deterministic — partition-local running decimal sums +
+    # O(partitions)-row offset cumulation.  The per-part aggregate is
+    # localCheckpointed FIRST so the range machinery's sampling pass and
+    # shuffle read the materialized |parts| frame instead of re-running
+    # the lineitem aggregation per pass (without this the sf0.1 A/B
+    # regressed 1.63 s -> 4.28 s; with it the corpus stage still runs
+    # exactly once, as in r13).  Decimal addition is exact and
+    # associative, so both `cum` and the `total` rollup (grand total
+    # from the same partials — replacing r13's second unbounded window)
+    # are bit-identical to the single-task windows' values.
+    from bakery_big_data_spark.operators.keys import add_prefix_sum
+
+    rev_cp = rev.select(
         "partkey",
         "revenue",
-        F.sum(F.col("revenue").cast("decimal(30,6)"))
-        .over(w)
-        .cast("double")
-        .alias("cum"),
-        F.sum(F.col("revenue").cast("decimal(30,6)"))
-        .over(wtot)
-        .cast("double")
-        .alias("total"),
+        F.col("revenue").cast("decimal(30,6)").alias("_rd"),
+        F.lit(0).alias("_g"),
+    ).localCheckpoint(eager=True)
+    ranked = (
+        add_prefix_sum(
+            rev_cp,
+            "_g",
+            [F.col("revenue").desc(), F.col("partkey")],
+            "_rd",
+            out_col="_cum_dec",
+            out_type=None,
+            total_col="_tot_dec",
+        )
+        .select(
+            "partkey",
+            "revenue",
+            F.col("_cum_dec").cast("double").alias("cum"),
+            F.col("_tot_dec").cast("double").alias("total"),
+        )
     )
     classed = ranked.select(
         "revenue",

@@ -39,7 +39,7 @@ import re
 #: Artifact horizon the committed DRIVER_WINDOW was computed from: only
 #: CORRECTNESS_r{N}.json with N <= ROTATION_AS_OF participate.  Bump this
 #: (and regenerate DRIVER_WINDOW via compute_rotation) once per round.
-ROTATION_AS_OF = 12
+ROTATION_AS_OF = 13
 
 #: Permanent window residents — flagship + medallion + one anchor per §2
 #: capability cluster and LLM-pipeline family (the r11 veteran set).

@@ -637,20 +637,31 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_adjacent_triples("ws")).alias("g")
     ).select("doc_id", "g.w1", "g.w2", "g.w3")
     train = tri.filter(F.col("doc_id") % 2 == 0)
-    m3 = (
+    # r14 (r13 verdict task 7): the bigram/unigram counts and the train-
+    # token total are EXACT rollups of the trigram count table — c(w2,w3)
+    # = Σ_w1 c(w1,w2,w3), c(w3) = Σ_(w1,w2), N = Σ_all (every train row
+    # is one trigram occurrence).  The former shape re-ran the documents
+    # scan + tokenize + explode once per model plus once for N (before-
+    # plan: 12 parquet scans, no exchange reuse across the differently-
+    # keyed aggregates); one vocab-sized count table, checkpointed, now
+    # feeds all four (guide §1.2: one corpus pass for model fit).
+    # Integer count rollups are exact, so every probability is
+    # bit-identical to the per-model COUNT(*) form the oracle restates.
+    base = (
         train.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("_n3"))
-        .select(
-            "w1", "w2", "w3",
-            (
-                F.col("_n3").cast("double")
-                / F.sum("_n3").over(Window.partitionBy("w1", "w2"))
-            ).alias("p3"),
-        )
+        .localCheckpoint(eager=True)
+    )
+    m3 = base.select(
+        "w1", "w2", "w3",
+        (
+            F.col("_n3").cast("double")
+            / F.sum("_n3").over(Window.partitionBy("w1", "w2"))
+        ).alias("p3"),
     )
     m2 = (
-        train.groupBy("w2", "w3")
-        .agg(F.count(F.lit(1)).alias("_n2"))
+        base.groupBy("w2", "w3")
+        .agg(F.sum("_n3").alias("_n2"))
         .select(
             "w2", "w3",
             (
@@ -662,10 +673,10 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigram denominator via a 1-row broadcast cross (the corpus-total
     # idiom of text_vocab_coverage — a global window would single-
     # partition the vocab)
-    n_train = train.agg(F.count(F.lit(1)).alias("_nt"))
+    n_train = base.agg(F.sum("_n3").alias("_nt"))
     m1 = (
-        train.groupBy("w3")
-        .agg(F.count(F.lit(1)).alias("_n1"))
+        base.groupBy("w3")
+        .agg(F.sum("_n3").alias("_n1"))
         .crossJoin(F.broadcast(n_train))
         .select(
             "w3",

@@ -6,9 +6,21 @@ Prints ONE JSON line:
 
 Each query is built lazily and materialized via ``df.write.format("noop")``
 so the measurement is pure engine throughput, no driver transfer.  Every
-query runs twice and the MIN is kept — the first execution of a codepath
-pays one-time JVM/JIT/codegen costs that are not a property of the plan
-(round-1 verdict: string_functions measured 11.5 s cold vs 1.7 s warm).
+query runs twice; BOTH executions are recorded (r13 verdict task 1):
+
+- ``queries`` / ``value`` keep the MIN of the two runs — the first
+  execution of a codepath pays one-time JVM/JIT/codegen costs that are
+  not a property of the plan (round-1 verdict: string_functions measured
+  11.5 s cold vs 1.7 s warm), and the MIN series is the round-over-round
+  regression baseline every prior round was graded on.
+- ``cold_queries`` / ``cold_total`` in BENCH_DETAIL record run 1, so
+  shared-artifact builds (the session-scoped _SIM/_GRAPH/_INTER/_MANIFEST
+  /_IVF plan caches) are charged to their first consumer instead of being
+  excised by the min-of-2 protocol.  Nothing is pre-materialized before
+  the timed sweep except one generic JVM/codegen warm-up query; the
+  shared medallion silver cache build (formerly warmed untimed — the r13
+  verdict's gaming finding) is now paid inside the first medallion
+  consumer's cold time.
 
 ``--scaling`` additionally times the catalog at
 ``$SPARK_GRAFT_SMALL_SF_DIR`` (default sf0.01) and writes a per-query
@@ -214,24 +226,28 @@ def carry_forward_scaling(
     return detail
 
 
-def _time_catalog(spark, registry, sf_dir: str) -> tuple[dict, dict]:
-    """Two runs per query at ``sf_dir``, keep the MIN; returns
-    (timings, errors)."""
+def _time_catalog(spark, registry, sf_dir: str) -> tuple[dict, dict, dict]:
+    """Two runs per query at ``sf_dir``; returns (timings, colds, errors)
+    where ``timings`` is the MIN of the two runs (the regression baseline)
+    and ``colds`` is run 1 — the first execution, which pays any
+    session-cache / shared-artifact build its plan triggers."""
     timings: dict[str, float] = {}
+    colds: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry):
         q = registry[name]
-        best = float("inf")
+        runs: list[float] = []
         try:
             for _ in range(2):
                 start = time.perf_counter()
                 q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - start)
+                runs.append(time.perf_counter() - start)
         except Exception as exc:  # one broken query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        timings[name] = round(best, 4)
-    return timings, errors
+        timings[name] = round(min(runs), 4)
+        colds[name] = round(runs[0], 4)
+    return timings, colds, errors
 
 
 def _never_driver_checked(repo_dir: str, registry) -> list[str]:
@@ -336,27 +352,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers once so timings measure the queries.
+    # (The former pre-timed silver-cache warm-up is GONE — r13 verdict
+    # task 1: pre-materializing the shared medallion silver cache before
+    # the timed sweep excised its build cost from every reported number.
+    # The first medallion consumer's cold_sec now carries the build; the
+    # MIN series stays warm-cache and therefore comparable to prior
+    # rounds, since run 2 of that first consumer reads the cache run 1
+    # populated — the same warm state the old protocol measured.)
     REGISTRY["pricing_summary_quality_gated"].build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    # Also pre-materialize the shared medallion silver cache: several
-    # rows persist silver via pipeline_q._silver_cached, and Spark's
-    # CacheManager substitutes that InMemoryRelation into ANY later plan
-    # containing the same subtree — so in a full-catalog run whichever
-    # medallion row runs first pays the build and the rest (including
-    # the uncached medallion_silver_transform, whose plan matches) read
-    # the cache.  --only subsets used to measure those rows COLD, 2-4x
-    # their full-catalog numbers (the r11 driver-bench adjudication's
-    # only reproducible order effect).  Warming the cache here makes the
-    # timing protocol order- and subset-insensitive: every run measures
-    # the same warm state the regression baseline has always tracked.
-    from bakery_big_data_spark.plans.pipeline_q import _silver_cached
 
-    _silver_cached(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
-    timings, errors = _time_catalog(spark, registry, sf_dir)
+    timings, colds, errors = _time_catalog(spark, registry, sf_dir)
     if errors:
         print(json.dumps({"bench_errors": errors}), file=sys.stderr)
 
@@ -374,6 +381,11 @@ def main() -> None:
         "n_queries": len(timings),
         "errors": errors,
         "queries": {n: timings[n] for n in sorted(timings)},
+        # r13 verdict task 1: run-1 (cold) times alongside the min-of-2 —
+        # shared-artifact builds land in their first consumer's cold_sec
+        # instead of disappearing into the discarded first execution.
+        "cold_queries": {n: colds[n] for n in sorted(colds)},
+        "cold_total": round(sum(colds.values()), 4),
     }
     # Optional cross-SF scaling sweep (--scaling, run at round close-out;
     # excluded from the driver's default invocation to keep its bench
@@ -383,7 +395,9 @@ def main() -> None:
         small_dir = os.environ.get(
             "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
         )
-        small_timings, small_errors = _time_catalog(spark, registry, small_dir)
+        small_timings, _small_colds, small_errors = _time_catalog(
+            spark, registry, small_dir
+        )
         detail["scaling_vs_small"] = {
             "small_sf_dir": small_dir,
             "small_errors": small_errors,

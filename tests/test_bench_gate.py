@@ -195,3 +195,19 @@ def test_never_driver_checked_derivation(tmp_path):
     registry = {"a": 1, "b": 1, "c": 1, "d": 1, "e": 1}
     got = bench._never_driver_checked(str(tmp_path), registry)
     assert got == ["d", "e"]
+
+
+def test_time_catalog_records_cold_and_min(spark):
+    """r13 verdict task 1: both executions are recorded — `timings` is the
+    min-of-2 regression baseline, `colds` is run 1 (which pays any
+    session-cache build its plan triggers), so shared-artifact builds are
+    visible in BENCH_DETAIL instead of excised by the protocol."""
+
+    class _Q:
+        def build(self, s, sf_dir):
+            return s.range(100)
+
+    timings, colds, errors = bench._time_catalog(spark, {"q": _Q()}, "unused")
+    assert errors == {}
+    assert set(timings) == set(colds) == {"q"}
+    assert colds["q"] >= timings["q"] > 0

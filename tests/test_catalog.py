@@ -146,7 +146,7 @@ def test_driver_window_follows_rotation_policy():
         compute_rotation,
     )
 
-    assert ROTATION_AS_OF == 12
+    assert ROTATION_AS_OF == 13
     assert DRIVER_WINDOW == compute_rotation(list(REGISTRY))
     # anchors always resident, and every anchor actually registered
     assert DRIVER_WINDOW[: len(ANCHOR_ROWS)] == ANCHOR_ROWS

@@ -131,6 +131,57 @@ def test_scalable_prefix_sum_matches_window(spark, sf_dir):
         assert got == expected
 
 
+def test_prefix_sum_decimal_total_col_exact(spark, sf_dir):
+    """r14: out_type=None keeps the native DECIMAL running-sum type and
+    total_col attaches the group grand total — both must be bit-identical
+    to the single-partition window forms (decimal addition is exact and
+    associative, so the decomposition cannot drift)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bakery_big_data_spark.operators.keys import add_prefix_sum
+    from bakery_big_data_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.lit(0).alias("g"),
+            F.col("o_totalprice").cast("decimal(30,6)").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    expected = {
+        (r.o_orderkey, str(r.cum), str(r.tot))
+        for r in d.select(
+            "o_orderkey",
+            F.sum("v").over(w).alias("cum"),
+            F.sum("v").over(wt).alias("tot"),
+        ).collect()
+    }
+    got_df = add_prefix_sum(
+        d,
+        "g",
+        ["o_orderkey"],
+        "v",
+        "cum",
+        num_partitions=7,
+        out_type=None,
+        total_col="tot",
+    )
+    got = {
+        (r.o_orderkey, str(r.cum), str(r.tot)) for r in got_df.collect()
+    }
+    assert got == expected
+
+
 def test_scalable_ntile_small_n_and_convergence_guard(spark, sf_dir):
     """n < k: each row gets its own bucket (SQL NTILE semantics); and
     connected_components raises rather than silently returning
