@@ -195,6 +195,7 @@ def scalable_ntile(
     k: int,
     out_col: str = "ntile",
     num_partitions: int | None = None,
+    n_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Global NTILE(k) without the single-task global window.
 
@@ -209,7 +210,16 @@ def scalable_ntile(
     ranked = add_surrogate_key(
         df, order_by, key_col="_nt_rank", num_partitions=num_partitions
     )
-    n_row = ranked.groupBy().agg(F.count(F.lit(1)).alias("_nt_n"))
+    # ``n_rows`` (a 1-row frame with column ``_nt_n`` = COUNT(*) of ``df``)
+    # lets callers that ntile the SAME frame by several orders share one
+    # count rollup + one broadcast subtree instead of re-counting the
+    # checkpointed frame per call (r13 verdict task 9, rfm_segmentation).
+    # Caller contract: the count must be df's exact row count.
+    n_row = (
+        n_rows
+        if n_rows is not None
+        else ranked.groupBy().agg(F.count(F.lit(1)).alias("_nt_n"))
+    )
     # Exact BIGINT arithmetic throughout: every division is the SQL `div`
     # operator (integer division), never float `/` — quotients stay exact
     # past 2^53 rows.  PySpark Columns have no `div` operator, so the

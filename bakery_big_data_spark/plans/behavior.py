@@ -494,15 +494,23 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _RFM_CACHE.get_or_build(
         spark, (sf_dir, "rfm_per_cust"), lambda: per_cust.persist()
     )
+    # r14 (r13 verdict task 9): ONE shared |customers| count rollup feeds
+    # all three ntile passes (they tile the same persisted frame, so the
+    # count is identical) — the per-call ranked.count() re-rolled the
+    # checkpointed frame three times for the same scalar.
+    n_shared = base.groupBy().agg(F.count(F.lit(1)).alias("_nt_n"))
     scores = [
         scalable_ntile(
-            base, [F.col("recency_days").asc(), F.col("o_custkey")], 5, "r_score"
+            base, [F.col("recency_days").asc(), F.col("o_custkey")], 5,
+            "r_score", n_rows=n_shared,
         ).select("o_custkey", "r_score"),
         scalable_ntile(
-            base, [F.col("frequency").desc(), F.col("o_custkey")], 5, "f_score"
+            base, [F.col("frequency").desc(), F.col("o_custkey")], 5,
+            "f_score", n_rows=n_shared,
         ).select("o_custkey", "f_score"),
         scalable_ntile(
-            base, [F.col("monetary").desc(), F.col("o_custkey")], 5, "m_score"
+            base, [F.col("monetary").desc(), F.col("o_custkey")], 5,
+            "m_score", n_rows=n_shared,
         ).select("o_custkey", "m_score"),
     ]
     scored = base
