@@ -17,6 +17,8 @@ are pure DataFrame aggregation/window plans (no UDFs, no driver actions):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1464,9 +1466,7 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash exchange.  Bucket width is the skew knob at real scale
     # (default 1 h; must divide the 86,400 s day).
     bucket_us = int(
-        __import__("os").environ.get(
-            "SPARK_GRAFT_SWEEP_BUCKET_US", str(3_600_000_000)
-        )
+        os.environ.get("SPARK_GRAFT_SWEEP_BUCKET_US", str(3_600_000_000))
     )
     per_day = 86_400_000_000 // bucket_us
     w1 = (

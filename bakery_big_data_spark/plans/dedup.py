@@ -19,6 +19,8 @@ is hash-certified (r08).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -207,15 +209,13 @@ _INTER_CACHE = PlanCache(max_entries=2)
 #: sits between the measured ×10 win and ×100 loss (documents.parquet is
 #: ~0.6 MB at sf0.1, ~6 MB at ×10, ~60 MB at ×100).
 _INTER_PERSIST_MAX_BYTES = int(
-    __import__("os").environ.get(
+    os.environ.get(
         "SPARK_GRAFT_INTER_PERSIST_MAX_BYTES", str(24 * 1024 * 1024)
     )
 )
 
 
 def _inter_persist_ok(sf_dir: str) -> bool:
-    import os
-
     try:
         return (
             os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
